@@ -1,0 +1,107 @@
+"""Transcript → link-graph extraction (the engine's entry pipeline).
+
+Derives the working graph relation from the input_hint transcript table:
+
+* vertices are conversation ACTORS: the distinct `role` values
+  (participants, e.g. agents shared across conversations) plus the
+  distinct `tool` values (tool actors — typically hubs).
+* reply edges: consecutive turns within a conversation under STABLE TURN
+  ORDERING (`Window.partitionBy(conv_id).orderBy(turn_idx)` + lag —
+  the system's only window-function use, SURVEY.md §2.10) link the two
+  turns' actors.
+* tool-invocation edges: a turn with non-null `tool` links its actor to
+  the tool actor.
+
+Edges are symmetrized and weight-aggregated (duplicates accumulate,
+reference src/graph.cpp:24-26 / addUndirectedEdge src/graph.cpp:232-235)
+and self-loops dropped (reference src/belief_propagation.cpp:40-42,
+src/sbm.cpp:96-98).
+
+Vertex ids are xxhash64(actor_key): collision-free in practice at
+fixture scale and auditable via `assert_no_id_collisions`; at 10^12-turn
+scale the same pipeline holds (64-bit ids), with the audit query run as
+a data-quality gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .graph_ops import symmetrize
+
+TOOL_PREFIX = "tool:"
+
+
+def actor_id(key):  # column helper
+    return F.xxhash64(key)
+
+
+def extract_turn_actors(transcripts: DataFrame) -> DataFrame:
+    """Annotate every turn with its participant actor key + id.
+
+    Carries `text` through unchanged — the per-turn text-equality
+    invariant (BASELINE.json input_hint) is asserted against this table.
+    """
+    return transcripts.withColumn("actor_key", F.col("role")).withColumn(
+        "actor_id", actor_id(F.col("actor_key"))
+    )
+
+
+def extract_vertices(transcripts: DataFrame) -> DataFrame:
+    """vertices(id, actor_key, kind) — distinct participant + tool actors."""
+    participants = transcripts.select(F.col("role").alias("actor_key")).distinct().withColumn(
+        "kind", F.lit("participant")
+    )
+    tools = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select(F.concat(F.lit(TOOL_PREFIX), F.col("tool")).alias("actor_key"))
+        .distinct()
+        .withColumn("kind", F.lit("tool"))
+    )
+    return participants.unionByName(tools).select(
+        actor_id(F.col("actor_key")).alias("id"), "actor_key", "kind"
+    )
+
+
+def reply_edges(transcripts: DataFrame) -> DataFrame:
+    """Directed reply links (src=replier, dst=previous turn's actor), weight 1 each."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.withColumn("prev_role", F.lag("role").over(w))
+        .filter(F.col("prev_role").isNotNull())
+        .select(
+            actor_id(F.col("role")).alias("src"),
+            actor_id(F.col("prev_role")).alias("dst"),
+            F.lit(1).cast("long").alias("weight"),
+        )
+    )
+
+
+def tool_edges(transcripts: DataFrame) -> DataFrame:
+    """Tool-invocation links (actor → tool vertex), weight 1 per invocation."""
+    return transcripts.filter(F.col("tool").isNotNull()).select(
+        actor_id(F.col("role")).alias("src"),
+        actor_id(F.concat(F.lit(TOOL_PREFIX), F.col("tool"))).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+
+
+def extract_edges(transcripts: DataFrame, include_tool_edges: bool = True) -> DataFrame:
+    """Symmetrized, weight-aggregated, self-loop-free edge table."""
+    e = reply_edges(transcripts)
+    if include_tool_edges:
+        e = e.unionByName(tool_edges(transcripts))
+    return symmetrize(e)
+
+
+def extract_graph(transcripts: DataFrame, include_tool_edges: bool = True):
+    """(vertices, edges) — the engine's working pair (SURVEY.md §1.1)."""
+    return extract_vertices(transcripts), extract_edges(transcripts, include_tool_edges)
+
+
+def assert_no_id_collisions(vertices: DataFrame) -> None:
+    """Data-quality gate: xxhash64 actor ids must be unique per actor_key."""
+    dupes = vertices.groupBy("id").agg(F.countDistinct("actor_key").alias("n")).filter(F.col("n") > 1)
+    if dupes.limit(1).count() > 0:
+        raise ValueError("vertex id hash collision detected — widen id scheme")

@@ -1,0 +1,161 @@
+"""Core relational graph operators (reference's Graph "DML", SURVEY.md §2.2).
+
+All operators are pure DataFrame transformations over
+
+    edges(src: long, dst: long, weight: long)   -- symmetrized
+    vertices(id: long, label: long, ...)
+
+Every pointer dereference in the reference (`getNode`,
+src/graph.cpp:216-230) becomes an equi-join on `id`; adjacency mutation
+becomes union + re-aggregation; removal becomes an anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Materialize both directions, accumulate duplicate weights, drop
+    self-loops and zero-weight edges.
+
+    Reference: addUndirectedEdge (src/graph.cpp:232-235), weight
+    accumulation (src/graph.cpp:24-26), zero-weight skip
+    (src/graph.cpp:16-18), self-loop guards (src/sbm.cpp:96-98).
+    """
+    e = edges.select("src", "dst", "weight")
+    both = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+    return (
+        both.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
+
+
+def add_edges(edges: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Upsert-accumulate new undirected edges (G2/G3: src/graph.cpp:14-30,232-235)."""
+    return symmetrize(edges.select("src", "dst", "weight").unionByName(new_edges.select("src", "dst", "weight")))
+
+
+def remove_edges(edges: DataFrame, removals: DataFrame) -> DataFrame:
+    """Delete undirected edges by (src,dst) pair (G5: src/graph.cpp:255-274)."""
+    r = removals.select("src", "dst")
+    r_both = r.unionByName(r.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return edges.join(r_both.distinct(), ["src", "dst"], "left_anti")
+
+
+def remove_nodes(vertices: DataFrame, edges: DataFrame, node_ids: DataFrame):
+    """Drop vertices and all incident edges (G8: src/graph.cpp:287-313)."""
+    ids = node_ids.select("id").distinct()
+    v = vertices.join(ids, "id", "left_anti")
+    e = edges.join(ids.withColumnRenamed("id", "src"), "src", "left_anti").join(
+        ids.withColumnRenamed("id", "dst"), "dst", "left_anti"
+    )
+    return v, e.select("src", "dst", "weight")
+
+
+def weighted_degree(edges: DataFrame) -> DataFrame:
+    """degree(id, degree): weighted degree = Σ incident weight.
+
+    Reference counts WEIGHT, not neighbors (src/graph.cpp:29,
+    utils/quality_measures.cpp:17-24).  On the symmetrized table one
+    groupBy on src covers both directions.
+    """
+    return edges.groupBy(F.col("src").alias("id")).agg(F.sum("weight").alias("degree"))
+
+
+def total_edges(edges: DataFrame) -> DataFrame:
+    """Σ weight / 2 over the symmetrized table (G10: src/graph.cpp:206-214)."""
+    return edges.agg((F.sum("weight") / 2).alias("total_edges"))
+
+
+def edge_weight_lookup(edges: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Batch getEdgeWeight (G6: src/graph.cpp:243-253): 0 when absent."""
+    return (
+        pairs.select("src", "dst")
+        .join(edges, ["src", "dst"], "left")
+        .select("src", "dst", F.coalesce("weight", F.lit(0)).alias("weight"))
+    )
+
+
+def labels_of(vertices: DataFrame) -> DataFrame:
+    """getLabels (G11: src/graph.cpp:315-322)."""
+    return vertices.select("id", "label")
+
+
+def communities_of(vertices: DataFrame) -> DataFrame:
+    """getCommunities (G12: src/graph.cpp:324-330) — normalized form
+    (label, member); collect_set only at driver/test scale."""
+    return vertices.select(F.col("label"), F.col("id").alias("member"))
+
+
+def edges_with_labels(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """The core double label join J1 (SURVEY.md §2.5): every algorithm's
+    `edge.first->label` pointer chase."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("src_label"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dst_label"))
+    return edges.join(ls, "src").join(ld, "dst")
+
+
+def community_stats(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """community_stats(label, e_in, e_out, size) — A4/A6 bookkeeping.
+
+    e_in = intra-community undirected edge weight (each intra edge appears
+    twice in the symmetrized+labeled table → /2, mirroring the reference's
+    `e_in /= 2` at src/approximate_community_detection.cpp:118);
+    e_out = weight to other communities (once per direction per community).
+    """
+    el = edges_with_labels(edges, labels)
+    same = F.col("src_label") == F.col("dst_label")
+    stats = el.groupBy(F.col("src_label").alias("label")).agg(
+        (F.sum(F.when(same, F.col("weight")).otherwise(0)) / 2).cast("double").alias("e_in"),
+        F.sum(F.when(~same, F.col("weight")).otherwise(0)).cast("double").alias("e_out"),
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("size"))
+    return stats.join(sizes, "label", "full").fillna(0.0, ["e_in", "e_out"]).fillna(0, ["size"])
+
+
+def coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """partitionToGraph / Louvain coarsening (C1:
+    src/dynamic_community_detection.cpp:187-217): super-graph with one
+    node per community; intra weights become self-loop weight."""
+    el = edges_with_labels(edges, labels)
+    return (
+        el.groupBy(F.col("src_label").alias("src"), F.col("dst_label").alias("dst"))
+        .agg(F.sum("weight").alias("weight"))
+    )
+
+
+def canonical_relabel(labels: DataFrame) -> DataFrame:
+    """relabelGraph (C4: src/dynamic_community_detection.cpp:345-357):
+    dense labels 0..k-1 in order of each community's minimum member id —
+    a deterministic canonical form for exact-match testing."""
+    order = labels.groupBy("label").agg(F.min("id").alias("min_id"))
+    w = Window.orderBy("min_id", "label")
+    remap = order.withColumn("new_label", F.row_number().over(w) - F.lit(1)).select("label", "new_label")
+    return (
+        labels.join(F.broadcast(remap), "label")
+        .select("id", F.col("new_label").cast("long").alias("label"))
+    )
+
+
+def disband(labels: DataFrame, affected_ids: DataFrame) -> DataFrame:
+    """disbandCommunities (C3: src/dynamic_community_detection.cpp:243-247):
+    affected nodes become singletons (label ← id)."""
+    aff = affected_ids.select("id").withColumn("_aff", F.lit(True))
+    return (
+        labels.join(aff, "id", "left")
+        .select("id", F.when(F.col("_aff"), F.col("id")).otherwise(F.col("label")).alias("label"))
+    )
+
+
+def apply_label_moves(labels: DataFrame, moves: DataFrame) -> DataFrame:
+    """updateCommunities (C5/J5: src/dynamic_community_detection.cpp:172-185):
+    broadcast-join (old_label → new_label) pairs onto all members."""
+    mv = moves.select(F.col("old_label").alias("label"), "new_label")
+    return (
+        labels.join(F.broadcast(mv), "label", "left")
+        .select("id", F.coalesce("new_label", "label").alias("label"))
+    )

@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for the link-graph workload.
+
+Local-mode defaults here mirror what we would set on a real multi-executor
+cluster: AQE on (runtime coalescing + skew-join splitting), Arrow on (all
+Python kernels are vectorized pandas/Arrow UDFs), shuffle partitions sized
+to the parallelism level rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "sbm_communitydetection_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    cores: local[N] thread count; defaults to $SPARK_GRAFT_CPUS or '*'.
+    shuffle_partitions: defaults to cores (or 32) — on a real cluster this
+    would be ~2-3x total executor cores.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n_parallel = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n_parallel = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n_parallel)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(n_parallel))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

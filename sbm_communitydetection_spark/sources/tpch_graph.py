@@ -1,0 +1,64 @@
+"""Deterministic graph derivation from the driver's TPC-H-ish testdata.
+
+The correctness harness (driver + DuckDB oracle) runs on the parquet
+tables at /root/testdata/sf*/.  To exercise the graph operators under
+that harness we derive a deterministic pseudo-random unipartite graph
+from `lineitem`:
+
+    src = l_orderkey % N_VERTS,  dst = l_partkey % N_VERTS
+
+symmetrized and weight-aggregated exactly like the transcript-extracted
+edge table.  Both sides (Spark and ANSI SQL) express this identically,
+so every graph operator gains a DuckDB-checkable oracle query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph_ops import symmetrize
+
+N_VERTS = 1000
+N_LABELS = 10
+
+
+def lineitem_edges(spark: SparkSession, sf_dir: str, n_verts: int = N_VERTS) -> DataFrame:
+    """edges(src, dst, weight) — symmetrized derived graph."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(n_verts)).cast("long").alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(n_verts)).cast("long").alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    return symmetrize(raw)
+
+
+def lineitem_edges_sql(n_verts: int = N_VERTS) -> str:
+    """DuckDB-equivalent of lineitem_edges as a CTE body named `edges`."""
+    return f"""
+    raw AS (
+        SELECT l_orderkey % {n_verts} AS src, l_partkey % {n_verts} AS dst, 1::BIGINT AS weight
+        FROM lineitem
+    ),
+    sym AS (
+        SELECT src, dst, weight FROM raw
+        UNION ALL
+        SELECT dst AS src, src AS dst, weight FROM raw
+    ),
+    edges AS (
+        SELECT src, dst, SUM(weight) AS weight
+        FROM sym WHERE src <> dst
+        GROUP BY src, dst
+        HAVING SUM(weight) <> 0
+    )
+    """
+
+
+def derived_labels(edges: DataFrame, n_labels: int = N_LABELS) -> DataFrame:
+    """Deterministic label assignment for metric oracles: label = id % n_labels."""
+    return (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.pmod(F.col("id"), F.lit(n_labels)).cast("long").alias("label"))
+    )
