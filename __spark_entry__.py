@@ -20,14 +20,27 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from sbm_communitydetection_spark.functions.sql_oracles import (  # noqa: E402
+    components_recursive_sql,
+    lpa_unrolled_sql,
+    modularity_sql,
+    pagerank_unrolled_sql,
+    triangle_count_sql,
+    triangle_per_vertex_sql,
+)
 from sbm_communitydetection_spark.operators.graph_ops import (  # noqa: E402
     total_edges,
     weighted_degree,
 )
 from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
+    N_LABELS,
+    derived_labels,
     lineitem_edges,
     lineitem_edges_sql,
 )
+
+PR_ITERS = 5
+LPA_ITERS = 3
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -63,12 +76,71 @@ def _q_total_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration weighted PageRank (tolerance=-1 forces exactly
+    PR_ITERS supersteps to mirror the unrolled SQL oracle)."""
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+
+    ranks = pagerank(
+        spark, lineitem_edges(spark, sf_dir), damping=0.85, tolerance=-1.0, max_iterations=PR_ITERS
+    )
+    return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+
+    # tolerance=-1 forces exactly LPA_ITERS supersteps, mirroring the
+    # unrolled SQL oracle regardless of early convergence
+    res = label_propagation(
+        spark,
+        lineitem_edges(spark, sf_dir),
+        max_iterations=LPA_ITERS,
+        variant="plain",
+        tolerance=-1.0,
+    )
+    return res.state.select("id", "label")
+
+
+def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sbm_communitydetection_spark.operators.components import connected_components
+
+    return connected_components(spark, lineitem_edges(spark, sf_dir)).select("id", "component")
+
+
+def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sbm_communitydetection_spark.operators.triangles import triangle_count
+
+    return triangle_count(lineitem_edges(spark, sf_dir))
+
+
+def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sbm_communitydetection_spark.operators.triangles import triangle_counts_per_vertex
+
+    return triangle_counts_per_vertex(lineitem_edges(spark, sf_dir)).select("id", "tri_count")
+
+
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sbm_communitydetection_spark.functions.metrics import modularity
+
+    edges = lineitem_edges(spark, sf_dir)
+    return modularity(edges, derived_labels(edges)).select(
+        F.round("modularity", 8).alias("modularity")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2 / §2.13."""
     return {
         "edge_extract_symmetrize": _q_edges,  # G2/G3 symmetrize + weight-accumulate
         "weighted_degree": _q_degree,  # A1
         "total_edges": _q_total_edges,  # G10/A2
+        "pagerank_fixed_iters": _q_pagerank,  # north-star: PageRank
+        "label_propagation_fixed_iters": _q_lpa,  # north-star: sync LPA (A8+T2)
+        "connected_components": _q_components,  # north-star: large-star/small-star
+        "triangle_count": _q_triangle_count,  # north-star: triangles (global)
+        "triangles_per_vertex": _q_triangles_per_vertex,  # north-star: triangles (per vertex)
+        "modularity": _q_modularity,  # Q1/A4
     }
 
 
@@ -81,4 +153,12 @@ def oracle_sql() -> dict[str, str]:
         + "SELECT src AS id, SUM(weight) AS degree FROM edges GROUP BY src",
         "total_edges": edges_cte
         + "SELECT (SUM(weight) / 2.0)::DOUBLE AS total_edges FROM edges",
+        "pagerank_fixed_iters": edges_cte + ",\n" + pagerank_unrolled_sql(PR_ITERS),
+        "label_propagation_fixed_iters": edges_cte + ",\n" + lpa_unrolled_sql(LPA_ITERS),
+        "connected_components": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\n"
+        + components_recursive_sql(),
+        "triangle_count": edges_cte + ",\n" + triangle_count_sql(),
+        "triangles_per_vertex": edges_cte + ",\n" + triangle_per_vertex_sql(),
+        "modularity": edges_cte + ",\n" + modularity_sql(N_LABELS),
     }

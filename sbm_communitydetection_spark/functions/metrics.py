@@ -1,0 +1,235 @@
+"""Partition-quality metrics Q1-Q9 (SURVEY.md §2.9, utils/quality_measures.cpp).
+
+Design split:
+* Heavy lifting (edge scans, label joins, contingency) = Spark aggregates.
+* Greedy/Hungarian matching = driver-side Python on the k×k contingency
+  table (k = number of communities, small by construction) — mirroring
+  the reference, which also runs these on per-community summaries.
+
+Pairwise metrics are REFORMULATED via contingency counts (no n² cross
+join, SURVEY.md §2.5 J4): for communities with sizes a_i (pred), b_j
+(truth) and intersections n_ij,
+    same-pair counts are  Σ C(n_ij, 2),  Σ C(a_i, 2),  Σ C(b_j, 2).
+
+Where the reference's greedy loops are order-dependent on unordered_map
+iteration (nondeterministic), we fix a deterministic tie-break
+(max score, then smallest predicted label, then smallest truth label)
+and document the divergence.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .hungarian import max_assignment_value
+
+# ---------------------------------------------------------------------------
+# Spark-side aggregates
+# ---------------------------------------------------------------------------
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Q1 (utils/quality_measures.cpp:3-41, community form
+    utils/utilities.cpp:25-78): Q = Σ_c [e_in2_c/2m − (deg_c/2m)²] on the
+    SYMMETRIZED weighted edge table. Single-row DataFrame (modularity)."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("sl"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dl"))
+    el = edges.join(ls, "src").join(ld, "dst")
+    per = el.groupBy("sl").agg(
+        F.sum(F.when(F.col("sl") == F.col("dl"), F.col("weight")).otherwise(0)).cast("double").alias("e_in2"),
+        F.sum("weight").cast("double").alias("deg"),
+    )
+    two_m = edges.agg(F.sum("weight").cast("double").alias("two_m"))
+    return per.crossJoin(two_m).agg(
+        F.sum(F.col("e_in2") / F.col("two_m") - (F.col("deg") / F.col("two_m")) ** 2).alias("modularity")
+    )
+
+
+def contingency(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """J6: (t_label, p_label, cnt) intersection sizes; k×k result."""
+    p = pred.select("id", F.col("label").alias("p_label"))
+    t = truth.select("id", F.col("label").alias("t_label"))
+    return t.join(p, "id").groupBy("t_label", "p_label").agg(F.count("*").alias("cnt"))
+
+
+def edge_classification_accuracy(edges: DataFrame, pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Q8 (utils/quality_measures.cpp:401-414): weighted fraction of
+    directed edge entries whose intra/inter status agrees between the
+    predicted and true partitions. Single-row DataFrame (edge_cls_acc)."""
+    ps = pred.select(F.col("id").alias("src"), F.col("label").alias("psl"))
+    pd_ = pred.select(F.col("id").alias("dst"), F.col("label").alias("pdl"))
+    ts = truth.select(F.col("id").alias("src"), F.col("label").alias("tsl"))
+    td = truth.select(F.col("id").alias("dst"), F.col("label").alias("tdl"))
+    el = edges.join(ps, "src").join(pd_, "dst").join(ts, "src").join(td, "dst")
+    agree = (F.col("psl") == F.col("pdl")) == (F.col("tsl") == F.col("tdl"))
+    return el.agg(
+        (F.sum(F.when(agree, F.col("weight")).otherwise(0)) / F.sum("weight")).alias("edge_cls_acc")
+    )
+
+
+def embeddedness(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Q5 (utils/quality_measures.cpp:317-333): Σ_v intra-neighbor-entries /
+    total-neighbor-entries (UNWEIGHTED neighbor counts, as the reference).
+    Single-row DataFrame (embeddedness)."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("sl"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dl"))
+    el = edges.join(ls, "src").join(ld, "dst")
+    per = el.groupBy("src").agg(
+        (F.sum(F.when(F.col("sl") == F.col("dl"), 1).otherwise(0)) / F.count("*")).alias("emb")
+    )
+    return per.agg(F.sum("emb").alias("embeddedness"))
+
+
+def _pair_counts(pred: DataFrame, truth: DataFrame) -> tuple[float, float, float, int]:
+    """(same_both, same_pred, same_truth) unordered pair counts + n,
+    from contingency aggregates — the no-cross-join reformulation."""
+    ct = contingency(pred, truth)
+    row = ct.agg(
+        F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2).alias("tp"),
+        F.sum("cnt").alias("n"),
+    ).collect()[0]
+    tp, n = float(row.tp), int(row.n)
+    pr = ct.groupBy("p_label").agg(F.sum("cnt").alias("a")).agg(
+        F.sum(F.col("a") * (F.col("a") - 1) / 2)
+    ).collect()[0][0]
+    tr = ct.groupBy("t_label").agg(F.sum("cnt").alias("b")).agg(
+        F.sum(F.col("b") * (F.col("b") - 1) / 2)
+    ).collect()[0][0]
+    return tp, float(pr), float(tr), n
+
+
+def pairwise_f1(pred: DataFrame, truth: DataFrame) -> float:
+    """Q3 (utils/quality_measures.cpp:222-262): F1 over co-membership of
+    node pairs. TP = same community in both; FP = same pred only;
+    FN = same truth only."""
+    tp, same_pred, same_truth, _ = _pair_counts(pred, truth)
+    if same_pred == 0 or same_truth == 0 or tp == 0:
+        return 0.0
+    precision = tp / same_pred
+    recall = tp / same_truth
+    return 2 * precision * recall / (precision + recall)
+
+
+def log_likelihood(edges: DataFrame, labels: DataFrame) -> float:
+    """Q4 (utils/quality_measures.cpp:264-315): SBM Bernoulli MLE plug-in.
+    Edge counts are UNWEIGHTED adjacency entries / 2, per the reference."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("sl"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dl"))
+    el = edges.join(ls, "src").join(ld, "dst")
+    row = el.agg(
+        (F.sum(F.when(F.col("sl") == F.col("dl"), 1).otherwise(0)) / 2).alias("intra_e"),
+        (F.sum(F.when(F.col("sl") != F.col("dl"), 1).otherwise(0)) / 2).alias("inter_e"),
+    ).collect()[0]
+    intra_e, inter_e = float(row.intra_e), float(row.inter_e)
+    sizes = [r.c for r in labels.groupBy("label").agg(F.count("*").alias("c")).collect()]
+    n = sum(sizes)
+    intra_pairs = sum(c * (c - 1) // 2 for c in sizes)
+    inter_pairs = n * (n - 1) // 2 - intra_pairs
+    ll = 0.0
+    p_in = intra_e / intra_pairs if intra_pairs > 0 else 0.0
+    p_out = inter_e / inter_pairs if inter_pairs > 0 else 0.0
+    if p_in != 0:
+        ll += intra_e * math.log(p_in) + (intra_pairs - intra_e) * math.log1p(-p_in) if p_in < 1 else intra_e * math.log(p_in)
+    if p_out != 0:
+        ll += inter_e * math.log(p_out) + (inter_pairs - inter_e) * math.log1p(-p_out) if p_out < 1 else inter_e * math.log(p_out)
+    return ll
+
+
+# ---------------------------------------------------------------------------
+# Driver-side greedy / Hungarian matching over the contingency table
+# ---------------------------------------------------------------------------
+
+
+def _contingency_dicts(pred: DataFrame, truth: DataFrame):
+    """(inter[(t,p)] = n_ij, t_sizes, p_sizes, n)."""
+    rows = contingency(pred, truth).collect()
+    inter = {(r.t_label, r.p_label): r.cnt for r in rows}
+    t_sizes: dict = defaultdict(int)
+    p_sizes: dict = defaultdict(int)
+    for (t, p), c in inter.items():
+        t_sizes[t] += c
+        p_sizes[p] += c
+    n = sum(t_sizes.values())
+    return inter, dict(t_sizes), dict(p_sizes), n
+
+
+def _greedy_match(score_fn, t_keys, p_keys):
+    """Repeatedly pick the max-scoring (truth, pred) pair, remove both.
+    Deterministic tie-break: score desc, then smaller pred, then smaller
+    truth. Returns [(t, p, score), ...] until either side (or score) runs out."""
+    t_left, p_left = set(t_keys), set(p_keys)
+    out = []
+    while t_left and p_left:
+        best = None
+        for p in sorted(p_left):
+            for t in sorted(t_left):
+                s = score_fn(t, p)
+                if best is None or s > best[2]:
+                    best = (t, p, s)
+        out.append(best)
+        t_left.discard(best[0])
+        p_left.discard(best[1])
+    return out
+
+
+def node_overlap_accuracy(pred: DataFrame, truth: DataFrame) -> float:
+    """Q6 (utils/quality_measures.cpp:335-399): greedy max-intersection
+    matching; Σ matched common / n."""
+    inter, t_sizes, p_sizes, n = _contingency_dicts(pred, truth)
+    matched = _greedy_match(lambda t, p: inter.get((t, p), 0), t_sizes, p_sizes)
+    return sum(s for _, _, s in matched) / n if n else 0.0
+
+
+def symmetric_difference(pred: DataFrame, truth: DataFrame) -> float:
+    """Q2 (utils/quality_measures.cpp:138-188): greedy max-intersection
+    matching; Σ |pred \\ matched truth| + sizes of unmatched pred
+    communities, / n."""
+    inter, t_sizes, p_sizes, n = _contingency_dicts(pred, truth)
+    matched = _greedy_match(lambda t, p: inter.get((t, p), 0), t_sizes, p_sizes)
+    used_p = {p for _, p, _ in matched}
+    result = sum(p_sizes[p] - s for _, p, s in matched)
+    result += sum(sz for p, sz in p_sizes.items() if p not in used_p)
+    return result / n if n else 0.0
+
+
+def max_jaccard_sum(pred: DataFrame, truth: DataFrame) -> float:
+    """Q7 (utils/quality_measures.cpp:64-136): greedy max-Jaccard matching,
+    mean over max(k_true, k_pred) pairs (unmatched padding scores 0)."""
+    inter, t_sizes, p_sizes, n = _contingency_dicts(pred, truth)
+
+    def jac(t, p):
+        i = inter.get((t, p), 0)
+        u = t_sizes[t] + p_sizes[p] - i
+        return i / u if u else 0.0
+
+    matched = _greedy_match(jac, t_sizes, p_sizes)
+    denom = max(len(t_sizes), len(p_sizes))
+    return sum(s for _, _, s in matched) / denom if denom else 0.0
+
+
+def maximal_matching_accuracy(pred: DataFrame, truth: DataFrame) -> float:
+    """Q9 (utils/quality_measures.cpp:416-468 + hungarian_algorithm.cpp):
+    optimal assignment on the truth×pred intersection matrix, / n."""
+    inter, t_sizes, p_sizes, n = _contingency_dicts(pred, truth)
+    t_keys, p_keys = sorted(t_sizes), sorted(p_sizes)
+    matrix = [[float(inter.get((t, p), 0)) for p in p_keys] for t in t_keys]
+    return max_assignment_value(matrix) / n if n else 0.0
+
+
+def all_metrics(edges: DataFrame, pred: DataFrame, truth: DataFrame) -> dict[str, float]:
+    """The reference's full report card (scripts/overall_run.cpp:204-327)."""
+    return {
+        "modularity": modularity(edges, pred).collect()[0][0],
+        "symmetric_difference": symmetric_difference(pred, truth),
+        "f1_score": pairwise_f1(pred, truth),
+        "log_likelihood": log_likelihood(edges, pred),
+        "embeddedness": embeddedness(edges, pred).collect()[0][0],
+        "node_overlap_accuracy": node_overlap_accuracy(pred, truth),
+        "max_jaccard_sum": max_jaccard_sum(pred, truth),
+        "edge_classification_accuracy": edge_classification_accuracy(edges, pred, truth).collect()[0][0],
+        "maximal_matching_accuracy": maximal_matching_accuracy(pred, truth),
+    }

@@ -1,0 +1,117 @@
+"""Synchronous weighted label propagation — the SBM community-detection
+analogue of the reference's block-model inference (BASELINE.json).
+
+One superstep = the reference's core gain aggregate + argmax, applied to
+ALL vertices simultaneously (SURVEY.md §2.13):
+
+* A8  per-node neighbor-community weight
+  (src/approximate_community_detection.cpp:479-485,
+   src/dynamic_community_detection.cpp:332-339):
+      scores = edges ⋈ labels(dst) → groupBy(src, nbr_label).sum(weight)
+* T2  best-community argmax with deterministic MIN-LABEL tie-break
+  (src/dynamic_community_detection.cpp:143-160; the reference shuffles
+   visit order and moves asynchronously — we are synchronous and
+   order-free by design, SURVEY.md §2.8 T5):
+      max(struct(score, -label)) per src
+
+Labels start as vertex ids (singleton init, the reference's DCD init at
+src/dynamic_community_detection.cpp:16-18) unless an initial partition is
+given.  Convergence = no label changed.  Synchronous LPA can 2-cycle on
+bipartite-ish structure; `max_iterations` bounds that, and the returned
+IterationResult metrics expose the changed-count series for diagnosis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.iterate import IterationDriver, IterationResult
+
+
+def lpa_superstep(edges: DataFrame, labels: DataFrame, variant: str = "plain") -> DataFrame:
+    """One synchronous move of all vertices; isolated vertices keep labels.
+
+    variant='plain':    adopt argmax neighbor-community weight (min label on tie).
+    variant='keep_own': move only on STRICT improvement over the score of the
+                        current label — the synchronous analogue of the
+                        reference's keep-own-community-unless-better rule
+                        (src/dynamic_community_detection.cpp:143-160), which
+                        damps the period-2 oscillation plain sync LPA exhibits.
+    """
+    if variant not in ("plain", "keep_own"):
+        raise ValueError(f"unknown LPA variant {variant!r}")
+    nbr = edges.join(
+        labels.select(F.col("id").alias("dst"), F.col("label").alias("nbr_label")), "dst"
+    )
+    scores = nbr.groupBy("src", "nbr_label").agg(F.sum("weight").alias("score"))
+    if variant == "plain":
+        best = scores.groupBy("src").agg(
+            F.max(F.struct(F.col("score"), (-F.col("nbr_label")).alias("neg_label"))).alias("m")
+        )
+        best = best.select(F.col("src").alias("id"), (-F.col("m.neg_label")).alias("best_label"))
+        return labels.join(best, "id", "left").select(
+            "id", F.coalesce("best_label", "label").alias("label")
+        )
+    # keep_own: one aggregation computes both argmax and the current label's score
+    cur = labels.select(F.col("id").alias("src"), F.col("label").alias("cur_label"))
+    agg = (
+        scores.join(cur, "src")
+        .groupBy("src")
+        .agg(
+            F.max(F.struct(F.col("score"), (-F.col("nbr_label")).alias("neg_label"))).alias("m"),
+            F.max(F.when(F.col("nbr_label") == F.col("cur_label"), F.col("score"))).alias("own_score"),
+        )
+        .select(
+            F.col("src").alias("id"),
+            (-F.col("m.neg_label")).alias("best_label"),
+            F.col("m.score").alias("best_score"),
+            "own_score",
+        )
+    )
+    keep = F.coalesce(F.col("own_score"), F.lit(0.0)) >= F.coalesce(F.col("best_score"), F.lit(0.0))
+    return labels.join(agg, "id", "left").select(
+        "id",
+        F.when(keep | F.col("best_label").isNull(), F.col("label"))
+        .otherwise(F.col("best_label"))
+        .alias("label"),
+    )
+
+
+def label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    initial_labels: DataFrame | None = None,
+    max_iterations: int = 30,
+    variant: str = "plain",
+    tolerance: float = 0.0,
+    driver: IterationDriver | None = None,
+) -> IterationResult:
+    """IterationResult whose .state is labels(id, label) at convergence.
+
+    edges must be the SYMMETRIZED weighted table.
+    """
+    driver = driver or IterationDriver(spark, run_id="lpa")
+    if initial_labels is not None:
+        labels = initial_labels.select("id", "label")
+    else:
+        verts = (
+            vertices.select("id")
+            if vertices is not None
+            else edges.select(F.col("src").alias("id")).distinct()
+        )
+        labels = verts.select("id", F.col("id").alias("label"))
+
+    def step(state: DataFrame, i: int):
+        new = lpa_superstep(edges, state, variant=variant)
+        changed = (
+            new.join(state.withColumnRenamed("label", "old_label"), "id")
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        return new, float(changed)
+
+    return driver.run(
+        labels, step, max_iterations=max_iterations, tolerance=tolerance, metric_name="labels_changed"
+    )

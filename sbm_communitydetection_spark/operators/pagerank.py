@@ -1,0 +1,95 @@
+"""Weighted PageRank as iterative DataFrame joins (north-star op, SURVEY.md §2.13).
+
+Per iteration (all JVM-side column math, zero Python in the loop body):
+
+    contribs = adj(src, dst, frac) ⋈ ranks(src)  →  groupBy(dst).sum(rank·frac)
+    dangling = Σ rank over vertices with no out-edges          (scalar agg)
+    new_rank = (1-d)/n + d·(contrib + dangling/n)
+    delta    = max |new - old|                                 (convergence)
+
+The transition fraction ``frac = weight / out_weight`` is precomputed once
+and cached — the iteration loop reuses the same shuffle partitioning of
+``adj`` every round.  Dangling-vertex mass is redistributed uniformly
+(standard formulation; on a symmetrized edge table no dangling vertices
+exist and the term is exactly 0).
+
+The reference tracks only degree bookkeeping (src/graph.cpp:29); PageRank
+itself is north-star scope.  Scores are validated allclose(1e-6) against
+a pure-numpy oracle (tests/oracles.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.iterate import IterationDriver
+
+
+def pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    tolerance: float = 1e-8,
+    max_iterations: int = 100,
+    driver: IterationDriver | None = None,
+) -> DataFrame:
+    """ranks(id, rank) with Σ rank = 1.
+
+    edges(src, dst, weight) is treated as DIRECTED here; pass the
+    symmetrized table for the undirected semantics of the link graph.
+    """
+    driver = driver or IterationDriver(spark, run_id="pagerank")
+
+    verts = (
+        vertices.select("id")
+        if vertices is not None
+        else edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    verts = verts.localCheckpoint(eager=True)
+    n = verts.count()
+
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    adj = (
+        edges.join(out_w, "src")
+        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("frac"))
+        .localCheckpoint(eager=True)
+    )
+    dangling_ids = verts.join(out_w.select(F.col("src").alias("id")), "id", "left_anti").localCheckpoint(
+        eager=True
+    )
+
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+
+    def step(state: DataFrame, i: int):
+        dangling_mass = (
+            state.join(dangling_ids, "id", "left_semi").agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+        )
+        contribs = (
+            adj.join(state.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
+            .withColumnRenamed("dst", "id")
+        )
+        new = (
+            state.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                ).alias("new_rank"),
+                F.col("rank").alias("old_rank"),
+            )
+        )
+        delta = new.agg(F.max(F.abs(F.col("new_rank") - F.col("old_rank")))).collect()[0][0]
+        return new.select("id", F.col("new_rank").alias("rank")), float(delta)
+
+    result = driver.run(
+        ranks, step, max_iterations=max_iterations, tolerance=tolerance, metric_name="max_delta"
+    )
+    return result.state

@@ -1,0 +1,72 @@
+"""Triangle counting via degree-ordered orientation (north-star op).
+
+Standard two-join formulation: orient every undirected edge from the
+lower-(degree, id) endpoint to the higher one — each triangle then has
+exactly one wedge (a→b, b→c) closed by (a→c), so
+
+    triangles = oriented ⋈ oriented (on b)  ⋈  oriented (on (a, c))
+
+The orientation bounds the wedge count by the graph's arboricity-ish
+degeneracy (hub vertices get low OUT-degree), which is exactly the
+skew-taming trick at 100 TB scale.  No reference analogue (SURVEY.md
+§2.13); validated against a brute-force oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Distinct edges oriented low(degree,id) → high(degree,id)."""
+    pairs = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "id")
+    da = deg.select(F.col("id").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("id").alias("b"), F.col("deg").alias("deg_b"))
+    j = pairs.join(da, "a").join(db, "b")
+    fwd = F.struct("deg_a", "a") < F.struct("deg_b", "b")
+    return j.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+
+def triangle_list(edges: DataFrame) -> DataFrame:
+    """(x, y, z) — each triangle exactly once (as ids along the orientation)."""
+    o = _oriented(edges)
+    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
+    wedges = e1.join(e2, "y")
+    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    return wedges.join(e3, ["x", "z"]).select("x", "y", "z")
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Single-row DataFrame: total triangle count."""
+    return triangle_list(edges).agg(F.count("*").cast("long").alias("triangles"))
+
+
+def triangle_counts_per_vertex(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
+    """(id, tri_count) — triangles incident to each vertex; 0 for the rest."""
+    tris = triangle_list(edges)
+    member = (
+        tris.select(F.col("x").alias("id"))
+        .unionByName(tris.select(F.col("y").alias("id")))
+        .unionByName(tris.select(F.col("z").alias("id")))
+    )
+    counts = member.groupBy("id").agg(F.count("*").cast("long").alias("tri_count"))
+    ids = (
+        vertices.select("id")
+        if vertices is not None
+        else edges.select(F.col("src").alias("id")).unionByName(edges.select(F.col("dst").alias("id"))).distinct()
+    )
+    return ids.join(counts, "id", "left").select(
+        "id", F.coalesce("tri_count", F.lit(0)).cast("long").alias("tri_count")
+    )

@@ -1,0 +1,160 @@
+"""The superstep iteration driver — the one genuinely custom piece (SURVEY.md §4).
+
+Spark has no iteration primitive: every iterative graph algorithm here is a
+driver-side loop of DataFrame transformations. Naively chaining iterations
+grows the logical plan linearly and planning time super-linearly, so each
+iteration's state is MATERIALIZED and the lineage truncated, via one of:
+
+* ``local``   — ``df.localCheckpoint(eager=True)`` (fast; cluster-resident)
+* ``parquet`` — write state to ``<dir>/<run_id>/iter=<i>/`` and read back.
+  This is the durable path: any run is resumable from the latest complete
+  snapshot (north_rule "resumable from checkpoint").  The directory layout
+  is the Parquet stand-in for the Iceberg snapshot-per-iteration table
+  described in SURVEY.md §7 (no Iceberg jars in this sandbox; the seam is
+  this class — an Iceberg implementation swaps the write/read calls for
+  MERGE/snapshot operations on the same schema).
+
+Alongside state, the driver appends per-iteration METRICS + LINEAGE rows
+(run_id, iteration, wall seconds, row count, convergence metric, number of
+partitions, input snapshot path) to ``<dir>/<run_id>/_metrics.jsonl`` —
+the per-partition lineage + convergence log the north_rule asks for.
+
+The reference has no persistence at all; its analogue of "iteration state"
+is in-place pointer mutation (e.g. the per-edge loop at
+src/dynamic_community_detection.cpp:32-49).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class IterationResult:
+    state: DataFrame
+    iterations: int
+    converged: bool
+    metrics: list[dict] = field(default_factory=list)
+
+
+class IterationDriver:
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_id: str = "run",
+        checkpoint_dir: str | None = None,
+        mode: str = "local",
+    ):
+        """mode: 'local' (localCheckpoint) or 'parquet' (durable, resumable)."""
+        if mode not in ("local", "parquet"):
+            raise ValueError(f"unknown checkpoint mode {mode!r}")
+        if mode == "parquet" and not checkpoint_dir:
+            raise ValueError("parquet mode requires checkpoint_dir")
+        self.spark = spark
+        self.run_id = run_id
+        self.dir = os.path.join(checkpoint_dir, run_id) if checkpoint_dir else None
+        self.mode = mode
+
+    # -- snapshot plumbing -------------------------------------------------
+    def _iter_path(self, i: int) -> str:
+        assert self.dir is not None
+        return os.path.join(self.dir, f"iter={i}")
+
+    def _persist(self, df: DataFrame, i: int) -> DataFrame:
+        if self.mode == "local":
+            return df.localCheckpoint(eager=True)
+        path = self._iter_path(i)
+        df.write.mode("overwrite").parquet(path)
+        return self.spark.read.parquet(path)
+
+    def _log_metrics(self, row: dict) -> None:
+        if self.dir is None:
+            return
+        os.makedirs(self.dir, exist_ok=True)
+        with open(os.path.join(self.dir, "_metrics.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    def latest_complete_iteration(self) -> int | None:
+        """Highest i with a _SUCCESS marker — the resume point."""
+        if self.dir is None or not os.path.isdir(self.dir):
+            return None
+        best = None
+        for name in os.listdir(self.dir):
+            if name.startswith("iter=") and os.path.exists(os.path.join(self.dir, name, "_SUCCESS")):
+                i = int(name.split("=", 1)[1])
+                best = i if best is None else max(best, i)
+        return best
+
+    def resume_state(self) -> tuple[DataFrame, int] | None:
+        """(state, next_iteration) from the latest durable snapshot."""
+        i = self.latest_complete_iteration()
+        if i is None:
+            return None
+        return self.spark.read.parquet(self._iter_path(i)), i + 1
+
+    # -- the loop ----------------------------------------------------------
+    def run(
+        self,
+        state: DataFrame,
+        step: Callable[[DataFrame, int], tuple[DataFrame, float]],
+        max_iterations: int = 50,
+        tolerance: float = 0.0,
+        resume: bool = False,
+        metric_name: str = "delta",
+    ) -> IterationResult:
+        """Iterate ``step(state, i) -> (new_state, convergence_metric)``
+        until metric <= tolerance or max_iterations.
+
+        The convergence metric is whatever the algorithm defines (count of
+        changed labels, max rank delta, ...); it is recorded per iteration.
+        """
+        start_iter = 0
+        if resume:
+            resumed = self.resume_state()
+            if resumed is not None:
+                state, start_iter = resumed
+        if start_iter == 0:
+            state = self._persist(state, 0)
+            self._log_metrics(
+                {
+                    "run_id": self.run_id,
+                    "iteration": 0,
+                    "phase": "init",
+                    "rows": state.count(),
+                    "partitions": state.rdd.getNumPartitions(),
+                    "snapshot": self._iter_path(0) if self.dir else "localCheckpoint",
+                }
+            )
+            start_iter = 1
+
+        metrics: list[dict] = []
+        converged = False
+        i = start_iter - 1
+        for i in range(start_iter, max_iterations + 1):
+            t0 = time.monotonic()
+            new_state, metric = step(state, i)
+            new_state = self._persist(new_state, i)
+            rows = new_state.count()
+            wall = time.monotonic() - t0
+            row = {
+                "run_id": self.run_id,
+                "iteration": i,
+                metric_name: metric,
+                "rows": rows,
+                "partitions": new_state.rdd.getNumPartitions(),
+                "wall_sec": round(wall, 4),
+                "snapshot": self._iter_path(i) if self.dir else "localCheckpoint",
+            }
+            metrics.append(row)
+            self._log_metrics(row)
+            state = new_state
+            if metric <= tolerance:
+                converged = True
+                break
+        return IterationResult(state=state, iterations=i, converged=converged, metrics=metrics)

@@ -1,0 +1,140 @@
+"""North-star algorithms vs pure-Python oracles + planted-SBM recovery.
+
+Mirrors the reference's test strategy (tests/test_algorithms.cpp: shared
+fixture runs algorithms once, metric tests assert) but with EXACT oracle
+comparison instead of range sanity, per BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from sbm_communitydetection_spark.operators.components import connected_components
+from sbm_communitydetection_spark.operators.graph_ops import canonical_relabel, symmetrize
+from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+from sbm_communitydetection_spark.operators.pagerank import pagerank
+from sbm_communitydetection_spark.operators.triangles import triangle_count, triangle_counts_per_vertex
+from sbm_communitydetection_spark.sources.sbm import generate_sbm
+
+from oracles import components_oracle, lpa_oracle, pagerank_oracle, triangles_oracle
+
+
+@pytest.fixture(scope="module")
+def sbm_graph(spark):
+    """n=60, k=3 well-separated SBM (p_in=0.9/p_out=0.1): vertices + sym edges."""
+    vertices, stream = generate_sbm(spark, n=60, k=3, m=400, p_in=0.9, p_out=0.1, seed=42)
+    edges = symmetrize(stream.select("src", "dst", F.lit(1).cast("long").alias("weight")))
+    edges = edges.localCheckpoint(eager=True)
+    return vertices.localCheckpoint(eager=True), edges
+
+
+def _edge_tuples(edges):
+    return [(r.src, r.dst, r.weight) for r in edges.collect()]
+
+
+def test_pagerank_allclose_oracle(spark, sbm_graph):
+    vertices, edges = sbm_graph
+    ranks = {r.id: r.rank for r in pagerank(spark, edges, vertices=vertices, tolerance=1e-10).collect()}
+    oracle = pagerank_oracle(_edge_tuples(edges), tol=1e-10, vertices=[r.id for r in vertices.collect()])
+    assert set(ranks) == set(oracle)
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    for v, r in oracle.items():
+        assert abs(ranks[v] - r) < 1e-6, f"vertex {v}: {ranks[v]} vs {r}"
+
+
+def test_pagerank_dangling_vertices(spark):
+    # directed chain with dangling sink + isolated vertex
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    ranks = {r.id: r.rank for r in pagerank(spark, edges, vertices=verts, tolerance=1e-12).collect()}
+    oracle = pagerank_oracle([(0, 1, 1), (1, 2, 1), (2, 3, 1)], tol=1e-12, vertices=list(range(5)))
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    for v in oracle:
+        assert abs(ranks[v] - oracle[v]) < 1e-6
+
+
+def test_connected_components_exact(spark):
+    # two components + isolated vertex; ids deliberately non-contiguous
+    e = [(10, 20), (20, 30), (30, 10), (40, 50), (99, 40)]
+    edges = spark.createDataFrame([(s, d, 1) for s, d in e], "src long, dst long, weight long")
+    verts = spark.createDataFrame([(i,) for i in [10, 20, 30, 40, 50, 99, 777]], "id long")
+    got = {r.id: r.component for r in connected_components(spark, edges, vertices=verts).collect()}
+    exp = components_oracle(e, vertices=[10, 20, 30, 40, 50, 99, 777])
+    assert got == exp
+    assert got[777] == 777  # isolated singleton
+
+
+def test_connected_components_path_graph(spark):
+    # long path stresses the O(log n) convergence
+    n = 200
+    edges = spark.createDataFrame([(i, i + 1, 1) for i in range(n - 1)], "src long, dst long, weight long")
+    got = {r.id: r.component for r in connected_components(spark, edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_lpa_plain_matches_oracle(spark, sbm_graph):
+    """Plain synchronous LPA: exact per-vertex parity with the pinned-seed
+    oracle (the operational meaning of 'labels exact at convergence' —
+    the reference itself is nondeterministic, SURVEY.md §5)."""
+    vertices, edges = sbm_graph
+    result = label_propagation(spark, edges, vertices=vertices, max_iterations=12)
+    got = {r.id: r.label for r in result.state.collect()}
+    oracle_labels, _, _ = lpa_oracle(
+        _edge_tuples(edges), vertices=[r.id for r in vertices.collect()], max_iter=12
+    )
+    assert got == oracle_labels
+
+
+def test_lpa_keep_own_recovers_planted(spark, sbm_graph):
+    """keep_own variant converges and recovers the planted partition on the
+    well-separated n=60 k=3 SBM, verified via canonical relabel equality
+    (C4, src/dynamic_community_detection.cpp:345-357)."""
+    vertices, edges = sbm_graph
+    result = label_propagation(spark, edges, vertices=vertices, max_iterations=30, variant="keep_own")
+    assert result.converged
+    got = {r.id: r.label for r in result.state.collect()}
+    oracle_labels, _, conv = lpa_oracle(
+        _edge_tuples(edges),
+        vertices=[r.id for r in vertices.collect()],
+        max_iter=30,
+        variant="keep_own",
+    )
+    assert conv and got == oracle_labels  # exact parity with the oracle
+
+    got_canon = {r.id: r.label for r in canonical_relabel(result.state).collect()}
+    truth_canon = {r.id: r.label for r in canonical_relabel(vertices.select("id", "label")).collect()}
+    assert got_canon == truth_canon, "LPA failed to recover planted SBM partition"
+    assert len(set(truth_canon.values())) == 3
+
+
+def test_lpa_min_label_tiebreak(spark):
+    # square: every vertex sees two neighbors with distinct labels, equal weight
+    e = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    edges = symmetrize(spark.createDataFrame([(s, d, 1) for s, d in e], "src long, dst long, weight long"))
+    result = label_propagation(spark, edges, max_iterations=10)
+    got = {r.id: r.label for r in result.state.collect()}
+    oracle_labels, _, _ = lpa_oracle([(s, d, 1) for s, d in e] + [(d, s, 1) for s, d in e], max_iter=10)
+    assert got == oracle_labels
+
+
+def test_triangles_exact(spark, sbm_graph):
+    _, edges = sbm_graph
+    pairs = [(r.src, r.dst) for r in edges.collect()]
+    per, total = triangles_oracle(pairs)
+    assert triangle_count(edges).collect()[0].triangles == total
+    got = {r.id: r.tri_count for r in triangle_counts_per_vertex(edges).collect()}
+    for v in got:
+        assert got[v] == per.get(v, 0)
+    assert total > 0
+
+
+def test_triangles_tiny_known(spark):
+    # K4 has 4 triangles, each vertex in 3
+    e = [(a, b, 1) for a in range(4) for b in range(4) if a < b]
+    edges = symmetrize(spark.createDataFrame(e, "src long, dst long, weight long"))
+    assert triangle_count(edges).collect()[0].triangles == 4
+    got = {r.id: r.tri_count for r in triangle_counts_per_vertex(edges).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
