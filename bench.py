@@ -1,0 +1,99 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+`value` is the total wall time of the headline queries.  Extra keys
+(`edges_per_sec`, `iters_per_sec`, `cores`) carry the BASELINE.json
+metric (PageRank + LPA iterations/sec and edges/sec).
+
+Scaling-efficiency evidence (north_rule: N → 4N executors, sandboxed as
+local[8] → local[32]) is produced by tools/scaling_bench.py which invokes
+this file at two parallelism levels; results recorded in BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PR_ITERS = 10
+LPA_ITERS = 5
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from pyspark.sql import functions as F
+
+    from sbm_communitydetection_spark.operators.components import connected_components
+    from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+    from sbm_communitydetection_spark.operators.triangles import triangle_count
+    from sbm_communitydetection_spark.session import get_spark
+    from sbm_communitydetection_spark.sources.tpch_graph import lineitem_edges
+
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Materialize the edge table once (cached, as a real deployment would
+    # read an already-written Iceberg/Parquet edge table).
+    edges = lineitem_edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_edges = edges.count()  # directed half-edges
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    timed(
+        "pagerank",
+        lambda: pagerank(
+            spark, edges, damping=0.85, tolerance=-1.0, max_iterations=PR_ITERS
+        ).count(),
+    )
+    timed(
+        "lpa",
+        lambda: label_propagation(
+            spark, edges, max_iterations=LPA_ITERS, variant="plain", tolerance=-1.0
+        ).state.count(),
+    )
+    timed("connected_components", lambda: connected_components(spark, edges).count())
+    timed("triangle_count", lambda: triangle_count(edges).collect())
+    timed(
+        "degree_topk",
+        lambda: edges.groupBy("src")
+        .agg(F.sum("weight").alias("degree"))
+        .orderBy(F.desc("degree"))
+        .limit(100)
+        .collect(),
+    )
+
+    total = round(sum(timings.values()), 3)
+    pr_lpa_iters = PR_ITERS + LPA_ITERS
+    pr_lpa_time = timings["pagerank"] + timings["lpa"]
+    result = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        "n_directed_edges": n_edges,
+        "iters_per_sec": round(pr_lpa_iters / pr_lpa_time, 3),
+        "edges_per_sec": round(n_edges * pr_lpa_iters / pr_lpa_time, 1),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
