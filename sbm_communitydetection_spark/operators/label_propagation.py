@@ -93,6 +93,10 @@ def label_propagation(
     edges must be the SYMMETRIZED weighted table.
     """
     driver = driver or IterationDriver(spark, run_id="lpa")
+    # Pre-partition the edge table by the superstep's join key (dst) so each
+    # iteration shuffles only the label vector, not the edges.
+    edges = edges.repartition("dst").localCheckpoint(eager=True)
+    fixed_iters = tolerance < 0
     if initial_labels is not None:
         labels = initial_labels.select("id", "label")
     else:
@@ -105,6 +109,9 @@ def label_propagation(
 
     def step(state: DataFrame, i: int):
         new = lpa_superstep(edges, state, variant=variant)
+        if fixed_iters:
+            # exact-iteration mode: skip the changed-count action
+            return new, float("inf")
         changed = (
             new.join(state.withColumnRenamed("label", "old_label"), "id")
             .filter(F.col("label") != F.col("old_label"))

@@ -53,21 +53,34 @@ def pagerank(
     n = verts.count()
 
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # Pre-partition the transition table by the probe key so the per-iteration
+    # join only shuffles the (small) rank vector, never the edge table —
+    # localCheckpoint preserves the hash partitioning across iterations.
     adj = (
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("frac"))
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     dangling_ids = verts.join(out_w.select(F.col("src").alias("id")), "id", "left_anti").localCheckpoint(
         eager=True
     )
+    # On a symmetrized link graph every vertex has out-edges: skip the
+    # per-iteration dangling-mass action entirely (one scalar agg per
+    # superstep saved; at 1000-executor scale that is a full-cluster barrier).
+    has_dangling = dangling_ids.limit(1).count() > 0
+    fixed_iters = tolerance < 0  # caller wants exactly max_iterations supersteps
 
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
 
     def step(state: DataFrame, i: int):
         dangling_mass = (
-            state.join(dangling_ids, "id", "left_semi").agg(F.coalesce(F.sum("rank"), F.lit(0.0))).collect()[0][0]
+            state.join(dangling_ids, "id", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+            if has_dangling
+            else 0.0
         )
         contribs = (
             adj.join(state.withColumnRenamed("id", "src"), "src")
@@ -86,6 +99,9 @@ def pagerank(
                 F.col("rank").alias("old_rank"),
             )
         )
+        if fixed_iters:
+            # no convergence test requested — skip the extra delta action
+            return new.select("id", F.col("new_rank").alias("rank")), float("inf")
         delta = new.agg(F.max(F.abs(F.col("new_rank") - F.col("old_rank")))).collect()[0][0]
         return new.select("id", F.col("new_rank").alias("rank")), float(delta)
 
