@@ -6,7 +6,8 @@ matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
 order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Engine: sbm_communitydetection_spark (see SURVEY.md §2 for the
-operator inventory each query exercises).
+operator inventory each query exercises; textops/ for the
+training-data pipeline operators).
 """
 
 from __future__ import annotations
@@ -20,27 +21,24 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from sbm_communitydetection_spark.functions.sql_oracles import (  # noqa: E402
-    components_recursive_sql,
-    lpa_unrolled_sql,
-    modularity_sql,
-    pagerank_unrolled_sql,
-    triangle_count_sql,
-    triangle_per_vertex_sql,
-)
-from sbm_communitydetection_spark.operators.graph_ops import (  # noqa: E402
-    total_edges,
-    weighted_degree,
-)
+from sbm_communitydetection_spark.functions import sql_oracles as O  # noqa: E402
+from sbm_communitydetection_spark.operators import graph_ops as G  # noqa: E402
 from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     N_LABELS,
     derived_labels,
     lineitem_edges,
     lineitem_edges_sql,
 )
+from sbm_communitydetection_spark.textops import analysis as TA  # noqa: E402
+from sbm_communitydetection_spark.textops import dedup as TD  # noqa: E402
+from sbm_communitydetection_spark.textops import multimodal as TM  # noqa: E402
+from sbm_communitydetection_spark.textops import similarity as TS  # noqa: E402
 
 PR_ITERS = 5
 LPA_ITERS = 3
+N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
+COS_DUP_THRESHOLD = 0.35
+ANN_K = 5
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -53,7 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
     # deterministic synthetic transcripts (no external data); sized ~sf0.001
     t, _, _ = generate_transcripts(spark, n=100, k=5, m=400, seed=42)
     vertices, edges = extract_graph(t)
-    deg = weighted_degree(edges)
+    deg = G.weighted_degree(edges)
     return (
         vertices.join(deg, "id")
         .orderBy(F.desc("degree"), "actor_key")
@@ -62,21 +60,32 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
-def _q_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- graph core -------------------------------------------------------------
+
+
+def _q_edges(spark, sf_dir):
     return lineitem_edges(spark, sf_dir).select("src", "dst", "weight")
 
 
-def _q_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return weighted_degree(lineitem_edges(spark, sf_dir)).select("id", "degree")
+def _q_degree(spark, sf_dir):
+    return G.weighted_degree(lineitem_edges(spark, sf_dir)).select("id", "degree")
 
 
-def _q_total_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return total_edges(lineitem_edges(spark, sf_dir)).select(
+def _q_total_edges(spark, sf_dir):
+    return G.total_edges(lineitem_edges(spark, sf_dir)).select(
         F.col("total_edges").cast("double").alias("total_edges")
     )
 
 
-def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_pagerank(spark, sf_dir):
     """Fixed-iteration weighted PageRank (tolerance=-1 forces exactly
     PR_ITERS supersteps to mirror the unrolled SQL oracle)."""
     from sbm_communitydetection_spark.operators.pagerank import pagerank
@@ -87,60 +96,237 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
-def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_lpa(spark, sf_dir):
     from sbm_communitydetection_spark.operators.label_propagation import label_propagation
 
-    # tolerance=-1 forces exactly LPA_ITERS supersteps, mirroring the
-    # unrolled SQL oracle regardless of early convergence
     res = label_propagation(
-        spark,
-        lineitem_edges(spark, sf_dir),
-        max_iterations=LPA_ITERS,
-        variant="plain",
-        tolerance=-1.0,
+        spark, lineitem_edges(spark, sf_dir), max_iterations=LPA_ITERS, variant="plain", tolerance=-1.0
     )
     return res.state.select("id", "label")
 
 
-def _q_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_components(spark, sf_dir):
     from sbm_communitydetection_spark.operators.components import connected_components
 
     return connected_components(spark, lineitem_edges(spark, sf_dir)).select("id", "component")
 
 
-def _q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_triangle_count(spark, sf_dir):
     from sbm_communitydetection_spark.operators.triangles import triangle_count
 
     return triangle_count(lineitem_edges(spark, sf_dir))
 
 
-def _q_triangles_per_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_triangles_per_vertex(spark, sf_dir):
     from sbm_communitydetection_spark.operators.triangles import triangle_counts_per_vertex
 
     return triangle_counts_per_vertex(lineitem_edges(spark, sf_dir)).select("id", "tri_count")
 
 
-def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+# -- graph DML / coarsening -------------------------------------------------
+
+
+def _q_community_stats(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    return G.community_stats(edges, derived_labels(edges)).select("label", "e_in", "e_out", "size")
+
+
+def _q_coarsen(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    return G.coarsen(edges, derived_labels(edges)).select("src", "dst", "weight")
+
+
+def _q_canonical_relabel(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    return G.canonical_relabel(derived_labels(edges)).select("id", "label")
+
+
+def _q_edge_removal(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    removals = edges.filter((F.col("src") * 31 + F.col("dst")) % 13 == 0)
+    return G.remove_edges(edges, removals).select("src", "dst", "weight")
+
+
+def _q_node_removal(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    gone = verts.filter(F.col("id") % 97 == 0)
+    _, e = G.remove_nodes(verts, edges, gone)
+    return e.select("src", "dst", "weight")
+
+
+def _q_edge_lookup(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    probes = (
+        verts.filter(F.col("id") < 5)
+        .select(F.col("id").alias("src"))
+        .crossJoin(verts.filter(F.col("id") < 20).select(F.col("id").alias("dst")))
+    )
+    return G.edge_weight_lookup(edges, probes).select("src", "dst", "weight")
+
+
+# -- quality metrics (reference Q1-Q9, SQL-expressible subset) --------------
+
+
+def _metric_partitions(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    return edges, derived_labels(edges, N_LABELS), derived_labels(edges, N_TRUTH)
+
+
+def _q_modularity(spark, sf_dir):
     from sbm_communitydetection_spark.functions.metrics import modularity
 
-    edges = lineitem_edges(spark, sf_dir)
-    return modularity(edges, derived_labels(edges)).select(
-        F.round("modularity", 8).alias("modularity")
+    edges, pred, _ = _metric_partitions(spark, sf_dir)
+    return modularity(edges, pred).select(F.round("modularity", 8).alias("modularity"))
+
+
+def _q_contingency(spark, sf_dir):
+    from sbm_communitydetection_spark.functions.metrics import contingency
+
+    _, pred, truth = _metric_partitions(spark, sf_dir)
+    return contingency(pred, truth).select("t_label", "p_label", "cnt")
+
+
+def _q_f1(spark, sf_dir):
+    from sbm_communitydetection_spark.functions.metrics import pairwise_f1_df
+
+    _, pred, truth = _metric_partitions(spark, sf_dir)
+    return pairwise_f1_df(pred, truth)
+
+
+def _q_embeddedness(spark, sf_dir):
+    from sbm_communitydetection_spark.functions.metrics import embeddedness
+
+    edges, pred, _ = _metric_partitions(spark, sf_dir)
+    return embeddedness(edges, pred).select(F.round("embeddedness", 6).alias("embeddedness"))
+
+
+def _q_edge_cls_acc(spark, sf_dir):
+    from sbm_communitydetection_spark.functions.metrics import edge_classification_accuracy
+
+    edges, pred, truth = _metric_partitions(spark, sf_dir)
+    return edge_classification_accuracy(edges, pred, truth).select(
+        F.round("edge_cls_acc", 8).alias("edge_cls_acc")
     )
 
 
+def _q_log_likelihood(spark, sf_dir):
+    from sbm_communitydetection_spark.functions.metrics import log_likelihood_df
+
+    edges, pred, _ = _metric_partitions(spark, sf_dir)
+    return log_likelihood_df(edges, pred)
+
+
+# -- training-data pipeline: dedup ------------------------------------------
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return TD.exact_dedup(_docs(spark, sf_dir))
+
+
+def _q_ngram_jaccard(spark, sf_dir):
+    return TD.ngram_jaccard_pairs(_docs(spark, sf_dir))
+
+
+def _q_minhash_sig(spark, sf_dir):
+    return TD.minhash_signatures(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh(spark, sf_dir):
+    return TD.minhash_lsh_dup_pairs(_docs(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    return TD.simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    return TD.simhash_dup_pairs(_docs(spark, sf_dir))
+
+
+def _q_cos_dup_pairs(spark, sf_dir):
+    return TD.embedding_cosine_dup_pairs(_embs(spark, sf_dir), COS_DUP_THRESHOLD)
+
+
+# -- training-data pipeline: similarity search ------------------------------
+
+
+def _q_ann_topk(spark, sf_dir):
+    return TS.cosine_topk(_embs(spark, sf_dir), ANN_K)
+
+
+def _q_ivf_topk(spark, sf_dir):
+    return TS.ivf_topk(_embs(spark, sf_dir), ANN_K)
+
+
+# -- training-data pipeline: text analysis ----------------------------------
+
+
+def _q_token_stats(spark, sf_dir):
+    return TA.token_stats(_docs(spark, sf_dir))
+
+
+def _q_text_quality(spark, sf_dir):
+    return TA.text_quality(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark, sf_dir):
+    return TA.lang_id(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    return TA.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def _q_multimodal_decode(spark, sf_dir):
+    return TM.decode_meta(TM.payload_table(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2 / §2.13."""
+    """One entry per implemented operator from SURVEY.md §2 / §2.13 plus
+    the training-data pipeline ops (textops/)."""
     return {
-        "edge_extract_symmetrize": _q_edges,  # G2/G3 symmetrize + weight-accumulate
+        # graph core + north-star algorithms
+        "edge_extract_symmetrize": _q_edges,  # G2/G3
         "weighted_degree": _q_degree,  # A1
         "total_edges": _q_total_edges,  # G10/A2
-        "pagerank_fixed_iters": _q_pagerank,  # north-star: PageRank
-        "label_propagation_fixed_iters": _q_lpa,  # north-star: sync LPA (A8+T2)
-        "connected_components": _q_components,  # north-star: large-star/small-star
-        "triangle_count": _q_triangle_count,  # north-star: triangles (global)
-        "triangles_per_vertex": _q_triangles_per_vertex,  # north-star: triangles (per vertex)
-        "modularity": _q_modularity,  # Q1/A4
+        "pagerank_fixed_iters": _q_pagerank,
+        "label_propagation_fixed_iters": _q_lpa,
+        "connected_components": _q_components,
+        "triangle_count": _q_triangle_count,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        # graph DML / coarsening
+        "community_stats": _q_community_stats,  # A4/A6
+        "coarsen": _q_coarsen,  # C1
+        "canonical_relabel": _q_canonical_relabel,  # C4
+        "edge_removal": _q_edge_removal,  # G5
+        "node_removal": _q_node_removal,  # G8
+        "edge_weight_lookup": _q_edge_lookup,  # G6
+        # quality metrics
+        "modularity": _q_modularity,  # Q1/A3/A4
+        "contingency": _q_contingency,  # J6
+        "pairwise_f1": _q_f1,  # Q3
+        "embeddedness": _q_embeddedness,  # Q5
+        "edge_classification_accuracy": _q_edge_cls_acc,  # Q8
+        "log_likelihood": _q_log_likelihood,  # Q4
+        # training-data pipeline: dedup
+        "exact_dedup": _q_exact_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "minhash_signatures": _q_minhash_sig,
+        "minhash_lsh_dup_pairs": _q_minhash_lsh,
+        "simhash": _q_simhash,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "embedding_cosine_dup_pairs": _q_cos_dup_pairs,
+        # training-data pipeline: similarity search
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ivf_topk,
+        # training-data pipeline: text analysis + multimodal plumbing
+        "token_stats": _q_token_stats,
+        "text_quality": _q_text_quality,
+        "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -148,17 +334,49 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (same parquet views)."""
     edges_cte = "WITH " + lineitem_edges_sql()
     return {
+        # graph core + north-star algorithms
         "edge_extract_symmetrize": edges_cte + "SELECT src, dst, weight FROM edges",
         "weighted_degree": edges_cte
         + "SELECT src AS id, SUM(weight) AS degree FROM edges GROUP BY src",
-        "total_edges": edges_cte
-        + "SELECT (SUM(weight) / 2.0)::DOUBLE AS total_edges FROM edges",
-        "pagerank_fixed_iters": edges_cte + ",\n" + pagerank_unrolled_sql(PR_ITERS),
-        "label_propagation_fixed_iters": edges_cte + ",\n" + lpa_unrolled_sql(LPA_ITERS),
+        "total_edges": edges_cte + "SELECT (SUM(weight) / 2.0)::DOUBLE AS total_edges FROM edges",
+        "pagerank_fixed_iters": edges_cte + ",\n" + O.pagerank_unrolled_sql(PR_ITERS),
+        "label_propagation_fixed_iters": edges_cte + ",\n" + O.lpa_unrolled_sql(LPA_ITERS),
         "connected_components": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
-        + components_recursive_sql(),
-        "triangle_count": edges_cte + ",\n" + triangle_count_sql(),
-        "triangles_per_vertex": edges_cte + ",\n" + triangle_per_vertex_sql(),
-        "modularity": edges_cte + ",\n" + modularity_sql(N_LABELS),
+        + O.components_recursive_sql(),
+        "triangle_count": edges_cte + ",\n" + O.triangle_count_sql(),
+        "triangles_per_vertex": edges_cte + ",\n" + O.triangle_per_vertex_sql(),
+        # graph DML / coarsening
+        "community_stats": edges_cte + ",\n" + O.community_stats_sql(N_LABELS),
+        "coarsen": edges_cte + ",\n" + O.coarsen_sql(N_LABELS),
+        "canonical_relabel": edges_cte + ",\n" + O.canonical_relabel_sql(N_LABELS),
+        "edge_removal": edges_cte + ",\n" + O.edge_removal_sql(),
+        "node_removal": edges_cte + ",\n" + O.node_removal_sql(),
+        "edge_weight_lookup": edges_cte + ",\n" + O.edge_lookup_sql(),
+        # quality metrics
+        "modularity": edges_cte + ",\n" + O.modularity_sql(N_LABELS),
+        "contingency": edges_cte + ",\n" + O.contingency_sql(N_LABELS, N_TRUTH),
+        "pairwise_f1": edges_cte + ",\n" + O.pairwise_f1_sql(N_LABELS, N_TRUTH),
+        "embeddedness": edges_cte + ",\n" + O.embeddedness_sql(N_LABELS),
+        "edge_classification_accuracy": edges_cte + ",\n" + O.edge_cls_acc_sql(N_LABELS, N_TRUTH),
+        "log_likelihood": edges_cte + ",\n" + O.log_likelihood_sql(N_LABELS),
+        # training-data pipeline: dedup
+        "exact_dedup": TD.exact_dedup_sql(),
+        "ngram_jaccard_pairs": TD.ngram_jaccard_pairs_sql(),
+        "minhash_signatures": TD.minhash_signatures_sql(),
+        "minhash_lsh_dup_pairs": TD.minhash_lsh_dup_pairs_sql(),
+        "simhash": TD.simhash_sql(),
+        "simhash_dup_pairs": TD.simhash_dup_pairs_sql(),
+        "embedding_cosine_dup_pairs": TD.embedding_cosine_dup_pairs_sql(
+            threshold=COS_DUP_THRESHOLD
+        ),
+        # training-data pipeline: similarity search
+        "ann_cosine_topk": TS.cosine_topk_sql(k=ANN_K),
+        "ann_ivf_topk": TS.ivf_topk_sql(k=ANN_K),
+        # training-data pipeline: text analysis + multimodal plumbing
+        "token_stats": TA.token_stats_sql(),
+        "text_quality": TA.text_quality_sql(),
+        "lang_id": TA.lang_id_sql(),
+        "doc_fingerprint": TA.doc_fingerprint_sql(),
+        "multimodal_decode": TM.decode_meta_sql(),
     }

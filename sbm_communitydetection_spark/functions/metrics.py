@@ -139,6 +139,73 @@ def log_likelihood(edges: DataFrame, labels: DataFrame) -> float:
     return ll
 
 
+def pairwise_f1_df(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Q3 as a single-row DataFrame (f1) — fully declarative form of
+    pairwise_f1: f1 = 2·TP / (same_pred + same_truth)."""
+    ct = contingency(pred, truth)
+    tp = ct.agg(F.sum(F.col("cnt") * (F.col("cnt") - 1) / 2).alias("tp"))
+    sp = (
+        ct.groupBy("p_label")
+        .agg(F.sum("cnt").alias("a"))
+        .agg(F.sum(F.col("a") * (F.col("a") - 1) / 2).alias("same_pred"))
+    )
+    st = (
+        ct.groupBy("t_label")
+        .agg(F.sum("cnt").alias("b"))
+        .agg(F.sum(F.col("b") * (F.col("b") - 1) / 2).alias("same_truth"))
+    )
+    denom = F.col("same_pred") + F.col("same_truth")
+    return (
+        tp.crossJoin(sp)
+        .crossJoin(st)
+        .select(
+            F.round(
+                F.when(denom > 0, 2 * F.col("tp") / denom).otherwise(F.lit(0.0)), 8
+            ).alias("f1")
+        )
+    )
+
+
+def log_likelihood_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Q4 as a single-row DataFrame (log_likelihood) — declarative form of
+    log_likelihood (SBM Bernoulli MLE plug-in, unweighted edge counts)."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("sl"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dl"))
+    el = edges.join(ls, "src").join(ld, "dst")
+    e_cnt = el.agg(
+        (F.sum(F.when(F.col("sl") == F.col("dl"), 1).otherwise(0)) / 2).alias("intra_e"),
+        (F.sum(F.when(F.col("sl") != F.col("dl"), 1).otherwise(0)) / 2).alias("inter_e"),
+    )
+    pairs = (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("intra_pairs"),
+            F.sum("c").alias("n"),
+        )
+        .select(
+            "intra_pairs",
+            (F.col("n") * (F.col("n") - 1) / 2 - F.col("intra_pairs")).alias("inter_pairs"),
+        )
+    )
+
+    def term(e, p):
+        prob = F.when(p > 0, e / p).otherwise(F.lit(0.0))
+        return (
+            F.when(prob <= 0, F.lit(0.0))
+            .when(prob >= 1, e * F.log(prob))
+            .otherwise(e * F.log(prob) + (p - e) * F.log(1.0 - prob))
+        )
+
+    return e_cnt.crossJoin(pairs).select(
+        F.round(
+            term(F.col("intra_e"), F.col("intra_pairs"))
+            + term(F.col("inter_e"), F.col("inter_pairs")),
+            6,
+        ).alias("log_likelihood")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-side greedy / Hungarian matching over the contingency table
 # ---------------------------------------------------------------------------

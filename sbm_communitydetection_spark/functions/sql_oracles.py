@@ -127,6 +127,174 @@ SELECT v.id, COALESCE(cnt.c, 0)::BIGINT AS tri_count
 FROM verts v LEFT JOIN cnt ON v.id = cnt.id"""
 
 
+def labels_pair_cte_sql(n_pred: int, n_truth: int) -> str:
+    """pred/truth partitions (id % n) over the `edges` CTE's vertex set."""
+    return f"""verts AS (SELECT DISTINCT src AS id FROM edges),
+pred AS (SELECT id, id % {n_pred} AS label FROM verts),
+truth AS (SELECT id, id % {n_truth} AS label FROM verts)"""
+
+
+def contingency_sql(n_pred: int, n_truth: int) -> str:
+    """J6 contingency (t_label, p_label, cnt)."""
+    return (
+        labels_pair_cte_sql(n_pred, n_truth)
+        + """
+SELECT t.label AS t_label, p.label AS p_label, COUNT(*) AS cnt
+FROM truth t JOIN pred p ON t.id = p.id
+GROUP BY 1, 2"""
+    )
+
+
+def pairwise_f1_sql(n_pred: int, n_truth: int) -> str:
+    """Q3: f1 = 2·TP/(same_pred+same_truth) from contingency counts."""
+    return (
+        labels_pair_cte_sql(n_pred, n_truth)
+        + """,
+ct AS (
+    SELECT t.label AS t_label, p.label AS p_label, COUNT(*) AS cnt
+    FROM truth t JOIN pred p ON t.id = p.id GROUP BY 1, 2
+),
+tp AS (SELECT SUM(cnt * (cnt - 1) / 2.0) AS tp FROM ct),
+sp AS (SELECT SUM(a * (a - 1) / 2.0) AS same_pred
+       FROM (SELECT SUM(cnt) AS a FROM ct GROUP BY p_label)),
+st AS (SELECT SUM(b * (b - 1) / 2.0) AS same_truth
+       FROM (SELECT SUM(cnt) AS b FROM ct GROUP BY t_label))
+SELECT ROUND(CASE WHEN same_pred + same_truth > 0
+             THEN 2 * tp / (same_pred + same_truth) ELSE 0.0 END, 8) AS f1
+FROM tp, sp, st"""
+    )
+
+
+def embeddedness_sql(n_labels: int) -> str:
+    """Q5: Σ_v intra-neighbor-entries / total-neighbor-entries."""
+    return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),
+el AS (
+    SELECT e.src, ls.label AS sl, ld.label AS dl
+    FROM edges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+),
+per AS (
+    SELECT src, SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE) AS emb
+    FROM el GROUP BY src
+)
+SELECT ROUND(SUM(emb), 6) AS embeddedness FROM per"""
+
+
+def edge_cls_acc_sql(n_pred: int, n_truth: int) -> str:
+    """Q8: weighted fraction of edge entries with agreeing intra/inter status."""
+    return (
+        labels_pair_cte_sql(n_pred, n_truth)
+        + """,
+el AS (
+    SELECT e.weight,
+           (ps.label = pd.label) AS p_same, (ts.label = td.label) AS t_same
+    FROM edges e
+    JOIN pred ps ON e.src = ps.id JOIN pred pd ON e.dst = pd.id
+    JOIN truth ts ON e.src = ts.id JOIN truth td ON e.dst = td.id
+)
+SELECT ROUND(SUM(CASE WHEN p_same = t_same THEN weight ELSE 0 END)
+             / CAST(SUM(weight) AS DOUBLE), 8) AS edge_cls_acc
+FROM el"""
+    )
+
+
+def log_likelihood_sql(n_labels: int) -> str:
+    """Q4: SBM Bernoulli MLE plug-in log-likelihood."""
+    return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),
+el AS (
+    SELECT ls.label AS sl, ld.label AS dl
+    FROM edges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+),
+ec AS (
+    SELECT SUM(CASE WHEN sl = dl THEN 1 ELSE 0 END) / 2.0 AS intra_e,
+           SUM(CASE WHEN sl <> dl THEN 1 ELSE 0 END) / 2.0 AS inter_e
+    FROM el
+),
+pr AS (
+    SELECT SUM(c * (c - 1) / 2.0) AS intra_pairs,
+           SUM(c) * (SUM(c) - 1) / 2.0 - SUM(c * (c - 1) / 2.0) AS inter_pairs
+    FROM (SELECT COUNT(*) AS c FROM labels GROUP BY label)
+)
+SELECT ROUND(
+    (CASE WHEN intra_pairs <= 0 OR intra_e <= 0 THEN 0.0
+          WHEN intra_e >= intra_pairs THEN intra_e * ln(intra_e / intra_pairs)
+          ELSE intra_e * ln(intra_e / intra_pairs)
+               + (intra_pairs - intra_e) * ln(1.0 - intra_e / intra_pairs) END)
+  + (CASE WHEN inter_pairs <= 0 OR inter_e <= 0 THEN 0.0
+          WHEN inter_e >= inter_pairs THEN inter_e * ln(inter_e / inter_pairs)
+          ELSE inter_e * ln(inter_e / inter_pairs)
+               + (inter_pairs - inter_e) * ln(1.0 - inter_e / inter_pairs) END), 6)
+  AS log_likelihood
+FROM ec, pr"""
+
+
+def community_stats_sql(n_labels: int) -> str:
+    """A4/A6 bookkeeping: (label, e_in, e_out, size)."""
+    return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),
+el AS (
+    SELECT e.weight, ls.label AS sl, ld.label AS dl
+    FROM edges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+),
+stats AS (
+    SELECT sl AS label,
+           SUM(CASE WHEN sl = dl THEN weight ELSE 0 END) / 2.0 AS e_in,
+           CAST(SUM(CASE WHEN sl <> dl THEN weight ELSE 0 END) AS DOUBLE) AS e_out
+    FROM el GROUP BY sl
+),
+sizes AS (SELECT label, COUNT(*) AS size FROM labels GROUP BY label)
+SELECT s.label, COALESCE(st.e_in, 0.0) AS e_in, COALESCE(st.e_out, 0.0) AS e_out, s.size
+FROM sizes s LEFT JOIN stats st ON s.label = st.label"""
+
+
+def coarsen_sql(n_labels: int) -> str:
+    """C1 Louvain coarsening: super-graph grouped by (src_label, dst_label)."""
+    return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges)
+SELECT ls.label AS src, ld.label AS dst, SUM(e.weight) AS weight
+FROM edges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+GROUP BY 1, 2"""
+
+
+def canonical_relabel_sql(n_labels: int) -> str:
+    """C4: dense labels 0..k-1 ordered by each community's min member id."""
+    return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),
+remap AS (
+    SELECT label, ROW_NUMBER() OVER (ORDER BY MIN(id), label) - 1 AS new_label
+    FROM labels GROUP BY label
+)
+SELECT l.id, CAST(r.new_label AS BIGINT) AS label
+FROM labels l JOIN remap r ON l.label = r.label"""
+
+
+def edge_removal_sql() -> str:
+    """G5: anti-join removal of a deterministic undirected edge subset."""
+    return """rem AS (
+    SELECT src, dst FROM edges WHERE (src * 31 + dst) % 13 = 0
+    UNION
+    SELECT dst AS src, src AS dst FROM edges WHERE (src * 31 + dst) % 13 = 0
+)
+SELECT e.src, e.dst, e.weight
+FROM edges e ANTI JOIN rem r ON e.src = r.src AND e.dst = r.dst"""
+
+
+def node_removal_sql() -> str:
+    """G8: drop vertices id%97=0 and all incident edges."""
+    return """gone AS (SELECT DISTINCT src AS id FROM edges WHERE src % 97 = 0)
+SELECT e.src, e.dst, e.weight
+FROM edges e
+ANTI JOIN gone gs ON e.src = gs.id
+ANTI JOIN gone gd ON e.dst = gd.id"""
+
+
+def edge_lookup_sql() -> str:
+    """G6 batch point lookup: all (src,dst) probes with src<5, 0 if absent."""
+    return """probes AS (
+    SELECT s.id AS src, d.id AS dst
+    FROM (SELECT DISTINCT src AS id FROM edges WHERE src < 5) s,
+         (SELECT DISTINCT src AS id FROM edges WHERE src < 20) d
+)
+SELECT p.src, p.dst, COALESCE(e.weight, 0) AS weight
+FROM probes p LEFT JOIN edges e ON p.src = e.src AND p.dst = e.dst"""
+
+
 def modularity_sql(n_labels: int) -> str:
     """Modularity of the label=id%n_labels partition (A4 community form,
     utils/utilities.cpp:25-78): Q = Σ_c [e_in2_c/2m − (deg_c/2m)²]."""

@@ -1,0 +1,207 @@
+"""Text-analysis operators over the `documents` table — training-data
+pipeline ops: token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All pure JVM-side column expressions (no Python in the data path); every
+op has a mirrored DuckDB SQL builder sharing the same constants.
+
+Scale: each op is a narrow per-row map over the scan — no shuffle at
+all except `doc_fingerprint`'s per-doc top-k (a partial-agg-friendly
+window over doc_id, which at 100 TB rides the natural file partitioning
+of a doc_id-sorted table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .portable import NGRAM_N, md5_long, md5_long_sql, shingles_col, shingles_sql
+
+# Stopword sets for the lang-ID scoring heuristic (fixed, tiny, broadcast
+# as literals).  Deterministic priority order breaks score ties.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+LANG_PRIORITY = ("en", "de", "es", "fr", "zh")
+
+# Quality-score weights: long docs with low digit/punct noise and a sane
+# stopword ratio score high.  Purely deterministic arithmetic.
+QUALITY_TARGET_STOPWORD_RATIO = 0.4
+FINGERPRINT_K = 4
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_bpe_ish, avg_token_len) — whitespace tokens
+    plus a BPE-ish subword proxy (4-char chunks, the standard ~chars/4
+    token estimate)."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text"))
+    return docs.select(
+        "doc_id",
+        n_tokens.cast("long").alias("n_tokens"),
+        F.ceil(n_chars / 4).cast("long").alias("n_bpe_ish"),
+        F.round((n_chars - (n_tokens - 1)) / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+def token_stats_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_ish,
+           ROUND((length(text) - (len(string_split(text, ' ')) - 1))
+                 / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_token_len
+    FROM {table}
+    """
+
+
+def _in_set_fn(words: tuple[str, ...]):
+    """Single-arg lambda factory (PySpark higher-order functions dispatch
+    on the lambda's arity, so extra bound parameters are not allowed)."""
+    return lambda t: _in_set(t, words)
+
+
+def _in_set(t, words: tuple[str, ...]):
+    cond = t == words[0]
+    for w in words[1:]:
+        cond = cond | (t == w)
+    return cond
+
+
+def _stopword_count_sql(words: tuple[str, ...]) -> str:
+    ors = " OR ".join(f"t = '{w}'" for w in words)
+    return f"len(list_filter(string_split(text, ' '), t -> {ors}))"
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """(doc_id, stopword_ratio, digit_ratio, punct_ratio, quality) —
+    quality = clamp(1 − |stopword_ratio − target| − digit_ratio − punct_ratio, 0, 1),
+    rounded to 6."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length(F.col("text")).cast("double")
+    sw = F.size(F.filter(toks, lambda t: _in_set(t, LANG_STOPWORDS["en"])))
+    sw_ratio = F.round(sw / n_tokens, 6)
+    digit_ratio = F.round((n_chars - F.length(F.regexp_replace("text", "[0-9]", ""))) / n_chars, 6)
+    punct_ratio = F.round(
+        (n_chars - F.length(F.regexp_replace("text", "[!-/:-@\\[-`{-~]", ""))) / n_chars, 6
+    )
+    quality = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.least(
+                F.lit(1.0),
+                1.0
+                - F.abs(sw_ratio - QUALITY_TARGET_STOPWORD_RATIO)
+                - digit_ratio
+                - punct_ratio,
+            ),
+        ),
+        6,
+    )
+    return docs.select(
+        "doc_id",
+        sw_ratio.alias("stopword_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def text_quality_sql(table: str = "documents") -> str:
+    sw = _stopword_count_sql(LANG_STOPWORDS["en"])
+    n_tokens = "len(string_split(text, ' '))"
+    n_chars = "CAST(length(text) AS DOUBLE)"
+    sw_ratio = f"ROUND({sw} / CAST({n_tokens} AS DOUBLE), 6)"
+    digit = f"ROUND(({n_chars} - length(regexp_replace(text, '[0-9]', '', 'g'))) / {n_chars}, 6)"
+    punct = f"ROUND(({n_chars} - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g'))) / {n_chars}, 6)"
+    quality = (
+        f"ROUND(GREATEST(0.0, LEAST(1.0, 1.0 - ABS({sw_ratio} - {QUALITY_TARGET_STOPWORD_RATIO})"
+        f" - {digit} - {punct})), 6)"
+    )
+    return f"""
+    SELECT doc_id, {sw_ratio} AS stopword_ratio, {digit} AS digit_ratio,
+           {punct} AS punct_ratio, {quality} AS quality
+    FROM {table}
+    """
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, lang_score) — stopword-hit scoring heuristic;
+    argmax over languages, priority-ordered tie-break."""
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        *[
+            F.size(F.filter(toks, _in_set_fn(ws))).alias(f"s_{lang}")
+            for lang, ws in LANG_STOPWORDS.items()
+        ],
+    )
+    pred = None
+    best = None
+    for lang in LANG_PRIORITY:
+        cond = None
+        for other in LANG_PRIORITY:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else cond & c
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+        best = F.when(cond, F.col(f"s_{lang}")) if best is None else best.when(cond, F.col(f"s_{lang}"))
+    return scored.select(
+        "doc_id", pred.alias("lang_pred"), best.cast("long").alias("lang_score")
+    )
+
+
+def lang_id_sql(table: str = "documents") -> str:
+    scores = ", ".join(
+        f"{_stopword_count_sql(ws)} AS s_{lang}" for lang, ws in LANG_STOPWORDS.items()
+    )
+    whens_pred, whens_score = [], []
+    for lang in LANG_PRIORITY:
+        cond = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LANG_PRIORITY if other != lang
+        )
+        whens_pred.append(f"WHEN {cond} THEN '{lang}'")
+        whens_score.append(f"WHEN {cond} THEN s_{lang}")
+    return f"""
+    WITH scored AS (SELECT doc_id, {scores} FROM {table})
+    SELECT doc_id,
+           CASE {" ".join(whens_pred)} END AS lang_pred,
+           CAST(CASE {" ".join(whens_score)} END AS BIGINT) AS lang_score
+    FROM scored
+    """
+
+
+def doc_fingerprint(docs: DataFrame, k: int = FINGERPRINT_K, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, rank, h) — bottom-k sketch: the k smallest distinct
+    shingle hashes per doc (a winnowing-style rolling fingerprint;
+    equal fingerprints ⇒ near-identical docs)."""
+    sh = (
+        docs.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
+        .distinct()
+        .select("doc_id", md5_long(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    rank = F.row_number().over(Window.partitionBy("doc_id").orderBy(F.asc("h")))
+    return sh.select("doc_id", rank.alias("rank"), "h").filter(F.col("rank") <= k)
+
+
+def doc_fingerprint_sql(table: str = "documents", k: int = FINGERPRINT_K, n: int = NGRAM_N) -> str:
+    return f"""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, {md5_long_sql("shingle")} AS h
+        FROM (SELECT DISTINCT doc_id, unnest({shingles_sql("text", n)}) AS shingle FROM {table})
+    ),
+    ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h ASC) AS rank, h
+        FROM sh
+    )
+    SELECT doc_id, rank, h FROM ranked WHERE rank <= {k}
+    """

@@ -1,0 +1,350 @@
+"""Deduplication operators over the `documents` table — training-data
+pipeline ops (exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding
+cosine).  No reference analogue (the reference is a graph engine); these
+are the first-class large-scale-pipeline operators the engine adds.
+
+Scale notes (100 TB):
+* exact dedup — hash-groupBy; one shuffle on the 60-bit text hash, never
+  on the text itself.
+* n-gram Jaccard — inverted-index join on shingles (NOT an n² cross
+  join): |A∩B| from a shingle-equijoin, sizes from per-doc aggregates.
+  At web scale the shingle join is the standard candidate generator; hot
+  shingles (stop-shingles) should be dropped by document frequency —
+  `max_shingle_df` does exactly that.
+* MinHash+LSH — signatures are one narrow shuffle (doc, hash_id);
+  banding reduces the pair space to same-bucket collisions; candidates
+  verified with exact Jaccard.
+* SimHash — one groupBy producing a 60-bit fingerprint per doc;
+  near-dup pairs = fingerprints within Hamming distance k (banded at
+  scale; the sf-scale query joins on the full fingerprint space).
+* embedding cosine — exact threshold join at sf scale; the ANN path for
+  100 TB is textops/similarity.py (IVF buckets).
+
+Every operator has a mirrored DuckDB SQL builder (suffix `_sql`) built
+from the same constants (textops/portable.py), consumed by
+__spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .portable import (
+    MINHASH_NUM,
+    MINHASH_ROWS_PER_BAND,
+    NGRAM_N,
+    SIMHASH_BITS,
+    md5_long,
+    md5_long_sql,
+    minhash_perm,
+    minhash_perm_sql,
+    shingles_col,
+    shingles_sql,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """(doc_id, text_hash, keep_id): keep_id = min doc_id among docs with
+    identical text.  Survivors are rows with doc_id == keep_id."""
+    h = docs.select("doc_id", md5_long(F.col("text")).alias("text_hash"))
+    keep = h.groupBy("text_hash").agg(F.min("doc_id").alias("keep_id"))
+    return h.join(keep, "text_hash").select("doc_id", "text_hash", "keep_id")
+
+
+def exact_dedup_sql(table: str = "documents") -> str:
+    return f"""
+    SELECT doc_id, {md5_long_sql("text")} AS text_hash,
+           MIN(doc_id) OVER (PARTITION BY {md5_long_sql("text")}) AS keep_id
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def _doc_shingles(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, shingle) — DISTINCT word n-grams per doc."""
+    return (
+        docs.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    n: int = NGRAM_N,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(a, b, jaccard) for doc pairs a<b with n-gram Jaccard ≥ threshold.
+
+    max_shingle_df: drop shingles appearing in more than this many docs
+    before the join (stop-shingle pruning — the skew guard at scale;
+    off by default so the sf-scale oracle is exact)."""
+    sh = _doc_shingles(docs, n)
+    if max_shingle_df is not None:
+        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    left = sh.select(F.col("doc_id").alias("a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb"))
+    jac = F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 6)
+    return (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .select("a", "b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _shingle_cte_sql(table: str, n: int) -> str:
+    return f"""
+    sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({shingles_sql("text", n)}) AS shingle FROM {table})
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+    """
+
+
+def ngram_jaccard_pairs_sql(table: str = "documents", threshold: float = 0.4, n: int = NGRAM_N) -> str:
+    return f"""
+    WITH {_shingle_cte_sql(table, n)},
+    inter AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+        FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+    WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = MINHASH_NUM, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, hash_id, min_h) — normalized minhash signature rows."""
+    sh = _doc_shingles(docs, n).select(
+        "doc_id", (md5_long(F.col("shingle")) % F.lit(1_000_000_007)).alias("base")
+    )
+    hashed = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("hash_id"),
+        "base",
+    )
+    return (
+        hashed.select("doc_id", "hash_id", minhash_perm(F.col("hash_id"), F.col("base")).alias("h"))
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min("h").alias("min_h"))
+    )
+
+
+def _signature_cte_sql(table: str, num_hashes: int, n: int) -> str:
+    return f"""
+    {_shingle_cte_sql(table, n)},
+    based AS (SELECT doc_id, {md5_long_sql("shingle")} % 1000000007 AS base FROM sh),
+    sig AS (
+        SELECT doc_id, g.hash_id, MIN({minhash_perm_sql("g.hash_id", "base")}) AS min_h
+        FROM based, (SELECT unnest(generate_series(0, {num_hashes - 1})) AS hash_id) g
+        GROUP BY doc_id, g.hash_id
+    )
+    """
+
+
+def minhash_signatures_sql(table: str = "documents", num_hashes: int = MINHASH_NUM, n: int = NGRAM_N) -> str:
+    return f"WITH {_signature_cte_sql(table, num_hashes, n)} SELECT doc_id, hash_id, min_h FROM sig"
+
+
+def minhash_lsh_dup_pairs(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """(a, b, jaccard): LSH-banded candidates verified with exact n-gram
+    Jaccard ≥ threshold.  The band join touches only colliding buckets —
+    the scale path; verification runs on the (small) candidate set."""
+    sig = minhash_signatures(docs, num_hashes, n)
+    bands = (
+        sig.withColumn("band", (F.col("hash_id") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("hash_id", "min_h"))),
+                    lambda s: s["min_h"].cast("string"),
+                ),
+            ).alias("band_key")
+        )
+    )
+    la = bands.select(F.col("doc_id").alias("a"), "band", "band_key")
+    lb = bands.select(F.col("doc_id").alias("b"), "band", "band_key")
+    cands = la.join(lb, ["band", "band_key"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    exact = ngram_jaccard_pairs(docs, threshold=threshold, n=n)
+    return cands.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+
+
+def minhash_lsh_dup_pairs_sql(
+    table: str = "documents",
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    n: int = NGRAM_N,
+) -> str:
+    return f"""
+    WITH {_signature_cte_sql(table, num_hashes, n)},
+    bands AS (
+        SELECT doc_id, CAST(hash_id / {rows_per_band} AS INT) AS band,
+               string_agg(CAST(min_h AS VARCHAR), '_' ORDER BY hash_id) AS band_key
+        FROM sig GROUP BY doc_id, CAST(hash_id / {rows_per_band} AS INT)
+    ),
+    cands AS (
+        SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    inter AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+        FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+    )
+    SELECT cands.a, cands.b, jaccard FROM cands JOIN exact ON cands.a = exact.a AND cands.b = exact.b
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — 60-bit token-level SimHash fingerprint.
+
+    One explode + one groupBy with `bits` conditional sums; the fingerprint
+    bit i is set iff Σ_tokens ±1 (by bit i of the token hash) > 0."""
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", md5_long(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*bit_sums)
+    fingerprint = None
+    for i in range(bits):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return agg.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
+    sums = ",\n".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(bits)
+    )
+    fp = " + ".join(f"CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END" for i in range(bits))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {md5_long_sql("tok")} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM {table})
+    ),
+    agg AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM agg
+    """
+
+
+def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(a, b, hamming) — fingerprint pairs within Hamming distance.
+
+    sf-scale check joins the full pair space; the 100 TB path buckets
+    fingerprints into 4 bands of 15 bits (any pair within distance 3
+    collides on ≥1 band) before the verify join."""
+    fp = simhash(docs, bits)
+    a = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_dup_pairs_sql(table: str = "documents", max_hamming: int = 6, bits: int = SIMHASH_BITS) -> str:
+    inner = simhash_sql(table, bits)
+    return f"""
+    WITH fp AS ({inner})
+    SELECT l.doc_id AS a, r.doc_id AS b, bit_count(xor(l.simhash, r.simhash)) AS hamming
+    FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+    WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+    """
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _with_norm(embs: DataFrame) -> DataFrame:
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return embs.select("vec_id", vec.alias("v"), F.sqrt(dot_self).alias("nrm"))
+
+
+def embedding_cosine_dup_pairs(embs: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """(a, b, cos): vector pairs a<b with cosine ≥ threshold (exact; the
+    ANN path for scale is textops/similarity.py)."""
+    w = _with_norm(embs)
+    la = w.select(F.col("vec_id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    lb = w.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.round(dot / (F.col("na") * F.col("nb")), 6)
+    return (
+        la.join(lb, F.col("a") < F.col("b"))
+        .select("a", "b", cos.alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+
+
+def embedding_cosine_dup_pairs_sql(table: str = "embeddings", threshold: float = 0.95) -> str:
+    return f"""
+    WITH w AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM {table}
+    )
+    SELECT l.vec_id AS a, r.vec_id AS b,
+           ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos
+    FROM w l JOIN w r ON l.vec_id < r.vec_id
+    WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= {threshold}
+    """

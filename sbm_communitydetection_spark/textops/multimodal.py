@@ -1,0 +1,93 @@
+"""Multimodal column plumbing — binary payloads with typed metadata.
+
+Design for 100 TB: image/audio/video payloads are opaque `binary`
+columns beside typed metadata; heavy per-item work (decode, resize,
+frame-sample, feature-extract) runs in `mapInPandas` so each Arrow batch
+crosses the JVM↔Python boundary once.  The decode itself needs codec
+libraries that are NOT in this container, so it is stubbed behind
+`decode_image` (raises NotImplementedError) with `fake_decode_meta` as
+the deterministic stand-in that keeps the Spark-side plumbing — schema,
+batch iteration, partitioning — real and tested.
+
+`payload_table` materializes the pattern from the `documents` table
+(payload = utf-8 bytes of text) so the pipeline runs on the sandbox
+data; in production the payload column comes from the lake as-is.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODE_SCHEMA = "doc_id long, n_bytes long, width int, height int, checksum long"
+
+
+def payload_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, payload binary, media_type, n_bytes) — opaque-binary layout."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("application/octet-stream").alias("media_type"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes) -> object:
+    """Real codec decode — image/audio libs are not in this container."""
+    raise NotImplementedError(
+        "codec libraries (PIL/ffmpeg) unavailable in sandbox; "
+        "use fake_decode_meta for the deterministic test path"
+    )
+
+
+def fake_decode_meta(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for decode: (width, height, checksum).
+
+    Pure arithmetic on the byte length + a byte-sum checksum, so the
+    DuckDB oracle can mirror it exactly (octet_length arithmetic)."""
+    n = len(payload)
+    return n % 640 + 1, n % 480 + 1, sum(payload) % 1_000_003
+
+
+def decode_meta(docs_with_payload: DataFrame) -> DataFrame:
+    """mapInPandas 'decode': one Python crossing per Arrow batch, vectorized
+    inside the batch — the real plumbing the production decode drops into."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            n = payloads.str.len()
+            checksum = payloads.map(lambda b: sum(b) % 1_000_003)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int64"),
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n % 480 + 1).astype("int32"),
+                    "checksum": checksum.astype("int64"),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(batches, DECODE_SCHEMA)
+
+
+def decode_meta_sql(table: str = "documents") -> str:
+    """DuckDB mirror of payload_table → decode_meta on the documents table.
+
+    The byte-sum checksum over utf-8 text: the sandbox corpus is pure
+    ASCII (verified octet_length == length for every sf), so byte values
+    equal character codes and the sum is an ascii() fold."""
+    return f"""
+    WITH p AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM {table}
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+           CAST(n % 640 + 1 AS INT) AS width,
+           CAST(n % 480 + 1 AS INT) AS height,
+           CAST(list_sum(list_transform(generate_series(1, n), i -> ascii(text[i]))) % 1000003
+                AS BIGINT) AS checksum
+    FROM p
+    """

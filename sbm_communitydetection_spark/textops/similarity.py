@@ -1,0 +1,184 @@
+"""Approximate-nearest-neighbor search over the `embeddings` table
+(array<float> column) — training-data pipeline ops.
+
+Two paths:
+* `cosine_topk` — exact brute-force cosine top-k via a self-join +
+  window rank.  The CORRECTNESS baseline; quadratic, only for sf scale
+  or per-bucket use.
+* `ivf_topk` — IVF (inverted-file) ANN: assign every vector to its
+  nearest of k centroids, then search only within the probe cell.  The
+  100 TB path: the centroid table is tiny (broadcast join), the search
+  join is bucketed by cell — shuffle keyed on (cell), quadratic only
+  within a cell.  Here centroids are the per-`label` means (a built
+  coarse quantizer would be k-means; the label column gives a
+  deterministic stand-in so the oracle is exact).
+
+All column math is JVM-side (`zip_with`/`aggregate` fold for the dot
+product); cosines are rounded to 6 decimals BEFORE ranking in both
+engines so float summation order cannot flip a rank.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+IVF_DIM = 64
+
+
+def _norm_vec(embs: DataFrame, id_col: str = "vec_id") -> DataFrame:
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    dot_self = F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return embs.select(id_col, vec.alias("v"), F.sqrt(dot_self).alias("nrm"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(embs: DataFrame, k: int = 5) -> DataFrame:
+    """(vec_id, neighbor_id, rank, cos) — exact top-k cosine neighbors.
+    Deterministic rank: cos (rounded) desc, then neighbor_id asc."""
+    w = _norm_vec(embs)
+    la = w.select(F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    lb = w.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = la.join(lb, F.col("vec_id") != F.col("neighbor_id")).select(
+        "vec_id", "neighbor_id", cos.alias("cos")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    )
+    return pairs.select("vec_id", "neighbor_id", rank.alias("rank"), "cos").filter(
+        F.col("rank") <= k
+    )
+
+
+def cosine_topk_sql(table: str = "embeddings", k: int = 5) -> str:
+    return f"""
+    WITH w AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM {table}
+    ),
+    pairs AS (
+        SELECT l.vec_id, r.vec_id AS neighbor_id,
+               ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos
+        FROM w l JOIN w r ON l.vec_id <> r.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+    """
+
+
+def label_centroids(embs: DataFrame, dim: int = IVF_DIM) -> DataFrame:
+    """(label, d, c) — element-wise mean per label, rounded to 6 decimals
+    (rounding makes the centroid identical across engines regardless of
+    partial-aggregation order)."""
+    exploded = embs.select(
+        "label", F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    ).select("label", F.col("pos").alias("d"), F.col("col").alias("val"))
+    return exploded.groupBy("label", "d").agg(F.round(F.avg("val"), 6).alias("c"))
+
+
+def ivf_topk(embs: DataFrame, k: int = 5, dim: int = IVF_DIM) -> DataFrame:
+    """(vec_id, neighbor_id, rank, cos) — IVF ANN with 1-probe.
+
+    Plan shape at scale: centroid assignment = narrow explode + broadcast
+    join on the tiny centroid table; the search join shuffles on `cell`
+    only, so the quadratic term is per-cell."""
+    cents = label_centroids(embs, dim)
+    # centroid norms
+    cnorm = cents.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
+    # vector ⋅ centroid via the exploded representation (portable & exact)
+    vexp = embs.select(
+        "vec_id", F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    ).select("vec_id", F.col("pos").alias("d"), F.col("col").alias("val"))
+    vnorm = vexp.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("vn"))
+    dots = (
+        vexp.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "label")
+        .agg(F.sum(F.col("val") * F.col("c")).alias("dot"))
+    )
+    sim = (
+        dots.join(F.broadcast(cnorm), "label")
+        .join(vnorm, "vec_id")
+        .select("vec_id", "label", F.round(F.col("dot") / (F.col("cn") * F.col("vn")), 6).alias("csim"))
+    )
+    assign_rank = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("label"))
+    )
+    cells = sim.select("vec_id", "label", assign_rank.alias("r")).filter(F.col("r") == 1).select(
+        "vec_id", F.col("label").alias("cell")
+    )
+    # intra-cell exact search
+    w = _norm_vec(embs).join(cells, "vec_id")
+    la = w.select("cell", F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    lb = w.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = la.join(
+        lb, (F.col("cell") == F.col("cell_b")) & (F.col("vec_id") != F.col("neighbor_id"))
+    ).select("vec_id", "neighbor_id", cos.alias("cos"))
+    rank = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    )
+    return pairs.select("vec_id", "neighbor_id", rank.alias("rank"), "cos").filter(
+        F.col("rank") <= k
+    )
+
+
+def ivf_topk_sql(table: str = "embeddings", k: int = 5, dim: int = IVF_DIM) -> str:
+    return f"""
+    WITH vexp AS (
+        SELECT vec_id, label, g.d, CAST(embedding[g.d + 1] AS DOUBLE) AS val
+        FROM {table}, (SELECT unnest(generate_series(0, {dim - 1})) AS d) g
+    ),
+    cents AS (
+        SELECT label, d, ROUND(AVG(val), 6) AS c FROM vexp GROUP BY label, d
+    ),
+    cnorm AS (SELECT label, sqrt(SUM(c * c)) AS cn FROM cents GROUP BY label),
+    vnorm AS (SELECT vec_id, sqrt(SUM(val * val)) AS vn FROM vexp GROUP BY vec_id),
+    dots AS (
+        SELECT v.vec_id, cents.label, SUM(v.val * cents.c) AS dot
+        FROM vexp v JOIN cents ON v.d = cents.d
+        GROUP BY v.vec_id, cents.label
+    ),
+    sim AS (
+        SELECT dots.vec_id, dots.label, ROUND(dot / (cn * vn), 6) AS csim
+        FROM dots JOIN cnorm ON dots.label = cnorm.label JOIN vnorm ON dots.vec_id = vnorm.vec_id
+    ),
+    cells AS (
+        SELECT vec_id, label AS cell FROM (
+            SELECT vec_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, label ASC) AS r
+            FROM sim
+        ) WHERE r = 1
+    ),
+    w AS (
+        SELECT t.vec_id, cells.cell, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM {table} t JOIN cells ON t.vec_id = cells.vec_id
+    ),
+    pairs AS (
+        SELECT l.vec_id, r.vec_id AS neighbor_id,
+               ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos
+        FROM w l JOIN w r ON l.cell = r.cell AND l.vec_id <> r.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM pairs
+    )
+    SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
+    """

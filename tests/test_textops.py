@@ -1,0 +1,147 @@
+"""Behavioral tests for the training-data pipeline ops (textops/).
+
+The driver's DuckDB oracle already checks Spark≡SQL equivalence; these
+tests check SEMANTICS on constructed inputs: planted duplicates are
+found, ANN matches a numpy oracle, the multimodal plumbing round-trips.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sbm_communitydetection_spark.textops import analysis as TA
+from sbm_communitydetection_spark.textops import dedup as TD
+from sbm_communitydetection_spark.textops import multimodal as TM
+from sbm_communitydetection_spark.textops import similarity as TS
+
+BASE = "the quick brown fox jumps over the lazy dog near the old stone bridge today"
+NEAR = "the quick brown fox jumps over the lazy dog near the old stone bridge tonight"
+FAR = "completely different words about spark shuffles and parquet column pruning here"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE, "en", "s", len(BASE)),
+        (1, BASE, "en", "s", len(BASE)),  # exact dup of 0
+        (2, NEAR, "en", "s", len(NEAR)),  # near dup of 0
+        (3, FAR, "en", "s", len(FAR)),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for label in range(3):
+        center = rng.normal(size=8)
+        for j in range(5):
+            v = center + rng.normal(scale=0.05, size=8)
+            rows.append((label * 5 + j, [float(x) for x in v], label))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_exact_dedup_groups(docs):
+    res = {r.doc_id: r.keep_id for r in TD.exact_dedup(docs).collect()}
+    assert res[0] == 0 and res[1] == 0  # identical texts collapse to min id
+    assert res[2] == 2 and res[3] == 3
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r.a, r.b): r.jaccard for r in TD.ngram_jaccard_pairs(docs, threshold=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0  # identical
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7  # one word changed
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r.a, r.b) for r in TD.minhash_lsh_dup_pairs(docs, threshold=0.4).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_minhash_signature_identical_for_identical_docs(docs):
+    sig = TD.minhash_signatures(docs).collect()
+    by_doc: dict[int, dict[int, int]] = {}
+    for r in sig:
+        by_doc.setdefault(r.doc_id, {})[r.hash_id] = r.min_h
+    assert by_doc[0] == by_doc[1]
+    overlap = sum(1 for h, v in by_doc[0].items() if by_doc[2][h] == v)
+    assert overlap > len(by_doc[0]) * 0.5  # near-dup signatures mostly agree
+
+
+def test_simhash_hamming_orders_similarity(docs):
+    fp = {r.doc_id: r.simhash for r in TD.simhash(docs).collect()}
+    assert fp[0] == fp[1]
+    near = bin(fp[0] ^ fp[2]).count("1")
+    far = bin(fp[0] ^ fp[3]).count("1")
+    assert near < far
+
+
+def test_cosine_topk_matches_numpy(embs):
+    res = TS.cosine_topk(embs, k=3).collect()
+    rows = embs.orderBy("vec_id").collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    sims = (mat @ mat.T) / np.outer(norms, norms)
+    np.fill_diagonal(sims, -np.inf)
+    for vec_id in range(len(rows)):
+        got = [r.neighbor_id for r in sorted(res, key=lambda r: r.rank) if r.vec_id == vec_id]
+        expect = list(np.argsort(np.round(-sims[vec_id], 6), kind="stable")[:3])
+        assert got == [int(x) for x in expect], f"vec {vec_id}: {got} vs {expect}"
+
+
+def test_ivf_topk_neighbors_share_cluster(embs):
+    res = TS.ivf_topk(embs, k=3).collect()
+    # tight synthetic clusters: every IVF neighbor comes from the same label
+    label_of = {r.vec_id: r.label for r in embs.collect()}
+    for r in res:
+        assert label_of[r.vec_id] == label_of[r.neighbor_id]
+
+
+def test_embedding_cosine_dup_pairs_threshold(embs):
+    pairs = TD.embedding_cosine_dup_pairs(embs, threshold=0.99).collect()
+    label_of = {r.vec_id: r.label for r in embs.collect()}
+    assert len(pairs) > 0
+    for r in pairs:
+        assert label_of[r.a] == label_of[r.b]
+
+
+def test_token_stats_and_quality(docs):
+    stats = {r.doc_id: r for r in TA.token_stats(docs).collect()}
+    assert stats[0].n_tokens == len(BASE.split(" "))
+    q = {r.doc_id: r for r in TA.text_quality(docs).collect()}
+    assert 0.0 <= q[0].quality <= 1.0
+    assert q[0].stopword_ratio > 0  # 'the' appears
+
+
+def test_lang_id_deterministic(docs):
+    res = {r.doc_id: r.lang_pred for r in TA.lang_id(docs).collect()}
+    assert res[0] == "en"  # 'the'/'over' hit the en stopword set
+
+
+def test_doc_fingerprint_equal_for_identical(docs):
+    fp = TA.doc_fingerprint(docs).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in sorted(fp, key=lambda r: (r.doc_id, r.rank)):
+        by_doc.setdefault(r.doc_id, []).append(r.h)
+    assert by_doc[0] == by_doc[1]
+    assert by_doc[0] != by_doc[3]
+
+
+def test_multimodal_decode_plumbing(docs):
+    meta = {r.doc_id: r for r in TM.decode_meta(TM.payload_table(docs)).collect()}
+    w, h, c = TM.fake_decode_meta(BASE.encode())
+    assert (meta[0].width, meta[0].height, meta[0].checksum) == (w, h, c)
+    assert meta[0].n_bytes == len(BASE.encode())
+    with pytest.raises(NotImplementedError):
+        TM.decode_image(b"\x89PNG")
+
+
+def test_payload_table_schema(docs):
+    pt = TM.payload_table(docs)
+    assert dict(pt.dtypes)["payload"] == "binary"
+    assert pt.filter(F.col("n_bytes") != F.octet_length("payload")).count() == 0
