@@ -36,6 +36,9 @@ from sbm_communitydetection_spark.textops import similarity as TS  # noqa: E402
 
 PR_ITERS = 5
 LPA_ITERS = 3
+BP_ITERS = 2
+BP_K = 6
+BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
 COS_DUP_THRESHOLD = 0.35
 ANN_K = 5
@@ -103,6 +106,31 @@ def _q_lpa(spark, sf_dir):
         spark, lineitem_edges(spark, sf_dir), max_iterations=LPA_ITERS, variant="plain", tolerance=-1.0
     )
     return res.state.select("id", "label")
+
+
+def _q_bp(spark, sf_dir):
+    """Fixed-iteration synchronous SBM belief propagation (D2 engine form);
+    deterministic id%k side info, labels by logit argmax."""
+    from sbm_communitydetection_spark.operators.belief_propagation import (
+        belief_propagation,
+        noisy_priors,
+    )
+
+    edges = lineitem_edges(spark, sf_dir)
+    obs = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.pmod(F.col("id"), F.lit(BP_K)).cast("long").alias("label")
+    )
+    res = belief_propagation(
+        spark,
+        edges,
+        noisy_priors(obs, BP_K, BP_NOISE),
+        k=BP_K,
+        p_in=BP_P_IN,
+        p_out=BP_P_OUT,
+        max_iterations=BP_ITERS,
+        tolerance=-1.0,
+    )
+    return res.select("id", "label")
 
 
 def _q_components(spark, sf_dir):
@@ -293,6 +321,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_edges": _q_total_edges,  # G10/A2
         "pagerank_fixed_iters": _q_pagerank,
         "label_propagation_fixed_iters": _q_lpa,
+        "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
         "connected_components": _q_components,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
@@ -341,6 +370,9 @@ def oracle_sql() -> dict[str, str]:
         "total_edges": edges_cte + "SELECT (SUM(weight) / 2.0)::DOUBLE AS total_edges FROM edges",
         "pagerank_fixed_iters": edges_cte + ",\n" + O.pagerank_unrolled_sql(PR_ITERS),
         "label_propagation_fixed_iters": edges_cte + ",\n" + O.lpa_unrolled_sql(LPA_ITERS),
+        "belief_propagation_fixed_iters": edges_cte
+        + ",\n"
+        + O.bp_unrolled_sql(BP_ITERS, BP_K, BP_P_IN, BP_P_OUT, BP_NOISE, BP_K),
         "connected_components": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + O.components_recursive_sql(),

@@ -314,3 +314,69 @@ per AS (
 )
 SELECT ROUND(SUM(e_in2 / t.two_m - (deg / t.two_m) * (deg / t.two_m)), 8) AS modularity
 FROM per, tot t"""
+
+
+def bp_unrolled_sql(
+    n_iterations: int,
+    k: int,
+    p_in: float,
+    p_out: float,
+    noise: float,
+    n_obs: int,
+) -> str:
+    """Fixed-iteration synchronous SBM belief propagation over the `edges`
+    CTE, unrolled in the EXPLODED scalar representation (src, dst, s, val)
+    — the SQL mirror of operators/belief_propagation.py's Arrow kernel.
+    Observed side-info labels are the deterministic id % n_obs partition;
+    returns (id, label) by per-vertex logit argmax (min-s tie-break)."""
+    diff = p_in - p_out
+    hi = 1.0 - noise + noise / k
+    lo = noise / k
+    parts = [
+        f"comps AS (SELECT range AS s FROM range({k}))",
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        f"""prior AS (
+    SELECT v.id, c.s,
+           CASE WHEN c.s = v.id % {n_obs} THEN {hi!r} ELSE {lo!r} END AS p
+    FROM verts v CROSS JOIN comps c
+)""",
+        f"m0 AS (SELECT e.src, e.dst, c.s, {1.0 / k!r} AS val FROM edges e CROSS JOIN comps c)",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"""t{i} AS (
+    SELECT m.src, m.dst, m.s, e.weight * ln({p_out!r} + {diff!r} * m.val) AS lt
+    FROM m{i - 1} m JOIN edges e ON m.src = e.src AND m.dst = e.dst
+),
+n{i} AS (SELECT dst AS id, s, SUM(lt) AS tot FROM t{i} GROUP BY dst, s),
+u{i} AS (
+    SELECT e.src, e.dst, p.s, ln(p.p) + n.tot - t.lt AS logit
+    FROM edges e
+    JOIN prior p ON p.id = e.src
+    JOIN n{i} n ON n.id = e.src AND n.s = p.s
+    JOIN t{i} t ON t.src = e.dst AND t.dst = e.src AND t.s = p.s
+),
+m{i} AS (
+    SELECT src, dst, s,
+           exp(logit - mx) / SUM(exp(logit - mx)) OVER (PARTITION BY src, dst) AS val
+    FROM (SELECT *, MAX(logit) OVER (PARTITION BY src, dst) AS mx FROM u{i})
+)"""
+        )
+    T = n_iterations
+    parts.append(
+        f"""tf AS (
+    SELECT m.src, m.dst, m.s, e.weight * ln({p_out!r} + {diff!r} * m.val) AS lt
+    FROM m{T} m JOIN edges e ON m.src = e.src AND m.dst = e.dst
+),
+nf AS (SELECT dst AS id, s, SUM(lt) AS tot FROM tf GROUP BY dst, s),
+bf AS (
+    SELECT p.id, p.s, ln(p.p) + COALESCE(n.tot, 0.0) AS logit
+    FROM prior p LEFT JOIN nf n ON n.id = p.id AND n.s = p.s
+),
+lab AS (
+    SELECT id, s,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY logit DESC, s ASC) AS rn
+    FROM bf
+)"""
+    )
+    return ",\n".join(parts) + "\nSELECT id, CAST(s AS BIGINT) AS label FROM lab WHERE rn = 1"
