@@ -194,6 +194,61 @@ def _q_edge_lookup(spark, sf_dir):
     return G.edge_weight_lookup(edges, probes).select("src", "dst", "weight")
 
 
+# -- composite algorithm drivers (D1/D3; driver-side control flow, no SQL
+# oracle — the driver records the weaker rows-only check for these) ---------
+
+
+def _q_louvain(spark, sf_dir):
+    """DCD/Louvain multi-level modularity optimization (D1)."""
+    from sbm_communitydetection_spark.operators.louvain import louvain
+
+    res = louvain(spark, lineitem_edges(spark, sf_dir), max_levels=2, max_sweeps=6)
+    return res.labels.select("id", "label")
+
+
+def _q_fm_refine(spark, sf_dir):
+    """ACD 2-way FM refinement (D3) of the derived 2-community partition."""
+    from sbm_communitydetection_spark.operators.fm_refinement import fm_refine
+
+    edges = lineitem_edges(spark, sf_dir)
+    labels = derived_labels(edges, 2)
+    pairs = spark.createDataFrame([(0, 1)], "label_a long, label_b long")
+    return fm_refine(spark, edges, labels, pairs).select("id", "label")
+
+
+def _q_stream_lpa(spark, sf_dir):
+    """Batched edge-stream community tracking (§2.10) over an ordered
+    lineitem-derived stream; returns the final partition."""
+    from sbm_communitydetection_spark.streaming.stream_driver import stream_community_detection
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    stream = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(1000)).cast("long").alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(1000)).cast("long").alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias("edge_seq"),
+    ).filter(F.col("src") != F.col("dst"))
+    res = stream_community_detection(spark, stream, n_batches=2, supersteps_per_batch=3)
+    return res.labels.select("id", "label")
+
+
+# -- skew path (salted join/aggregate — oracle = the PLAIN aggregation) -----
+
+
+def _q_salted_a8(spark, sf_dir):
+    from sbm_communitydetection_spark.operators.skew import (
+        hub_vertices,
+        salted_neighbor_community_weights,
+    )
+
+    edges = lineitem_edges(spark, sf_dir)
+    labels = derived_labels(edges)
+    hubs = hub_vertices(edges, degree_threshold=200.0)
+    return salted_neighbor_community_weights(edges, labels, hubs).select(
+        "src", "nbr_label", "score"
+    )
+
+
 # -- quality metrics (reference Q1-Q9, SQL-expressible subset) --------------
 
 
@@ -325,6 +380,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        # composite drivers + skew path
+        "louvain_communities": _q_louvain,  # D1 (rows-only check)
+        "fm_refine_pair": _q_fm_refine,  # D3 (rows-only check)
+        "stream_lpa": _q_stream_lpa,  # §2.10 (rows-only check)
+        "salted_neighbor_weights": _q_salted_a8,  # A8 via skew path
         # graph DML / coarsening
         "community_stats": _q_community_stats,  # A4/A6
         "coarsen": _q_coarsen,  # C1
@@ -378,6 +438,13 @@ def oracle_sql() -> dict[str, str]:
         + O.components_recursive_sql(),
         "triangle_count": edges_cte + ",\n" + O.triangle_count_sql(),
         "triangles_per_vertex": edges_cte + ",\n" + O.triangle_per_vertex_sql(),
+        # skew path: salted aggregate must equal the PLAIN A8 aggregation
+        "salted_neighbor_weights": edges_cte
+        + f""",
+labels AS (SELECT DISTINCT src AS id, src % {N_LABELS} AS label FROM edges)
+SELECT e.src, l.label AS nbr_label, SUM(e.weight) AS score
+FROM edges e JOIN labels l ON e.dst = l.id
+GROUP BY e.src, l.label""",
         # graph DML / coarsening
         "community_stats": edges_cte + ",\n" + O.community_stats_sql(N_LABELS),
         "coarsen": edges_cte + ",\n" + O.coarsen_sql(N_LABELS),

@@ -37,14 +37,21 @@ def main() -> None:
     from sbm_communitydetection_spark.operators.pagerank import pagerank
     from sbm_communitydetection_spark.operators.triangles import triangle_count
     from sbm_communitydetection_spark.session import get_spark
-    from sbm_communitydetection_spark.sources.tpch_graph import lineitem_edges
+    from sbm_communitydetection_spark.sources.tpch_graph import bench_edges
+
+    n_verts = int(os.environ.get("SPARK_GRAFT_BENCH_VERTS", "1000000"))
+    amplify = int(os.environ.get("SPARK_GRAFT_BENCH_AMPLIFY", "8"))
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Materialize the edge table once (cached, as a real deployment would
-    # read an already-written Iceberg/Parquet edge table).
-    edges = lineitem_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # Materialize the AMPLIFIED benchmark edge table once (cached, as a
+    # real deployment would read an already-written Iceberg/Parquet edge
+    # table). ~10M directed edges at sf0.1 — compute-bound, so the
+    # two-parallelism scaling run measures shuffles, not the scheduler.
+    edges = bench_edges(spark, sf_dir, n_verts=n_verts, amplify=amplify).localCheckpoint(
+        eager=True
+    )
     n_edges = edges.count()  # directed half-edges
 
     timings: dict[str, float] = {}

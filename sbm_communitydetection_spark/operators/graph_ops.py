@@ -35,8 +35,21 @@ def symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def add_edges(edges: DataFrame, new_edges: DataFrame) -> DataFrame:
-    """Upsert-accumulate new undirected edges (G2/G3: src/graph.cpp:14-30,232-235)."""
-    return symmetrize(edges.select("src", "dst", "weight").unionByName(new_edges.select("src", "dst", "weight")))
+    """Upsert-accumulate new undirected edges into the SYMMETRIZED state
+    table (G2/G3: src/graph.cpp:14-30,232-235).
+
+    ``edges`` must already be symmetric (both directions materialized);
+    ``new_edges`` is the RAW one-direction-per-draw batch, which gets
+    mirrored here. Re-symmetrizing an already-symmetric table would double
+    every weight, so only the batch side is mirrored."""
+    batch_sym = symmetrize(new_edges.select("src", "dst", "weight"))
+    return (
+        edges.select("src", "dst", "weight")
+        .unionByName(batch_sym)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )
 
 
 def remove_edges(edges: DataFrame, removals: DataFrame) -> DataFrame:

@@ -28,11 +28,50 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Empirical (this sandbox, PySpark 4.1 local mode): a chain of >~15
+# localCheckpoints — or even RELIABLE checkpoints — makes each subsequent
+# job ~3x slower than the last (exponential recompute-style blowup), while
+# a parquet write/read roundtrip stays flat indefinitely. So every
+# SEVERANCE_EVERY-th persist goes through parquet to hard-sever the chain;
+# the in-between iterations keep the cheap in-memory localCheckpoint.
+SEVERANCE_EVERY = 8
+
+
+class LineageTruncator:
+    """Persist iteration state with periodic hard severance via parquet."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        prefix: str = "state",
+        severance_every: int = SEVERANCE_EVERY,
+        severance_dir: str | None = None,
+    ):
+        self.spark = spark
+        self.prefix = prefix
+        self.every = severance_every
+        self._dir = severance_dir
+        self._count = 0
+
+    def _severance_path(self) -> str:
+        if self._dir is None:
+            self._dir = tempfile.mkdtemp(prefix=f"spark_graft_{self.prefix}_")
+        return os.path.join(self._dir, f"sever_{self._count}")
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        self._count += 1
+        if self.every > 0 and self._count % self.every == 0:
+            path = self._severance_path()
+            df.write.mode("overwrite").parquet(path)
+            return self.spark.read.parquet(path)
+        return df.localCheckpoint(eager=True)
 
 
 @dataclass
@@ -60,6 +99,7 @@ class IterationDriver:
         self.run_id = run_id
         self.dir = os.path.join(checkpoint_dir, run_id) if checkpoint_dir else None
         self.mode = mode
+        self._truncator = LineageTruncator(spark, prefix=run_id)
 
     # -- snapshot plumbing -------------------------------------------------
     def _iter_path(self, i: int) -> str:
@@ -68,7 +108,7 @@ class IterationDriver:
 
     def _persist(self, df: DataFrame, i: int) -> DataFrame:
         if self.mode == "local":
-            return df.localCheckpoint(eager=True)
+            return self._truncator(df)
         path = self._iter_path(i)
         df.write.mode("overwrite").parquet(path)
         return self.spark.read.parquet(path)

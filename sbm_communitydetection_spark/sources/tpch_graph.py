@@ -62,3 +62,41 @@ def derived_labels(edges: DataFrame, n_labels: int = N_LABELS) -> DataFrame:
         .distinct()
         .select("id", F.pmod(F.col("id"), F.lit(n_labels)).cast("long").alias("label"))
     )
+
+
+BENCH_N_VERTS = 1_000_000
+BENCH_AMPLIFY = 8
+
+
+def bench_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_verts: int = BENCH_N_VERTS,
+    amplify: int = BENCH_AMPLIFY,
+) -> DataFrame:
+    """Deterministic AMPLIFIED benchmark graph.
+
+    The correctness-gate graph (`lineitem_edges`, 1000 vertices) is so
+    small that iteration cost is pure scheduler overhead — useless for
+    measuring scaling. This derivation hash-expands every lineitem row
+    into `amplify` edges over an `n_verts`-sized vertex domain, producing
+    a graph large enough (~10M directed edges at sf0.1) that shuffle and
+    aggregation compute dominate and parallelism actually pays.
+    Deterministic (xxhash64 of key×salt), no RNG.
+    """
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw = (
+        li.select("l_orderkey", "l_partkey")
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(amplify - 1))))
+        .select(
+            F.pmod(
+                F.xxhash64(F.col("l_orderkey") * amplify + F.col("salt")), F.lit(n_verts)
+            ).alias("src"),
+            F.pmod(
+                F.xxhash64(F.col("l_partkey") * amplify + F.col("salt") + F.lit(1_000_000_007)),
+                F.lit(n_verts),
+            ).alias("dst"),
+            F.lit(1).cast("long").alias("weight"),
+        )
+    )
+    return symmetrize(raw)

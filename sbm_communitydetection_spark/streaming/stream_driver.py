@@ -1,0 +1,146 @@
+"""Batched edge-stream community detection — the reference's streaming
+semantics (SURVEY.md §2.10).
+
+The reference consumes ONE edge per algorithm step in arrival order
+(src/dynamic_community_detection.cpp:32-49, src/belief_propagation.cpp:38,
+src/approximate_community_detection.cpp:33) — no watermarks, no late data;
+"stream position" is just the ordinal of `addedEdges`. The engine batches
+the ordered edge table by its ``edge_seq`` column and runs micro-iterations
+per batch:
+
+  1. accumulate the batch into the live symmetrized edge table (G2/G3
+     upsert semantics: weights of repeated edges add),
+  2. DISBAND the touched communities: every member of a community that a
+     new cross-community edge hits reverts to its own singleton label
+     (C3, src/dynamic_community_detection.cpp:243-247 — affected-subgraph
+     recomputation is the reference's one locality optimization),
+  3. re-run synchronous LPA supersteps seeded from the surviving labels,
+  4. append a per-batch metrics row — the reference's per-edge accuracy
+     log sink S6 (src/approximate_community_detection.cpp:47-55) — to a
+     JSONL lineage file and keep it in the result.
+
+Per-batch state is localCheckpoint-truncated; with a parquet-mode
+IterationDriver the state snapshots are durable and the stream is
+resumable mid-batch (north_rule).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.metrics import modularity
+from ..operators.graph_ops import add_edges, symmetrize
+from ..operators.label_propagation import lpa_superstep
+from ..plans.iterate import LineageTruncator
+
+
+@dataclass
+class StreamResult:
+    labels: DataFrame  # (id, label) after the last batch
+    edges: DataFrame  # accumulated symmetrized edge table
+    batches: int
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _batch_metrics(edges: DataFrame, labels: DataFrame, truth: DataFrame | None) -> dict:
+    row: dict = {
+        "modularity": float(modularity(edges, labels).collect()[0][0]),
+        "n_communities": labels.select("label").distinct().count(),
+    }
+    if truth is not None:
+        from ..functions.metrics import edge_classification_accuracy, max_jaccard_sum
+
+        row["edge_cls_acc"] = float(
+            edge_classification_accuracy(edges, labels, truth).collect()[0][0]
+        )
+        row["max_jaccard_sum"] = max_jaccard_sum(labels, truth)
+    return row
+
+
+def stream_community_detection(
+    spark: SparkSession,
+    edge_stream: DataFrame,
+    n_batches: int = 10,
+    supersteps_per_batch: int = 3,
+    truth: DataFrame | None = None,
+    metrics_path: str | None = None,
+    initial_edges: DataFrame | None = None,
+    initial_labels: DataFrame | None = None,
+    lpa_variant: str = "keep_own",
+) -> StreamResult:
+    """Consume ``edge_stream(src, dst, weight, edge_seq)`` in ``n_batches``
+    ordered micro-batches, maintaining a community partition throughout."""
+    bounds = edge_stream.agg(
+        F.min("edge_seq").alias("lo"), F.max("edge_seq").alias("hi"), F.count("*").alias("n")
+    ).collect()[0]
+    if bounds.n == 0:
+        raise ValueError("empty edge stream")
+    span = (bounds.hi - bounds.lo + 1) / n_batches
+
+    truncate = LineageTruncator(spark, prefix="stream")
+    edges = (
+        initial_edges
+        if initial_edges is not None
+        else spark.createDataFrame([], "src long, dst long, weight long")
+    ).localCheckpoint(eager=True)
+    labels = initial_labels.localCheckpoint(eager=True) if initial_labels is not None else None
+    metrics: list[dict] = []
+
+    for b in range(n_batches):
+        t0 = time.monotonic()
+        lo = bounds.lo + int(b * span)
+        hi = bounds.hi + 1 if b == n_batches - 1 else bounds.lo + int((b + 1) * span)
+        batch = edge_stream.filter((F.col("edge_seq") >= lo) & (F.col("edge_seq") < hi)).select(
+            "src", "dst", "weight"
+        )
+        batch_sym = symmetrize(batch)
+        edges = truncate(add_edges(edges, batch))
+
+        verts = edges.select(F.col("src").alias("id")).distinct()
+        if labels is None:
+            labels = verts.select("id", F.col("id").alias("label"))
+        else:
+            # new vertices start as singletons
+            labels = verts.join(labels, "id", "left").select(
+                "id", F.coalesce("label", "id").alias("label")
+            )
+            # disband communities touched by a new CROSS-community edge (C3)
+            lab_s = labels.select(F.col("id").alias("src"), F.col("label").alias("sl"))
+            lab_d = labels.select(F.col("id").alias("dst"), F.col("label").alias("dl"))
+            touched = (
+                batch_sym.join(lab_s, "src")
+                .join(lab_d, "dst")
+                .filter(F.col("sl") != F.col("dl"))
+                .select(F.explode(F.array("sl", "dl")).alias("label"))
+                .distinct()
+            )
+            labels = labels.join(
+                touched.withColumn("hit", F.lit(1)), "label", "left"
+            ).select(
+                "id",
+                F.when(F.col("hit").isNotNull(), F.col("id")).otherwise(F.col("label")).alias("label"),
+            )
+        for _ in range(supersteps_per_batch):
+            # truncate EVERY superstep: lpa_superstep references the label
+            # plan ~3×, so an unchecked chain grows as 3^steps logical nodes
+            labels = truncate(lpa_superstep(edges, labels, variant=lpa_variant))
+
+        row = {
+            "batch": b,
+            "edges_seen": int(edges.agg(F.sum("weight") / 2).collect()[0][0] or 0),
+            "wall_sec": round(time.monotonic() - t0, 4),
+            **_batch_metrics(edges, labels, truth),
+        }
+        metrics.append(row)
+        if metrics_path:
+            os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+
+    return StreamResult(labels=labels, edges=edges, batches=n_batches, metrics=metrics)
