@@ -141,15 +141,38 @@ def coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def canonical_relabel(labels: DataFrame) -> DataFrame:
+def canonical_relabel(labels: DataFrame, distributed_threshold: int = 1_000_000) -> DataFrame:
     """relabelGraph (C4: src/dynamic_community_detection.cpp:345-357):
     dense labels 0..k-1 in order of each community's minimum member id —
-    a deterministic canonical form for exact-match testing."""
+    a deterministic canonical form for exact-match testing.
+
+    The remap table has one row per COMMUNITY. Up to ``distributed_threshold``
+    communities it is ranked with a driver-small global window (the usual
+    case: k ≪ n). Beyond that — e.g. near-singleton partitions at 10^9
+    vertices, where a global window would funnel everything through one
+    task — the dense rank is assigned by sorted ``zipWithIndex`` (range
+    partition + per-partition offsets, two distributed jobs, no single-task
+    bottleneck)."""
     order = labels.groupBy("label").agg(F.min("id").alias("min_id"))
-    w = Window.orderBy("min_id", "label")
-    remap = order.withColumn("new_label", F.row_number().over(w) - F.lit(1)).select("label", "new_label")
+    k = order.count()
+    if k <= distributed_threshold:
+        w = Window.orderBy("min_id", "label")
+        remap = order.withColumn("new_label", F.row_number().over(w) - F.lit(1)).select(
+            "label", "new_label"
+        )
+        remap = F.broadcast(remap) if k <= 1_000_000 else remap
+    else:
+        spark = labels.sparkSession
+        ranked = (
+            order.repartitionByRange(max(32, k // 5_000_000), "min_id", "label")
+            .sortWithinPartitions("min_id", "label")
+            .select("label")
+            .rdd.map(lambda r: r.label)
+            .zipWithIndex()
+        )
+        remap = spark.createDataFrame(ranked, "label long, new_label long")
     return (
-        labels.join(F.broadcast(remap), "label")
+        labels.join(remap, "label")
         .select("id", F.col("new_label").cast("long").alias("label"))
     )
 

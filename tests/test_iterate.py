@@ -61,3 +61,20 @@ def test_local_checkpoint_mode(spark):
     state = spark.createDataFrame([(i, 0) for i in range(4)], "id long, v long")
     res = d.run(state, _inc_step, max_iterations=10, metric_name="remaining")
     assert res.converged and sorted(r.v for r in res.state.collect()) == [5] * 4
+
+
+def test_canonical_relabel_distributed_path_matches_window_path(spark):
+    from pyspark.sql import functions as F
+
+    from sbm_communitydetection_spark.operators.graph_ops import canonical_relabel
+
+    labels = spark.createDataFrame(
+        [(i, (i * 7) % 5 + 100) for i in range(50)], "id long, label long"
+    )
+    a = sorted((r.id, r.label) for r in canonical_relabel(labels).collect())
+    b = sorted(
+        (r.id, r.label)
+        for r in canonical_relabel(labels, distributed_threshold=1).collect()
+    )
+    assert a == b
+    assert {lbl for _, lbl in a} == {0, 1, 2, 3, 4}
