@@ -22,6 +22,9 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sbm_communitydetection_spark.functions import sql_oracles as O  # noqa: E402
+from sbm_communitydetection_spark.operators.frontier import (  # noqa: E402
+    r_hop_neighborhood_sql as _frontier_sql,
+)
 from sbm_communitydetection_spark.operators import graph_ops as G  # noqa: E402
 from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     N_LABELS,
@@ -143,6 +146,15 @@ def _q_triangle_count(spark, sf_dir):
     from sbm_communitydetection_spark.operators.triangles import triangle_count
 
     return triangle_count(lineitem_edges(spark, sf_dir))
+
+
+def _q_r_hop(spark, sf_dir):
+    """Radius-bounded BFS ball (collectRNeighborhood, T6) from seeds id<5."""
+    from sbm_communitydetection_spark.operators.frontier import r_hop_neighborhood
+
+    edges = lineitem_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("id")).distinct().filter(F.col("id") < 5)
+    return r_hop_neighborhood(edges, seeds, radius=2).select("id", "dist")
 
 
 def _q_triangles_per_vertex(spark, sf_dir):
@@ -380,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "connected_components": _q_components,
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
+        "r_hop_neighborhood": _q_r_hop,  # T6 radius-bounded BFS
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
         "fm_refine_pair": _q_fm_refine,  # D3 (rows-only check)
@@ -438,6 +451,7 @@ def oracle_sql() -> dict[str, str]:
         + O.components_recursive_sql(),
         "triangle_count": edges_cte + ",\n" + O.triangle_count_sql(),
         "triangles_per_vertex": edges_cte + ",\n" + O.triangle_per_vertex_sql(),
+        "r_hop_neighborhood": edges_cte + ",\n" + _frontier_sql(2),
         # skew path: salted aggregate must equal the PLAIN A8 aggregation
         "salted_neighbor_weights": edges_cte
         + f""",

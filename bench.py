@@ -41,6 +41,18 @@ def main() -> None:
 
     n_verts = int(os.environ.get("SPARK_GRAFT_BENCH_VERTS", "1000000"))
     amplify = int(os.environ.get("SPARK_GRAFT_BENCH_AMPLIFY", "8"))
+    # which queries to time (csv); the scaling run restricts to the
+    # north-rule metric's pair (pagerank,lpa) for stable measurements
+    which = set(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_QUERIES",
+            "pagerank,lpa,connected_components,triangle_count,degree_topk",
+        ).split(",")
+    )
+    # broadcast=0 forces the pure shuffle join path — the configuration a
+    # 10^12-scale cluster must use (rank/label vectors too big to
+    # broadcast), hence what the N-vs-4N scaling run measures
+    broadcast_thr = 5_000_000 if os.environ.get("SPARK_GRAFT_PR_BROADCAST", "1") == "1" else 0
 
     spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
     spark.sparkContext.setLogLevel("ERROR")
@@ -61,32 +73,65 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    timed(
-        "pagerank",
-        lambda: pagerank(
-            spark, edges, damping=0.85, tolerance=-1.0, max_iterations=PR_ITERS
-        ).count(),
-    )
-    timed(
-        "lpa",
-        lambda: label_propagation(
-            spark, edges, max_iterations=LPA_ITERS, variant="plain", tolerance=-1.0
-        ).state.count(),
-    )
-    timed("connected_components", lambda: connected_components(spark, edges).count())
-    timed("triangle_count", lambda: triangle_count(edges).collect())
-    timed(
-        "degree_topk",
-        lambda: edges.groupBy("src")
-        .agg(F.sum("weight").alias("degree"))
-        .orderBy(F.desc("degree"))
-        .limit(100)
-        .collect(),
-    )
+    # iteration-timing mode: report Σ per-iteration wall seconds from the
+    # IterationDriver's lineage metrics instead of end-to-end wall time.
+    # One-time setup (adjacency build, first parquet read) amortizes to
+    # nothing over a real run's iteration count but dominates the
+    # end-to-end number at bench scale — and its disk-cache variance
+    # swamps the scaling signal this harness exists to measure.
+    iter_timing = os.environ.get("SPARK_GRAFT_BENCH_ITER_TIMING", "0") == "1"
+
+    if "pagerank" in which:
+        pr_metrics: list = []
+
+        def run_pr():
+            pagerank(
+                spark,
+                edges,
+                damping=0.85,
+                tolerance=-1.0,
+                max_iterations=PR_ITERS,
+                broadcast_rows_threshold=broadcast_thr,
+                collect_metrics=pr_metrics,
+            ).count()
+
+        timed("pagerank", run_pr)
+        if iter_timing and pr_metrics:
+            timings["pagerank"] = round(sum(m["wall_sec"] for m in pr_metrics), 3)
+    if "lpa" in which:
+        lpa_holder: dict = {}
+
+        def run_lpa():
+            lpa_holder["res"] = label_propagation(
+                spark,
+                edges,
+                max_iterations=LPA_ITERS,
+                variant="plain",
+                tolerance=-1.0,
+                broadcast_rows_threshold=broadcast_thr,
+            )
+            lpa_holder["res"].state.count()
+
+        timed("lpa", run_lpa)
+        if iter_timing and lpa_holder["res"].metrics:
+            timings["lpa"] = round(sum(m["wall_sec"] for m in lpa_holder["res"].metrics), 3)
+    if "connected_components" in which:
+        timed("connected_components", lambda: connected_components(spark, edges).count())
+    if "triangle_count" in which:
+        timed("triangle_count", lambda: triangle_count(edges).collect())
+    if "degree_topk" in which:
+        timed(
+            "degree_topk",
+            lambda: edges.groupBy("src")
+            .agg(F.sum("weight").alias("degree"))
+            .orderBy(F.desc("degree"))
+            .limit(100)
+            .collect(),
+        )
 
     total = round(sum(timings.values()), 3)
     pr_lpa_iters = PR_ITERS + LPA_ITERS
-    pr_lpa_time = timings["pagerank"] + timings["lpa"]
+    pr_lpa_time = timings.get("pagerank", 0.0) + timings.get("lpa", 0.0)
     result = {
         "metric": "headline_queries_total_time",
         "value": total,

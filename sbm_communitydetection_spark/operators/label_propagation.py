@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 from ..plans.iterate import IterationDriver, IterationResult
 
 
-def lpa_superstep(edges: DataFrame, labels: DataFrame, variant: str = "plain") -> DataFrame:
+def lpa_superstep(
+    edges: DataFrame,
+    labels: DataFrame,
+    variant: str = "plain",
+    broadcast_labels: bool = False,
+) -> DataFrame:
     """One synchronous move of all vertices; isolated vertices keep labels.
 
     variant='plain':    adopt argmax neighbor-community weight (min label on tie).
@@ -41,9 +46,12 @@ def lpa_superstep(edges: DataFrame, labels: DataFrame, variant: str = "plain") -
     """
     if variant not in ("plain", "keep_own"):
         raise ValueError(f"unknown LPA variant {variant!r}")
-    nbr = edges.join(
-        labels.select(F.col("id").alias("dst"), F.col("label").alias("nbr_label")), "dst"
-    )
+    # checkpointed labels carry no stats → Catalyst won't broadcast them
+    # by itself even when tiny; the caller decides (see label_propagation)
+    lbl_side = labels.select(F.col("id").alias("dst"), F.col("label").alias("nbr_label"))
+    if broadcast_labels:
+        lbl_side = F.broadcast(lbl_side)
+    nbr = edges.join(lbl_side, "dst")
     scores = nbr.groupBy("src", "nbr_label").agg(F.sum("weight").alias("score"))
     if variant == "plain":
         best = scores.groupBy("src").agg(
@@ -87,6 +95,7 @@ def label_propagation(
     variant: str = "plain",
     tolerance: float = 0.0,
     driver: IterationDriver | None = None,
+    broadcast_rows_threshold: int = 5_000_000,
 ) -> IterationResult:
     """IterationResult whose .state is labels(id, label) at convergence.
 
@@ -107,8 +116,11 @@ def label_propagation(
         )
         labels = verts.select("id", F.col("id").alias("label"))
 
+    n_vertices = labels.count()
+    use_broadcast = n_vertices <= broadcast_rows_threshold
+
     def step(state: DataFrame, i: int):
-        new = lpa_superstep(edges, state, variant=variant)
+        new = lpa_superstep(edges, state, variant=variant, broadcast_labels=use_broadcast)
         if fixed_iters:
             # exact-iteration mode: skip the changed-count action
             return new, float("inf")

@@ -34,6 +34,8 @@ def pagerank(
     tolerance: float = 1e-8,
     max_iterations: int = 100,
     driver: IterationDriver | None = None,
+    broadcast_rows_threshold: int = 5_000_000,
+    collect_metrics: list | None = None,
 ) -> DataFrame:
     """ranks(id, rank) with Σ rank = 1.
 
@@ -70,6 +72,18 @@ def pagerank(
     # superstep saved; at 1000-executor scale that is a full-cluster barrier).
     has_dangling = dangling_ids.limit(1).count() > 0
     fixed_iters = tolerance < 0  # caller wants exactly max_iterations supersteps
+    # The per-iteration state comes from a checkpoint (LogicalRDD, no
+    # stats), so Catalyst will NEVER pick a broadcast join on its own even
+    # when the rank vector is a few MB — and falls back to sort-merge,
+    # re-sorting the full edge table every superstep. Broadcast explicitly
+    # while the vector fits; beyond that, hint SHUFFLE_HASH so the big
+    # side is only hashed, never sorted. (At 10^9+ vertices the vector
+    # stays co-partitioned with adj and shuffles, never broadcasts.)
+    use_broadcast = n <= broadcast_rows_threshold
+
+    def _rank_side(state: DataFrame) -> DataFrame:
+        side = state.withColumnRenamed("id", "src")
+        return F.broadcast(side) if use_broadcast else side.hint("SHUFFLE_HASH")
 
     ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
     base = (1.0 - damping) / n
@@ -83,7 +97,7 @@ def pagerank(
             else 0.0
         )
         contribs = (
-            adj.join(state.withColumnRenamed("id", "src"), "src")
+            adj.join(_rank_side(state), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
             .withColumnRenamed("dst", "id")
@@ -108,4 +122,6 @@ def pagerank(
     result = driver.run(
         ranks, step, max_iterations=max_iterations, tolerance=tolerance, metric_name="max_delta"
     )
+    if collect_metrics is not None:
+        collect_metrics.extend(result.metrics)
     return result.state

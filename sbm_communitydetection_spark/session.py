@@ -36,6 +36,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(8, n_parallel)
 
+    # Shuffle files on tmpfs: in this single-machine sandbox the default
+    # /tmp disk sustains only a few hundred MB/s, which serializes every
+    # shuffle-heavy iteration (measured: PR supersteps 12-16 s on-disk vs
+    # 4-6 s on tmpfs at identical parallelism). A real cluster gets the
+    # same effect from executor-local NVMe; override with
+    # SPARK_GRAFT_LOCAL_DIR or extra_conf["spark.local.dir"].
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -50,6 +60,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir and "spark.local.dir" not in (extra_conf or {}):
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -49,6 +49,19 @@ def intra_threshold(n: int, k: int, p_in: float, p_out: float) -> float:
     return iw / (iw + ow)
 
 
+def hash_uniform(col, seed: int):
+    """Partition-count-independent uniform [0,1) keyed by a column value.
+
+    ``F.rand(seed)`` seeds PER PARTITION, so its draws change with the
+    number of partitions — breaking the determinism contract (same seed =>
+    identical output at local[2] and local[8], SURVEY.md §5). Deriving the
+    uniform from ``xxhash64(value, seed)`` makes every draw a pure
+    function of the row's key, independent of physical layout.
+    """
+    m = 1 << 40
+    return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m)) / F.lit(float(m))
+
+
 def block_assignment(spark: SparkSession, n: int, k: int, seed: int) -> DataFrame:
     """vertices(id, label, offset): seeded random permutation into k equal blocks.
 
@@ -63,7 +76,7 @@ def block_assignment(spark: SparkSession, n: int, k: int, seed: int) -> DataFram
     w = Window.orderBy("r", "id")
     return (
         spark.range(n)
-        .withColumn("r", F.rand(seed))
+        .withColumn("r", hash_uniform(F.col("id"), seed))
         .withColumn("pos", F.row_number().over(w) - F.lit(1))
         .select(
             F.col("id").cast("long").alias("id"),
@@ -95,16 +108,16 @@ def sbm_edge_stream(
     draws = (
         spark.range(m)
         .withColumnRenamed("id", "edge_seq")
-        .withColumn("is_intra", F.rand(seed + 1) < F.lit(thr))
+        .withColumn("is_intra", hash_uniform(F.col("edge_seq"), seed + 1) < F.lit(thr))
         # intra: one community, two distinct offsets (src/sbm.cpp:87-101)
-        .withColumn("c1", F.floor(F.rand(seed + 2) * k).cast("long"))
-        .withColumn("o1", F.floor(F.rand(seed + 3) * b).cast("int"))
-        .withColumn("o2r", F.floor(F.rand(seed + 4) * (b - 1)).cast("int"))
+        .withColumn("c1", F.floor(hash_uniform(F.col("edge_seq"), seed + 2) * k).cast("long"))
+        .withColumn("o1", F.floor(hash_uniform(F.col("edge_seq"), seed + 3) * b).cast("int"))
+        .withColumn("o2r", F.floor(hash_uniform(F.col("edge_seq"), seed + 4) * (b - 1)).cast("int"))
         .withColumn("o2", F.when(F.col("o2r") >= F.col("o1"), F.col("o2r") + 1).otherwise(F.col("o2r")))
         # inter: two distinct communities, one offset each (src/sbm.cpp:68-85)
-        .withColumn("c2r", F.floor(F.rand(seed + 5) * (k - 1)).cast("long"))
+        .withColumn("c2r", F.floor(hash_uniform(F.col("edge_seq"), seed + 5) * (k - 1)).cast("long"))
         .withColumn("c2", F.when(F.col("c2r") >= F.col("c1"), F.col("c2r") + 1).otherwise(F.col("c2r")))
-        .withColumn("o3", F.floor(F.rand(seed + 6) * b).cast("int"))
+        .withColumn("o3", F.floor(hash_uniform(F.col("edge_seq"), seed + 6) * b).cast("int"))
         .select(
             "edge_seq",
             F.col("c1").alias("src_label"),
