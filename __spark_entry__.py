@@ -313,6 +313,18 @@ def _q_log_likelihood(spark, sf_dir):
     return log_likelihood_df(edges, pred)
 
 
+def _q_modularity_density(spark, sf_dir):
+    from sbm_communitydetection_spark.functions.metrics import modularity_variants
+
+    edges, pred, _ = _metric_partitions(spark, sf_dir)
+    return modularity_variants(edges, pred, use_split_penalty=True, use_density=True)
+
+
+def _q_main_community(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    return G.main_community(derived_labels(edges, N_LABELS))
+
+
 # -- training-data pipeline: dedup ------------------------------------------
 
 
@@ -342,6 +354,19 @@ def _q_simhash_pairs(spark, sf_dir):
 
 def _q_cos_dup_pairs(spark, sf_dir):
     return TD.embedding_cosine_dup_pairs(_embs(spark, sf_dir), COS_DUP_THRESHOLD)
+
+
+def _q_simhash_banded_pairs(spark, sf_dir):
+    # scale path; oracle is the EXACT all-pairs SQL at the same max_hamming
+    # (banded recall is total by the pigeonhole guarantee)
+    return TD.simhash_banded_dup_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_cos_bucketed_dup_pairs(spark, sf_dir):
+    # scale path; oracle is the EXACT all-pairs threshold join. probes=5:
+    # the 0.35 threshold admits pairs ~70° apart, so half the 10 cells
+    # must be probed for total recall (see cosine_bucketed_dup_pairs doc)
+    return TD.cosine_bucketed_dup_pairs(_embs(spark, sf_dir), COS_DUP_THRESHOLD, n_probes=5)
 
 
 # -- training-data pipeline: similarity search ------------------------------
@@ -412,6 +437,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddedness": _q_embeddedness,  # Q5
         "edge_classification_accuracy": _q_edge_cls_acc,  # Q8
         "log_likelihood": _q_log_likelihood,  # Q4
+        "modularity_density": _q_modularity_density,  # A5
+        "main_community": _q_main_community,  # T3
         # training-data pipeline: dedup
         "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -419,7 +446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dup_pairs": _q_minhash_lsh,
         "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_pairs,
+        "simhash_banded_dup_pairs": _q_simhash_banded_pairs,
         "embedding_cosine_dup_pairs": _q_cos_dup_pairs,
+        "cosine_bucketed_dup_pairs": _q_cos_bucketed_dup_pairs,
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ivf_topk,
@@ -439,7 +468,7 @@ def oracle_sql() -> dict[str, str]:
         # graph core + north-star algorithms
         "edge_extract_symmetrize": edges_cte + "SELECT src, dst, weight FROM edges",
         "weighted_degree": edges_cte
-        + "SELECT src AS id, SUM(weight) AS degree FROM edges GROUP BY src",
+        + "SELECT src AS id, SUM(weight)::BIGINT AS degree FROM edges GROUP BY src",
         "total_edges": edges_cte + "SELECT (SUM(weight) / 2.0)::DOUBLE AS total_edges FROM edges",
         "pagerank_fixed_iters": edges_cte + ",\n" + O.pagerank_unrolled_sql(PR_ITERS),
         "label_propagation_fixed_iters": edges_cte + ",\n" + O.lpa_unrolled_sql(LPA_ITERS),
@@ -456,7 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_neighbor_weights": edges_cte
         + f""",
 labels AS (SELECT DISTINCT src AS id, src % {N_LABELS} AS label FROM edges)
-SELECT e.src, l.label AS nbr_label, SUM(e.weight) AS score
+SELECT e.src, l.label AS nbr_label, SUM(e.weight)::BIGINT AS score
 FROM edges e JOIN labels l ON e.dst = l.id
 GROUP BY e.src, l.label""",
         # graph DML / coarsening
@@ -473,6 +502,8 @@ GROUP BY e.src, l.label""",
         "embeddedness": edges_cte + ",\n" + O.embeddedness_sql(N_LABELS),
         "edge_classification_accuracy": edges_cte + ",\n" + O.edge_cls_acc_sql(N_LABELS, N_TRUTH),
         "log_likelihood": edges_cte + ",\n" + O.log_likelihood_sql(N_LABELS),
+        "modularity_density": edges_cte + ",\n" + O.modularity_density_sql(N_LABELS),
+        "main_community": edges_cte + ",\n" + O.main_community_sql(N_LABELS),
         # training-data pipeline: dedup
         "exact_dedup": TD.exact_dedup_sql(),
         "ngram_jaccard_pairs": TD.ngram_jaccard_pairs_sql(),
@@ -480,7 +511,11 @@ GROUP BY e.src, l.label""",
         "minhash_lsh_dup_pairs": TD.minhash_lsh_dup_pairs_sql(),
         "simhash": TD.simhash_sql(),
         "simhash_dup_pairs": TD.simhash_dup_pairs_sql(),
+        "simhash_banded_dup_pairs": TD.simhash_dup_pairs_sql(max_hamming=3),
         "embedding_cosine_dup_pairs": TD.embedding_cosine_dup_pairs_sql(
+            threshold=COS_DUP_THRESHOLD
+        ),
+        "cosine_bucketed_dup_pairs": TD.embedding_cosine_dup_pairs_sql(
             threshold=COS_DUP_THRESHOLD
         ),
         # training-data pipeline: similarity search

@@ -49,6 +49,77 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def modularity_variants(
+    edges: DataFrame,
+    labels: DataFrame,
+    use_split_penalty: bool = True,
+    use_density: bool = True,
+) -> DataFrame:
+    """A5 — Newman modularity with optional DENSITY weighting and SPLIT
+    penalty (utils/utilities.cpp:80-141 ``newmansModularity_``). Single-row
+    DataFrame (modularity_variant).
+
+    Per community ci (from the community-pair edge matrix E[ci][cj] over
+    the SYMMETRIZED table, intra entry halved exactly like the reference):
+
+        d_ci    = 2·e_in / (n_ci·(n_ci−1))   if density (0 when n_ci<=1), else 1
+        d_ci_cj = E[ci][cj] / (n_ci·n_cj)    if density, else 1
+        penalty = Σ_{cj≠ci} E[ci][cj]·d_ci_cj / (2m)   if split penalty, else 0
+        Q      += e_in·d_ci/m − ((2·e_in + e_out)·d_ci / (2m))² − penalty
+
+    With both flags off this reduces to the standard Q (Q1). Everything is
+    two groupBys on the labeled edge table + one scalar aggregate."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("sl"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dl"))
+    # community-pair edge matrix; intra entries halved (reference :97-103)
+    pair = (
+        edges.join(ls, "src")
+        .join(ld, "dst")
+        .groupBy("sl", "dl")
+        .agg(F.sum("weight").cast("double").alias("w"))
+        .select(
+            "sl",
+            "dl",
+            F.when(F.col("sl") == F.col("dl"), F.col("w") / 2).otherwise(F.col("w")).alias("w"),
+        )
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").cast("double").alias("n"))
+    m_df = edges.agg((F.sum("weight") / 2).cast("double").alias("m"))
+    withsz = (
+        pair.join(sizes.select(F.col("label").alias("sl"), F.col("n").alias("n_src")), "sl")
+        .join(sizes.select(F.col("label").alias("dl"), F.col("n").alias("n_dst")), "dl")
+        .crossJoin(F.broadcast(m_df))
+    )
+    d_ci_cj = (
+        (F.col("w") / (F.col("n_src") * F.col("n_dst"))) if use_density else F.lit(1.0)
+    )
+    inter = F.col("sl") != F.col("dl")
+    per = withsz.groupBy("sl").agg(
+        F.sum(F.when(~inter, F.col("w")).otherwise(0.0)).alias("e_in"),
+        F.sum(F.when(inter, F.col("w")).otherwise(0.0)).alias("e_out"),
+        (
+            F.sum(F.when(inter, F.col("w") * d_ci_cj).otherwise(0.0))
+            / (2.0 * F.first("m"))
+            if use_split_penalty
+            else F.lit(0.0)
+        ).alias("penalty"),
+        F.first("m").alias("m"),
+        F.first("n_src").alias("n_ci"),
+    )
+    if use_density:
+        d_ci = F.when(
+            F.col("n_ci") <= 1, F.lit(0.0)
+        ).otherwise(2.0 * F.col("e_in") / (F.col("n_ci") * (F.col("n_ci") - 1)))
+    else:
+        d_ci = F.lit(1.0)
+    term = (
+        F.col("e_in") * d_ci / F.col("m")
+        - ((2.0 * F.col("e_in") + F.col("e_out")) * d_ci / (2.0 * F.col("m"))) ** 2
+        - F.col("penalty")
+    )
+    return per.agg(F.round(F.sum(term), 8).alias("modularity_variant"))
+
+
 def contingency(pred: DataFrame, truth: DataFrame) -> DataFrame:
     """J6: (t_label, p_label, cnt) intersection sizes; k×k result."""
     p = pred.select("id", F.col("label").alias("p_label"))

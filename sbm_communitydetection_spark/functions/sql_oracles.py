@@ -248,7 +248,7 @@ FROM sizes s LEFT JOIN stats st ON s.label = st.label"""
 def coarsen_sql(n_labels: int) -> str:
     """C1 Louvain coarsening: super-graph grouped by (src_label, dst_label)."""
     return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges)
-SELECT ls.label AS src, ld.label AS dst, SUM(e.weight) AS weight
+SELECT ls.label AS src, ld.label AS dst, SUM(e.weight)::BIGINT AS weight
 FROM edges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
 GROUP BY 1, 2"""
 
@@ -314,6 +314,63 @@ per AS (
 )
 SELECT ROUND(SUM(e_in2 / t.two_m - (deg / t.two_m) * (deg / t.two_m)), 8) AS modularity
 FROM per, tot t"""
+
+
+def modularity_density_sql(
+    n_labels: int, use_split_penalty: bool = True, use_density: bool = True
+) -> str:
+    """A5 newmansModularity_ (utils/utilities.cpp:80-141) with density
+    weighting + split penalty, on the label=id%n_labels partition."""
+    d_ci_cj = "(w / (n_src * n_dst))" if use_density else "1.0"
+    penalty = (
+        f"SUM(CASE WHEN sl <> dl THEN w * {d_ci_cj} ELSE 0 END) / (2.0 * ANY_VALUE(m))"
+        if use_split_penalty
+        else "0.0"
+    )
+    d_ci = (
+        "CASE WHEN n_ci <= 1 THEN 0.0 ELSE 2.0 * e_in / (n_ci * (n_ci - 1)) END"
+        if use_density
+        else "1.0"
+    )
+    return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),
+el AS (
+    SELECT e.weight, ls.label AS sl, ld.label AS dl
+    FROM edges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+),
+pair AS (
+    SELECT sl, dl,
+           CASE WHEN sl = dl THEN SUM(weight) / 2.0 ELSE SUM(weight)::DOUBLE END AS w
+    FROM el GROUP BY sl, dl
+),
+sizes AS (SELECT label, COUNT(*)::DOUBLE AS n FROM labels GROUP BY label),
+mm AS (SELECT SUM(weight) / 2.0 AS m FROM edges),
+wsz AS (
+    SELECT p.sl, p.dl, p.w, ss.n AS n_src, sd.n AS n_dst, mm.m
+    FROM pair p JOIN sizes ss ON p.sl = ss.label JOIN sizes sd ON p.dl = sd.label, mm
+),
+per AS (
+    SELECT sl,
+           SUM(CASE WHEN sl = dl THEN w ELSE 0 END) AS e_in,
+           SUM(CASE WHEN sl <> dl THEN w ELSE 0 END) AS e_out,
+           {penalty} AS penalty,
+           ANY_VALUE(m) AS m,
+           ANY_VALUE(n_src) AS n_ci
+    FROM wsz GROUP BY sl
+),
+scored AS (SELECT *, {d_ci} AS d_ci FROM per)
+SELECT ROUND(SUM(e_in * d_ci / m
+                 - POWER((2.0 * e_in + e_out) * d_ci / (2.0 * m), 2)
+                 - penalty), 8) AS modularity_variant
+FROM scored"""
+
+
+def main_community_sql(n_labels: int) -> str:
+    """T3 getMainCommunity (src/approximate_community_detection.cpp:439-461):
+    max size, tie-break max priority (0.0 — no heap here) then MIN label."""
+    return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),
+per AS (SELECT label, COUNT(*)::BIGINT AS size, 0.0 AS priority FROM labels GROUP BY label)
+SELECT label, size, priority FROM per
+ORDER BY size DESC, priority DESC, label ASC LIMIT 1"""
 
 
 def bp_unrolled_sql(

@@ -52,7 +52,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..plans.iterate import IterationDriver
+from ..plans.iterate import IterationDriver, partition_preserving_checkpoint
 
 MSG_SCHEMA = StructType(
     [
@@ -131,6 +131,27 @@ def _finalize_kernel(p_in: float, p_out: float):
     return kernel
 
 
+def _tot_agg(lt: DataFrame, k: int) -> DataFrame:
+    """tot(dst, tot: array<double>) = element-wise Σ of incoming lt arrays.
+
+    k independent SUM columns (one per state) instead of a posexplode —
+    ONE hash aggregation whose partial (map-side) combine bounds memory at
+    O(k · n_partitions) regardless of hub degree: the salted two-phase
+    log-sum docs/SCALE.md §Skew promises, expressed as plain partial
+    aggregation (Spark's combiner IS the salt phase)."""
+    sums = [F.sum(F.element_at(F.col("lt"), s + 1)).alias(f"_t{s}") for s in range(k)]
+    per = lt.groupBy("dst").agg(*sums)
+    return per.select("dst", F.array(*[f"_t{s}" for s in range(k)]).alias("tot"))
+
+
+def _softmax_col(logits):
+    """JVM-side softmax over an array column (log-sum-exp stabilized)."""
+    mx = F.array_max(logits)
+    e = F.transform(logits, lambda x: F.exp(x - mx))
+    z = F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x)
+    return F.transform(e, lambda x: x / z)
+
+
 def belief_propagation(
     spark: SparkSession,
     edges: DataFrame,
@@ -141,6 +162,7 @@ def belief_propagation(
     max_iterations: int = 10,
     tolerance: float = 1e-6,
     driver: IterationDriver | None = None,
+    impl: str = "agg",
 ) -> DataFrame:
     """beliefs(id, label, belief) after synchronous BP on the SYMMETRIZED
     ``edges(src, dst, weight)`` with ``priors(id, prior: array<double>)``.
@@ -148,16 +170,39 @@ def belief_propagation(
     tolerance < 0 runs exactly ``max_iterations`` supersteps (oracle-parity
     mode, no convergence actions in the loop); otherwise iterate until
     max |Δmessage| ≤ tolerance.
+
+    impl='agg' (default) — the 100 TB path: the superstep is pure Catalyst
+    (element-wise log terms, one partially-aggregated groupBy for the
+    per-vertex totals, co-partitioned joins, softmax as array expressions).
+    No applyInPandas group ever holds a hub's full neighborhood: a
+    10^7-degree hub costs the combiner O(k) per map partition instead of a
+    ~2.5 GB Arrow batch (VERDICT r1 #5). Message state carries (weight,
+    belief) so edges are never re-joined inside the loop; weights must be
+    symmetric (guaranteed by the symmetrized table).
+
+    impl='kernel' — the original grouped Arrow-kernel superstep, kept as
+    the cross-checked reference implementation (tests assert agg == kernel).
     """
+    if impl not in ("agg", "kernel"):
+        raise ValueError(f"unknown BP impl {impl!r}")
     driver = driver or IterationDriver(spark, run_id="bp")
     fixed_iters = tolerance < 0
+    diff = p_in - p_out
 
-    # Per-iteration join inputs, partitioned once by the kernel's grouping
-    # key so every superstep reuses the same shuffle layout.
-    ew = edges.select("src", "dst", "weight").repartition("dst")
-    pr = priors.select(F.col("id").alias("dst"), "prior").repartition("dst")
-    ew = ew.localCheckpoint(eager=True)
-    pr = pr.localCheckpoint(eager=True)
+    # Per-iteration join inputs, partitioned once by the superstep's
+    # grouping key so every superstep reuses the same shuffle layout
+    # (partition-preserving, see plans/iterate.py).
+    ew = partition_preserving_checkpoint(
+        edges.select("src", "dst", "weight").repartition("dst")
+    )
+    pr = partition_preserving_checkpoint(
+        priors.select(F.col("id").alias("dst"), "prior").repartition("dst")
+    )
+
+    if impl == "agg":
+        return _belief_propagation_agg(
+            spark, ew, pr, k, diff, p_out, max_iterations, tolerance, driver, fixed_iters
+        )
 
     init = ew.select("src", "dst", F.array(*[F.lit(1.0 / k)] * k).alias("belief"))
 
@@ -168,26 +213,123 @@ def belief_propagation(
         new = joined.groupBy("dst").applyInPandas(step_kernel, MSG_SCHEMA)
         if fixed_iters:
             return new, float("inf")
-        delta = (
-            new.select("src", "dst", F.col("belief").alias("nb"))
-            .join(msgs, ["src", "dst"])
-            .select(
-                F.aggregate(
-                    F.zip_with("nb", "belief", lambda a, b: F.abs(a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: F.greatest(acc, x),
-                ).alias("d")
+
+        # callable metric: Δmessage scan over the PERSISTED superstep
+        # output — never re-runs the Arrow kernel plan for the metric
+        def delta(persisted: DataFrame) -> float:
+            row = (
+                persisted.select("src", "dst", F.col("belief").alias("nb"))
+                .join(msgs, ["src", "dst"])
+                .select(
+                    F.aggregate(
+                        F.zip_with("nb", "belief", lambda a, b: F.abs(a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: F.greatest(acc, x),
+                    ).alias("d")
+                )
+                .agg(F.max("d"))
+                .collect()[0][0]
             )
-            .agg(F.max("d"))
-            .collect()[0][0]
-        )
-        return new, float(delta)
+            return float(row)
+
+        return new, delta
 
     result = driver.run(
-        init, step, max_iterations=max_iterations, tolerance=tolerance, metric_name="max_msg_delta"
+        init,
+        step,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        metric_name="max_msg_delta",
+        log_rows=not fixed_iters,
     )
     final = ew.join(result.state, ["src", "dst"]).join(pr, "dst")
     return final.groupBy("dst").applyInPandas(_finalize_kernel(p_in, p_out), BELIEF_SCHEMA)
+
+
+def _belief_propagation_agg(
+    spark: SparkSession,
+    ew: DataFrame,
+    pr: DataFrame,
+    k: int,
+    diff: float,
+    p_out: float,
+    max_iterations: int,
+    tolerance: float,
+    driver: IterationDriver,
+    fixed_iters: bool,
+) -> DataFrame:
+    """Pure-Catalyst BP (see belief_propagation impl='agg'). State =
+    (src, dst, weight, belief) messages, repartitioned by dst per superstep
+    — the one unavoidable exchange (message direction flips every round)."""
+
+    def _lt(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "lt",
+            F.transform(
+                "belief", lambda x: F.col("weight") * F.log(F.lit(p_out) + F.lit(diff) * x)
+            ),
+        )
+
+    init = ew.select(
+        "src", "dst", "weight", F.array(*[F.lit(1.0 / k)] * k).alias("belief")
+    )
+
+    def step(msgs: DataFrame, i: int):
+        lt = _lt(msgs)
+        tot = _tot_agg(lt, k)  # co-partitioned with lt & pr (all hash(dst))
+        logits = F.zip_with(
+            F.zip_with("tot", "lt", lambda t, l: t - l),
+            "prior",
+            lambda a, p: a + F.log(p),
+        )
+        out = (
+            lt.join(tot, "dst")
+            .join(pr, "dst")
+            .select("src", "dst", "weight", _softmax_col(logits).alias("belief"))
+        )
+        # flip direction i→j and land pre-partitioned on the NEXT round's
+        # aggregation key
+        new = out.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight", "belief"
+        ).repartition("dst")
+        if fixed_iters:
+            return new, float("inf")
+
+        def delta(persisted: DataFrame) -> float:
+            row = (
+                persisted.select("src", "dst", F.col("belief").alias("nb"))
+                .join(msgs, ["src", "dst"])
+                .select(
+                    F.aggregate(
+                        F.zip_with("nb", "belief", lambda a, b: F.abs(a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: F.greatest(acc, x),
+                    ).alias("d")
+                )
+                .agg(F.max("d"))
+                .collect()[0][0]
+            )
+            return float(row)
+
+        return new, delta
+
+    result = driver.run(
+        init,
+        step,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        metric_name="max_msg_delta",
+        log_rows=not fixed_iters,
+    )
+    tot = _tot_agg(_lt(result.state), k)
+    b = _softmax_col(F.zip_with("prior", "tot", lambda p, t: F.log(p) + t))
+    final = tot.join(pr, "dst").select(F.col("dst").alias("id"), b.alias("belief"))
+    # argmax = first index of the max (ties → smallest state, np.argmax parity)
+    return final.select(
+        "id",
+        (F.array_position(F.col("belief"), F.array_max("belief")) - 1).cast("long").alias("label"),
+        "belief",
+    )
 
 
 # -- pure-python oracle (tests) ---------------------------------------------

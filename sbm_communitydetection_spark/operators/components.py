@@ -75,9 +75,15 @@ def connected_components(
 
     def step(state: DataFrame, i: int):
         new = _small_star(_large_star(state))
-        n, h = _checksum(new)
-        changed = 0.0 if last["sum"] == (n, h) else 1.0
-        last["sum"] = (n, h)
+
+        # callable metric: the (count, hash) checksum runs on the PERSISTED
+        # round output — one cached scan, no recompute of the round plan
+        def changed(persisted: DataFrame) -> float:
+            n, h = _checksum(persisted)
+            same = last["sum"] == (n, h)
+            last["sum"] = (n, h)
+            return 0.0 if same else 1.0
+
         return new, changed
 
     result = driver.run(pairs, step, max_iterations=max_iterations, tolerance=0.0, metric_name="edge_set_changed")

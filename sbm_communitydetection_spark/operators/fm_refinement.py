@@ -174,7 +174,12 @@ def fm_refine(
     ).unionByName(pairs.select(F.col("label_b").alias("label"), "label_a", "label_b"))
 
     deg = edges.groupBy("src").agg(F.sum("weight").alias("deg")).withColumnRenamed("src", "id")
-    members = labels.join(pair_of, "label").join(deg, "id")
+    # left join + coalesce: an isolated (zero-degree) vertex whose label is
+    # in a pair must still reach the kernel — an inner join would silently
+    # drop it from the returned (id, label) set (ADVICE r1)
+    members = labels.join(pair_of, "label").join(deg, "id", "left").withColumn(
+        "deg", F.coalesce(F.col("deg"), F.lit(0.0))
+    )
 
     # induced adjacency: neighbors of each member WITHIN the pair's vertex
     # set, packed as arrays for the Arrow kernel

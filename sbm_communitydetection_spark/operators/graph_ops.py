@@ -177,6 +177,26 @@ def canonical_relabel(labels: DataFrame, distributed_threshold: int = 1_000_000)
     )
 
 
+def main_community(labels: DataFrame, node_priority: DataFrame | None = None) -> DataFrame:
+    """T3 getMainCommunity (src/approximate_community_detection.cpp:439-461):
+    the community of maximum size; ties broken by the maximum per-member
+    priority (the reference reads its node-removal heap's max value), then
+    deterministically by MIN label (the reference's unordered_map iteration
+    order is nondeterministic — documented divergence).
+
+    Returns a single-row DataFrame (label, size, priority). One groupBy +
+    one global top-1 — no driver-side iteration."""
+    if node_priority is not None:
+        lp = labels.join(node_priority.select("id", "priority"), "id", "left")
+    else:
+        lp = labels.withColumn("priority", F.lit(0.0))
+    per = lp.groupBy("label").agg(
+        F.count("*").alias("size"),
+        F.coalesce(F.max("priority"), F.lit(float("-inf"))).alias("priority"),
+    )
+    return per.orderBy(F.desc("size"), F.desc("priority"), F.asc("label")).limit(1)
+
+
 def disband(labels: DataFrame, affected_ids: DataFrame) -> DataFrame:
     """disbandCommunities (C3: src/dynamic_community_detection.cpp:243-247):
     affected nodes become singletons (label ← id)."""

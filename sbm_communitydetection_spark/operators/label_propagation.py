@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.iterate import IterationDriver, IterationResult
+from ..plans.iterate import (
+    IterationDriver,
+    IterationResult,
+    partition_preserving_checkpoint,
+)
 
 
 def lpa_superstep(
@@ -43,6 +47,10 @@ def lpa_superstep(
                         reference's keep-own-community-unless-better rule
                         (src/dynamic_community_detection.cpp:143-160), which
                         damps the period-2 oscillation plain sync LPA exhibits.
+
+    (variant='gain' is handled by label_propagation directly — it needs the
+    graph total weight 2m, a per-run scalar, so it is not a pure per-step
+    function of (edges, labels).)
     """
     if variant not in ("plain", "keep_own"):
         raise ValueError(f"unknown LPA variant {variant!r}")
@@ -100,11 +108,53 @@ def label_propagation(
     """IterationResult whose .state is labels(id, label) at convergence.
 
     edges must be the SYMMETRIZED weighted table.
+
+    variant='gain' is the reference's T2 semantics — the modularity-gain
+    argmax with the epsilon_gain threshold of
+    src/dynamic_community_detection.cpp:143-160 (ε at
+    include/DCD/dynamic_community_detection.h:25). Unlike raw weight-voting
+    ('plain'/'keep_own'), the gain score penalizes a candidate community by
+    its total degree, so dense small graphs do not collapse into one
+    community. Measured on the strong golden-corpus config (n=20, k=2,
+    p_in=.9/p_out=.1): node-level gain sweeps ALONE stall at a 5-community
+    local optimum (Q=0.301) — synchronous local moving cannot merge whole
+    communities — while adding the reference DCD's community-merge phase
+    (coarsen → re-sweep on the super-graph, C1 semantics) reaches the
+    planted 2-block optimum (Q=0.392) exactly. 'gain' therefore runs the
+    full multi-level gain pipeline (louvain internals) and repackages the
+    per-level sweep series as this driver's iteration metrics; this is the
+    variant that recovers the planted SBM partition (north-star criterion).
     """
+    if variant not in ("plain", "keep_own", "gain"):
+        raise ValueError(f"unknown LPA variant {variant!r}")
+    if variant == "gain":
+        from .louvain import louvain
+
+        res = louvain(
+            spark,
+            edges,
+            vertices=vertices,
+            initial_labels=initial_labels,
+            max_sweeps=max_iterations,
+            canonical=False,
+        )
+        total_sweeps = sum(res.sweeps) if res.sweeps else res.levels
+        metrics = [
+            {"level": lv, "sweeps": s, "modularity": q}
+            for lv, (s, q) in enumerate(zip(res.sweeps, res.modularity_per_level))
+        ]
+        return IterationResult(
+            state=res.labels.localCheckpoint(eager=True),
+            iterations=total_sweeps,
+            converged=True,
+            metrics=metrics,
+        )
     driver = driver or IterationDriver(spark, run_id="lpa")
-    # Pre-partition the edge table by the superstep's join key (dst) so each
-    # iteration shuffles only the label vector, not the edges.
-    edges = edges.repartition("dst").localCheckpoint(eager=True)
+    # Pre-partition the edge table by the superstep's join key (dst) so
+    # each iteration shuffles only the label vector, not the edges —
+    # partition-preserving checkpoint, or AQE downgrades this to a full
+    # edge re-exchange per superstep (see plans/iterate.py).
+    edges = partition_preserving_checkpoint(edges.repartition("dst"))
     fixed_iters = tolerance < 0
     if initial_labels is not None:
         labels = initial_labels.select("id", "label")
@@ -115,6 +165,8 @@ def label_propagation(
             else edges.select(F.col("src").alias("id")).distinct()
         )
         labels = verts.select("id", F.col("id").alias("label"))
+    # co-partitioned with edges on the superstep join key (id → dst)
+    labels = labels.repartition("id")
 
     n_vertices = labels.count()
     use_broadcast = n_vertices <= broadcast_rows_threshold
@@ -124,13 +176,23 @@ def label_propagation(
         if fixed_iters:
             # exact-iteration mode: skip the changed-count action
             return new, float("inf")
-        changed = (
-            new.join(state.withColumnRenamed("label", "old_label"), "id")
-            .filter(F.col("label") != F.col("old_label"))
-            .count()
-        )
-        return new, float(changed)
+
+        # callable metric: runs on the PERSISTED superstep output (cheap
+        # label-vector join), not the unpersisted plan (2x compute)
+        def changed(persisted: DataFrame) -> float:
+            return float(
+                persisted.join(state.withColumnRenamed("label", "old_label"), "id")
+                .filter(F.col("label") != F.col("old_label"))
+                .count()
+            )
+
+        return new, changed
 
     return driver.run(
-        labels, step, max_iterations=max_iterations, tolerance=tolerance, metric_name="labels_changed"
+        labels,
+        step,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        metric_name="labels_changed",
+        log_rows=not fixed_iters,
     )

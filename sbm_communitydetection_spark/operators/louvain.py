@@ -33,7 +33,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.iterate import LineageTruncator
+from ..plans.iterate import LineageTruncator, partition_preserving_checkpoint
 from .graph_ops import canonical_relabel, coarsen
 
 EPSILON_GAIN = 1e-4  # include/DCD/dynamic_community_detection.h:25
@@ -198,6 +198,7 @@ def louvain(
     spark: SparkSession,
     edges: DataFrame,
     vertices: DataFrame | None = None,
+    initial_labels: DataFrame | None = None,
     max_levels: int = 5,
     max_sweeps: int = 16,
     epsilon_gain: float = EPSILON_GAIN,
@@ -207,9 +208,13 @@ def louvain(
     """Full multi-level modularity optimization over the SYMMETRIZED
     ``edges(src, dst, weight)``. Returns labels on original vertex ids
     (canonically relabeled 0..k-1 by min member id when ``canonical``,
-    the reference's relabelGraph C4)."""
+    the reference's relabelGraph C4).
+
+    ``initial_labels`` (id, label) seeds LEVEL 0's sweep start instead of
+    the singleton init — the warm-start path used by the streaming driver
+    and label_propagation(variant='gain')."""
     truncate = LineageTruncator(spark, prefix="louvain")
-    edges = edges.repartition("dst").localCheckpoint(eager=True)
+    edges = partition_preserving_checkpoint(edges.repartition("dst"))
     verts = (
         vertices.select("id")
         if vertices is not None
@@ -226,15 +231,20 @@ def louvain(
     levels = 0
 
     for _level in range(max_levels):
-        init = level_edges.select(F.col("src").alias("id")).distinct().select(
-            "id", F.col("id").alias("label")
-        )
+        if _level == 0 and initial_labels is not None:
+            init = initial_labels.select("id", "label")
+        else:
+            init = level_edges.select(F.col("src").alias("id")).distinct().select(
+                "id", F.col("id").alias("label")
+            )
         # level modularity == global modularity of the expanded partition
         # (self-loop convention), so the sweep loop's q IS the global Q
         moved, q, n_sweeps = _sweeps_until_stable(
             level_edges, init, two_m, max_sweeps, epsilon_gain, min_modularity_gain, truncate
         )
-        if q <= best_q + min_modularity_gain or n_sweeps == 0:
+        # n_sweeps==0 with q > best_q happens only for a warm start whose
+        # initial partition already beats singletons: adopt it, then stop.
+        if q <= best_q + min_modularity_gain:
             break
         # compose: original membership's label is a vertex of level_edges
         membership = (
@@ -249,6 +259,8 @@ def louvain(
         levels += 1
         sweeps_per_level.append(n_sweeps)
         q_per_level.append(q)
+        if n_sweeps == 0:
+            break
         # super-graph keeps self-loops: they carry the absorbed intra weight
         # that the next level's degree/tot terms need (C1 semantics)
         coarse = coarsen(level_edges, moved)

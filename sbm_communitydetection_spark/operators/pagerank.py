@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.iterate import IterationDriver
+from ..plans.iterate import IterationDriver, partition_preserving_checkpoint
 
 
 def pagerank(
@@ -55,14 +55,16 @@ def pagerank(
     n = verts.count()
 
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # Pre-partition the transition table by the probe key so the per-iteration
-    # join only shuffles the (small) rank vector, never the edge table —
-    # localCheckpoint preserves the hash partitioning across iterations.
-    adj = (
+    # Pre-partition the transition table by the probe key so the
+    # per-iteration join only shuffles the (small) rank vector, never the
+    # edge table. MUST be the partition-preserving checkpoint: a plain
+    # localCheckpoint under AQE records UnknownPartitioning and silently
+    # re-exchanges all of `adj` every superstep (measured — the round-1
+    # scaling failure).
+    adj = partition_preserving_checkpoint(
         edges.join(out_w, "src")
         .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("frac"))
         .repartition("src")
-        .localCheckpoint(eager=True)
     )
     dangling_ids = verts.join(out_w.select(F.col("src").alias("id")), "id", "left_anti").localCheckpoint(
         eager=True
@@ -85,7 +87,10 @@ def pagerank(
         side = state.withColumnRenamed("id", "src")
         return F.broadcast(side) if use_broadcast else side.hint("SHUFFLE_HASH")
 
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank"))
+    # init co-partitioned with adj (hash(id) ≡ hash(src) after the rename
+    # in _rank_side): every superstep's big join is then exchange-free on
+    # BOTH sides — only the partially-aggregated contribs move
+    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).repartition("id")
     base = (1.0 - damping) / n
 
     def step(state: DataFrame, i: int):
@@ -102,25 +107,40 @@ def pagerank(
             .agg(F.sum(F.col("rank") * F.col("frac")).alias("contrib"))
             .withColumnRenamed("dst", "id")
         )
-        new = (
-            state.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
-                ).alias("new_rank"),
-                F.col("rank").alias("old_rank"),
-            )
+        # SHUFFLE_HASH: both sides are already hash(id)-partitioned; the
+        # hint swaps the default co-partitioned sort-merge (2 sorts of the
+        # full rank vector per superstep) for a plain hash join
+        new = state.join(contribs.hint("SHUFFLE_HASH"), "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
+            ).alias("rank"),
         )
         if fixed_iters:
             # no convergence test requested — skip the extra delta action
-            return new.select("id", F.col("new_rank").alias("rank")), float("inf")
-        delta = new.agg(F.max(F.abs(F.col("new_rank") - F.col("old_rank")))).collect()[0][0]
-        return new.select("id", F.col("new_rank").alias("rank")), float(delta)
+            return new, float("inf")
+
+        # callable metric: evaluated on the PERSISTED new state, so the
+        # delta scan joins two materialized 1-row-per-vertex vectors
+        # instead of re-running the whole superstep plan
+        def delta(persisted: DataFrame) -> float:
+            row = (
+                persisted.join(state.withColumnRenamed("rank", "old_rank"), "id")
+                .agg(F.max(F.abs(F.col("rank") - F.col("old_rank"))))
+                .collect()[0][0]
+            )
+            return float(row)
+
+        return new, delta
 
     result = driver.run(
-        ranks, step, max_iterations=max_iterations, tolerance=tolerance, metric_name="max_delta"
+        ranks,
+        step,
+        max_iterations=max_iterations,
+        tolerance=tolerance,
+        metric_name="max_delta",
+        log_rows=not fixed_iters,
     )
     if collect_metrics is not None:
         collect_metrics.extend(result.metrics)

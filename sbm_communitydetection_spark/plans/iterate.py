@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 import time
 from collections.abc import Callable
@@ -42,6 +43,30 @@ from pyspark.sql import DataFrame, SparkSession
 # SEVERANCE_EVERY-th persist goes through parquet to hard-sever the chain;
 # the in-between iterations keep the cheap in-memory localCheckpoint.
 SEVERANCE_EVERY = 8
+
+
+def partition_preserving_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint that KEEPS the DataFrame's hash partitioning.
+
+    With AQE enabled, `Dataset.localCheckpoint` materializes an
+    AdaptiveSparkPlan whose output partitioning is recorded as
+    UnknownPartitioning — so every downstream join/aggregate re-exchanges
+    the checkpointed table even when it was just repartitioned on the join
+    key. Measured on the PR superstep (19.2M-edge bench graph): the
+    "exchange-free adjacency" design silently degraded to a full edge-table
+    shuffle EVERY iteration (explain showed `Scan ExistingRDD ...
+    UnknownPartitioning`), which is why round-1 scaling efficiency was
+    0.237. Compiling the checkpoint with AQE off records the real
+    `hashpartitioning(key, N)` on the LogicalRDD; the toggle only affects
+    this materialization job, and AQE is restored for everything after.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
 
 
 class LineageTruncator:
@@ -59,6 +84,7 @@ class LineageTruncator:
         self.every = severance_every
         self._dir = severance_dir
         self._count = 0
+        self._last_path: str | None = None
 
     def _severance_path(self) -> str:
         if self._dir is None:
@@ -70,8 +96,25 @@ class LineageTruncator:
         if self.every > 0 and self._count % self.every == 0:
             path = self._severance_path()
             df.write.mode("overwrite").parquet(path)
-            return self.spark.read.parquet(path)
-        return df.localCheckpoint(eager=True)
+            out = self.spark.read.parquet(path)
+            # Eagerly sever lineage from the files we are about to delete:
+            # the read-back must not lazily reference a removed snapshot.
+            out = out.localCheckpoint(eager=True)
+            # Only the latest snapshot is ever referenced again — drop the
+            # previous one so long streaming/Louvain runs don't leak disk.
+            if self._last_path is not None:
+                shutil.rmtree(self._last_path, ignore_errors=True)
+            self._last_path = path
+            return out
+        return partition_preserving_checkpoint(df)
+
+    def cleanup(self) -> None:
+        """Drop all severance snapshots (call when the run's state DataFrame
+        is no longer needed)."""
+        if self._dir is not None:
+            shutil.rmtree(self._dir, ignore_errors=True)
+            self._dir = None
+            self._last_path = None
 
 
 @dataclass
@@ -108,6 +151,10 @@ class IterationDriver:
 
     def _persist(self, df: DataFrame, i: int) -> DataFrame:
         if self.mode == "local":
+            # partition-preserving (see partition_preserving_checkpoint):
+            # iteration state stays co-partitioned with the static join
+            # inputs, so each superstep shuffles only the intrinsic
+            # communication, never the state/adjacency re-exchange
             return self._truncator(df)
         path = self._iter_path(i)
         df.write.mode("overwrite").parquet(path)
@@ -147,13 +194,25 @@ class IterationDriver:
         tolerance: float = 0.0,
         resume: bool = False,
         metric_name: str = "delta",
+        log_rows: bool = True,
     ) -> IterationResult:
         """Iterate ``step(state, i) -> (new_state, convergence_metric)``
         until metric <= tolerance or max_iterations.
 
         The convergence metric is whatever the algorithm defines (count of
         changed labels, max rank delta, ...); it is recorded per iteration.
-        """
+
+        ``convergence_metric`` may be a float OR a callable
+        ``(persisted_new_state) -> float`` — the callable form is evaluated
+        AFTER the state is persisted, so the metric action scans the
+        materialized iteration output instead of re-running the whole
+        superstep plan (a float metric computed inside ``step`` triggers
+        the plan once for the metric and a second time for the eager
+        persist — 2x compute per iteration).
+
+        ``log_rows=False`` skips the per-iteration row-count action (the
+        count is metrics-only; in fixed-iteration mode it is one whole
+        extra job per superstep — measurable at bench scale)."""
         start_iter = 0
         if resume:
             resumed = self.resume_state()
@@ -180,7 +239,9 @@ class IterationDriver:
             t0 = time.monotonic()
             new_state, metric = step(state, i)
             new_state = self._persist(new_state, i)
-            rows = new_state.count()
+            if callable(metric):
+                metric = float(metric(new_state))
+            rows = new_state.count() if log_rows else -1
             wall = time.monotonic() - t0
             row = {
                 "run_id": self.run_id,

@@ -59,6 +59,13 @@ def get_spark(
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_DRIVER_MEMORY", "12g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ParallelGC: measured on the 19.2M-edge PR bench at local[32] —
+        # default G1's concurrent cycles interleave badly with 32 shuffle
+        # threads (steady-state superstep 6.1s, spikes to 17s); ParallelGC
+        # gives 2.4s steady with no spikes. Throughput-oriented batch jobs
+        # on fat executors want the same on a real cluster
+        # (spark.executor.extraJavaOptions there).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     if local_dir and "spark.local.dir" not in (extra_conf or {}):
         builder = builder.config("spark.local.dir", local_dir)

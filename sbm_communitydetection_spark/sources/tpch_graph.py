@@ -47,7 +47,10 @@ def lineitem_edges_sql(n_verts: int = N_VERTS) -> str:
         SELECT dst AS src, src AS dst, weight FROM raw
     ),
     edges AS (
-        SELECT src, dst, SUM(weight) AS weight
+        -- ::BIGINT: DuckDB promotes SUM(BIGINT) to HUGEINT, which the
+        -- driver's type-sensitive value hash sees as a mismatch vs
+        -- Spark's int64 even when values are identical (VERDICT r1 #2)
+        SELECT src, dst, SUM(weight)::BIGINT AS weight
         FROM sym WHERE src <> dst
         GROUP BY src, dst
         HAVING SUM(weight) <> 0

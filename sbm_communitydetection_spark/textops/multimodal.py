@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -60,7 +61,18 @@ def decode_meta(docs_with_payload: DataFrame) -> DataFrame:
         for pdf in it:
             payloads = pdf["payload"]
             n = payloads.str.len()
-            checksum = payloads.map(lambda b: sum(b) % 1_000_003)
+            # one np.frombuffer over the batch's concatenated bytes, then
+            # per-payload byte sums as cumsum differences at the payload
+            # boundaries — no per-row Python even inside the Arrow batch
+            # (VERDICT r1 minor)
+            if len(payloads):
+                flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+                lens = n.to_numpy(dtype=np.int64)
+                csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+                ends = np.cumsum(lens)
+                checksum = (csum[ends] - csum[ends - lens]) % 1_000_003
+            else:
+                checksum = np.empty(0, dtype=np.int64)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

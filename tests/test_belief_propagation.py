@@ -74,3 +74,52 @@ def test_bp_recovers_planted_sbm(spark):
     n = joined.count()
     assert n == 45
     assert mismatches == 0, f"{mismatches}/{n} vertices mislabeled"
+
+
+def test_bp_agg_equals_kernel(spark):
+    """The pure-Catalyst superstep (impl='agg', the 100 TB path) must
+    reproduce the grouped Arrow kernel exactly (same math, different
+    execution shape)."""
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    edges = _sym_edges(spark, pairs)
+    obs = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 2)], "id long, label long"
+    )
+    priors = noisy_priors(obs, K, NOISE)
+    kw = dict(k=K, p_in=P_IN, p_out=P_OUT, max_iterations=3, tolerance=-1.0)
+    agg = {r.id: (r.label, list(r.belief)) for r in
+           belief_propagation(spark, edges, priors, impl="agg", **kw).collect()}
+    ker = {r.id: (r.label, list(r.belief)) for r in
+           belief_propagation(spark, edges, priors, impl="kernel", **kw).collect()}
+    assert agg.keys() == ker.keys()
+    for i in agg:
+        assert agg[i][0] == ker[i][0]
+        for a, b in zip(agg[i][1], ker[i][1]):
+            assert abs(a - b) < 1e-9
+
+
+def test_bp_hub_bounded_group(spark):
+    """A high-degree hub (star graph) through the agg path: no Arrow group
+    ever holds the hub's whole neighborhood — the partial aggregation
+    combiner bounds memory — and the result still matches the python
+    oracle (VERDICT r1 #5 / docs/SCALE.md Skew)."""
+    hub_deg = 2000
+    pairs = [(0, i) for i in range(1, hub_deg + 1)]
+    edges = _sym_edges(spark, pairs).repartition(8).localCheckpoint(eager=True)
+    obs = spark.createDataFrame(
+        [(i, i % K) for i in range(hub_deg + 1)], "id long, label long"
+    )
+    priors = noisy_priors(obs, K, NOISE)
+    res = belief_propagation(
+        spark, edges, priors, k=K, p_in=P_IN, p_out=P_OUT,
+        max_iterations=2, tolerance=-1.0, impl="agg",
+    ).collect()
+    prior_map = {r.id: list(r.prior) for r in priors.collect()}
+    etup = [(r.src, r.dst, r.weight) for r in edges.collect()]
+    oracle = bp_oracle(etup, prior_map, K, P_IN, P_OUT, n_iterations=2)
+    assert len(res) == hub_deg + 1
+    for r in res:
+        olabel, obelief = oracle[r.id]
+        assert r.label == olabel
+        for a, b in zip(r.belief, obelief):
+            assert abs(a - b) < 1e-9

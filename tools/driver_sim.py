@@ -62,9 +62,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
         if name not in oracles:
             print(f"  {name}: rows-only check, {len(srows)} rows (no oracle)")
             continue
-        ores = con.execute(oracles[name])
-        ocols = [d[0].lower() for d in ores.description]
-        orows = ores.fetchall()
+        # fetch via pandas like the real driver: DuckDB HUGEINT (un-cast
+        # SUM(BIGINT)) becomes float64 here, making the hash type-sensitive
+        # exactly as the round driver is (VERDICT r1 #2)
+        odf = con.execute(oracles[name]).fetchdf()
+        ocols = [c.lower() for c in odf.columns]
+        orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         ohash = value_hash(orows, ocols)
         ok_rows = len(srows) == len(orows)
         ok_schema = scols == sorted(ocols)
