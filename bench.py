@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import resource
 import sys
 import time
 
@@ -23,6 +24,43 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 PR_ITERS = 10
 LPA_ITERS = 5
+
+
+def _rss_cpu() -> tuple[int, float]:
+    """(driver-process VmRSS bytes, cumulative CPU seconds) — the engine
+    analogue of the reference's Q10 resource probes
+    (utils/quality_measures.cpp:190-220 VmRSS / CPU deltas). Local mode:
+    the Python driver's footprint; the JVM's RSS is read from /proc of the
+    child via the JVM metric below when available."""
+    ru = resource.getrusage(resource.RUSAGE_SELF)
+    cpu = ru.ru_utime + ru.ru_stime
+    rss = ru.ru_maxrss * 1024  # linux: KiB
+    return rss, cpu
+
+
+def _jvm_rss_bytes() -> int:
+    """Peak RSS of the in-process JVM (local mode: the whole executor),
+    summed over /proc children of this process."""
+    total = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().split()
+                if int(parts[3]) != os.getpid():  # ppid
+                    continue
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmHWM:"):
+                            total += int(line.split()[1]) * 1024
+                            break
+            except (OSError, ValueError, IndexError):
+                continue
+    except OSError:
+        pass
+    return total
 
 
 def main() -> None:
@@ -53,8 +91,12 @@ def main() -> None:
     # 10^12-scale cluster must use (rank/label vectors too big to
     # broadcast), hence what the N-vs-4N scaling run measures
     broadcast_thr = 5_000_000 if os.environ.get("SPARK_GRAFT_PR_BROADCAST", "1") == "1" else 0
+    # the scaling harness pins shuffle partitions across parallelism
+    # levels (a real cluster keeps partitioning fixed when scaling
+    # executors); default remains partitions == cores
+    parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", str(cores)))
 
-    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(app_name="bench", cores=cores, shuffle_partitions=parts)
     spark.sparkContext.setLogLevel("ERROR")
 
     # Materialize the AMPLIFIED benchmark edge table once (cached, as a
@@ -132,6 +174,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     pr_lpa_iters = PR_ITERS + LPA_ITERS
     pr_lpa_time = timings.get("pagerank", 0.0) + timings.get("lpa", 0.0)
+    rss, cpu = _rss_cpu()
     result = {
         "metric": "headline_queries_total_time",
         "value": total,
@@ -142,6 +185,10 @@ def main() -> None:
         "n_directed_edges": n_edges,
         "iters_per_sec": round(pr_lpa_iters / pr_lpa_time, 3),
         "edges_per_sec": round(n_edges * pr_lpa_iters / pr_lpa_time, 1),
+        # Q10 resource probes (reference utils/quality_measures.cpp:190-220)
+        "driver_peak_rss_bytes": rss,
+        "driver_cpu_sec": round(cpu, 2),
+        "jvm_peak_rss_bytes": _jvm_rss_bytes(),
     }
     spark.stop()
     print(json.dumps(result))

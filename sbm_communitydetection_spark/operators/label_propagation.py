@@ -59,14 +59,29 @@ def lpa_superstep(
     lbl_side = labels.select(F.col("id").alias("dst"), F.col("label").alias("nbr_label"))
     if broadcast_labels:
         lbl_side = F.broadcast(lbl_side)
+    else:
+        # both sides are hash(dst)-co-partitioned (edges pre-partitioned,
+        # labels persisted partition-preserving); the hint picks a plain
+        # hash join over the default sort-merge, which would SORT the full
+        # edge table every superstep
+        lbl_side = lbl_side.hint("SHUFFLE_HASH")
     nbr = edges.join(lbl_side, "dst")
-    scores = nbr.groupBy("src", "nbr_label").agg(F.sum("weight").alias("score"))
+    # ONE exchange by src, then both aggregations run partition-local:
+    # hash(src) satisfies groupBy(src, nbr_label)'s clustering, and early
+    # supersteps have ~|E| distinct (src, nbr_label) groups (singleton
+    # init), so a compound-key exchange would move the same rows with a
+    # useless map-side combine, then exchange AGAIN for the argmax.
+    scores = (
+        nbr.repartition("src")
+        .groupBy("src", "nbr_label")
+        .agg(F.sum("weight").alias("score"))
+    )
     if variant == "plain":
         best = scores.groupBy("src").agg(
             F.max(F.struct(F.col("score"), (-F.col("nbr_label")).alias("neg_label"))).alias("m")
         )
         best = best.select(F.col("src").alias("id"), (-F.col("m.neg_label")).alias("best_label"))
-        return labels.join(best, "id", "left").select(
+        return labels.join(best.hint("SHUFFLE_HASH"), "id", "left").select(
             "id", F.coalesce("best_label", "label").alias("label")
         )
     # keep_own: one aggregation computes both argmax and the current label's score
@@ -171,8 +186,32 @@ def label_propagation(
     n_vertices = labels.count()
     use_broadcast = n_vertices <= broadcast_rows_threshold
 
+    singleton_init = initial_labels is None
+
     def step(state: DataFrame, i: int):
-        new = lpa_superstep(edges, state, variant=variant, broadcast_labels=use_broadcast)
+        if i == 1 and singleton_init and variant == "plain":
+            # singleton labels ⇒ nbr_label == dst, so the A8 aggregate is
+            # the IDENTITY on the (already (src,dst)-aggregated) edge
+            # table — skip the join and the per-(src,label) aggregation,
+            # go straight to the argmax
+            scores = edges.select(
+                "src", F.col("dst").alias("nbr_label"), F.col("weight").alias("score")
+            )
+            best = (
+                scores.repartition("src")
+                .groupBy("src")
+                .agg(
+                    F.max(
+                        F.struct(F.col("score"), (-F.col("nbr_label")).alias("neg_label"))
+                    ).alias("m")
+                )
+                .select(F.col("src").alias("id"), (-F.col("m.neg_label")).alias("best_label"))
+            )
+            new = state.join(best.hint("SHUFFLE_HASH"), "id", "left").select(
+                "id", F.coalesce("best_label", "label").alias("label")
+            )
+        else:
+            new = lpa_superstep(edges, state, variant=variant, broadcast_labels=use_broadcast)
         if fixed_iters:
             # exact-iteration mode: skip the changed-count action
             return new, float("inf")

@@ -126,10 +126,29 @@ def stream_community_detection(
                 "id",
                 F.when(F.col("hit").isNotNull(), F.col("id")).otherwise(F.col("label")).alias("label"),
             )
-        for _ in range(supersteps_per_batch):
-            # truncate EVERY superstep: lpa_superstep references the label
-            # plan ~3×, so an unchecked chain grows as 3^steps logical nodes
-            labels = truncate(lpa_superstep(edges, labels, variant=lpa_variant))
+        if lpa_variant == "gain":
+            # reference-DCD semantics per batch: warm-started multi-level
+            # gain optimization (local moves + community merges) from the
+            # current partition — the T2 gain argmax alone stalls at local
+            # optima on dense graphs (see label_propagation docstring)
+            from ..operators.louvain import louvain
+
+            labels = truncate(
+                louvain(
+                    spark,
+                    edges,
+                    initial_labels=labels,
+                    max_levels=2,
+                    max_sweeps=supersteps_per_batch,
+                    canonical=False,
+                ).labels
+            )
+        else:
+            for _ in range(supersteps_per_batch):
+                # truncate EVERY superstep: lpa_superstep references the
+                # label plan ~3×, so an unchecked chain grows as 3^steps
+                # logical nodes
+                labels = truncate(lpa_superstep(edges, labels, variant=lpa_variant))
 
         row = {
             "batch": b,

@@ -116,6 +116,31 @@ def test_louvain_near_optimal_on_corpus(spark, n, m, k, p_out, p_in):
     assert res.modularity >= 0.95 * q_exact, (res.modularity, q_exact)
 
 
+def test_stream_lpa_near_optimal_on_corpus(spark):
+    """§2.10 validation against the exact oracle: the streaming community
+    tracker's final partition on the strong corpus config must reach ≥90%
+    of the exact optimum modularity (reference EP2 quality bar)."""
+    from sbm_communitydetection_spark.functions.metrics import modularity as q_of
+    from sbm_communitydetection_spark.streaming.stream_driver import (
+        stream_community_detection,
+    )
+
+    n, m, k, p_out, p_in = CONFIGS[0]
+    vertices, stream = generate_sbm(spark, n=n, k=k, m=m, p_in=p_in, p_out=p_out, seed=13)
+    res = stream_community_detection(
+        spark,
+        stream.select("src", "dst", F.lit(1).cast("long").alias("weight"), "edge_seq"),
+        n_batches=4,
+        supersteps_per_batch=4,
+        truth=vertices.select("id", "label"),
+        lpa_variant="gain",
+    )
+    q_stream = q_of(res.edges, res.labels).collect()[0][0]
+    q_exact, _ = exact_max_modularity(res.edges)
+    assert q_exact > 0
+    assert q_stream >= 0.90 * q_exact, (q_stream, q_exact)
+
+
 def test_fm_refine_near_optimal_two_block(spark):
     """D3 validation against the exact oracle: FM refinement of a random
     balanced 2-way split on the strong corpus config must land within 10%
