@@ -32,6 +32,7 @@ from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     lineitem_edges,
     lineitem_edges_sql,
 )
+from sbm_communitydetection_spark.sources import events_transcripts as ET  # noqa: E402
 from sbm_communitydetection_spark.textops import analysis as TA  # noqa: E402
 from sbm_communitydetection_spark.textops import dedup as TD  # noqa: E402
 from sbm_communitydetection_spark.textops import multimodal as TM  # noqa: E402
@@ -161,6 +162,42 @@ def _q_triangles_per_vertex(spark, sf_dir):
     from sbm_communitydetection_spark.operators.triangles import triangle_counts_per_vertex
 
     return triangle_counts_per_vertex(lineitem_edges(spark, sf_dir)).select("id", "tri_count")
+
+
+# -- transcript extraction (input_hint pipeline, driver-gated) --------------
+
+
+def _q_transcript_edges(spark, sf_dir):
+    """Full transcripts→link-graph extraction (operators/extract.py) over
+    the events-derived transcript table; ids mapped back to string actor
+    keys so the DuckDB oracle (no xxhash64) can mirror it exactly."""
+    from sbm_communitydetection_spark.operators.extract import extract_edges, extract_vertices
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    t = events_transcripts(spark, sf_dir)
+    edges, verts = extract_edges(t), extract_vertices(t)
+    return (
+        edges.join(
+            F.broadcast(verts.select(F.col("id").alias("src"), F.col("actor_key").alias("src_key"))),
+            "src",
+        )
+        .join(
+            F.broadcast(verts.select(F.col("id").alias("dst"), F.col("actor_key").alias("dst_key"))),
+            "dst",
+        )
+        .select("src_key", "dst_key", "weight")
+    )
+
+
+def _q_turn_text(spark, sf_dir):
+    """Per-turn text equality under stable turn ordering (input_hint
+    invariant): text must survive the actor-annotation step byte-identical."""
+    from sbm_communitydetection_spark.operators.extract import extract_turn_actors
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return extract_turn_actors(events_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "text"
+    )
 
 
 # -- graph DML / coarsening -------------------------------------------------
@@ -418,6 +455,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "r_hop_neighborhood": _q_r_hop,  # T6 radius-bounded BFS
+        # transcript extraction (input_hint pipeline)
+        "transcript_reply_edges": _q_transcript_edges,  # extract.py end-to-end
+        "transcript_turn_text": _q_turn_text,  # per-turn text equality
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
         "fm_refine_pair": _q_fm_refine,  # D3 (rows-only check)
@@ -481,6 +521,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": edges_cte + ",\n" + O.triangle_count_sql(),
         "triangles_per_vertex": edges_cte + ",\n" + O.triangle_per_vertex_sql(),
         "r_hop_neighborhood": edges_cte + ",\n" + _frontier_sql(2),
+        # transcript extraction (events-derived input_hint table)
+        "transcript_reply_edges": ET.reply_edges_oracle_sql(),
+        "transcript_turn_text": ET.turn_text_oracle_sql(),
         # skew path: salted aggregate must equal the PLAIN A8 aggregation
         "salted_neighbor_weights": edges_cte
         + f""",

@@ -1,0 +1,121 @@
+"""Transcript table derived from the driver's `events` testdata.
+
+The synthetic generator (sources/transcripts.py) gives the engine its
+PLANTED-ground-truth input, but its xxhash64 actor ids cannot be mirrored
+in ANSI SQL, so the extraction pipeline itself had only pytest coverage in
+round 1.  This module maps the driver's `events` parquet table — already
+conversation-shaped: (event_id, ts, user_id, event_type, value, props) —
+onto the BASELINE.json input_hint schema
+
+    transcripts(conv_id, turn_idx, role, text, tool, ts)
+
+identically in Spark and DuckDB SQL:
+
+    conv_id  = 'u' || user_id               (one conversation per user)
+    turn_idx = row_number() over (partition by user_id
+                                  order by ts, event_id) - 1
+                                  -- STABLE turn ordering (event_id
+                                  -- tie-break; input_hint invariant)
+    role     = event_type                   (small actor domain: the
+                                             event types are the
+                                             "agents"; hubs arise
+                                             naturally from frequency)
+    text     = props                        (carried through verbatim —
+                                             the per-turn text-equality
+                                             invariant is asserted on it)
+    tool     = 'tool_' || (event_id % 7)  when event_id % 5 = 0 else NULL
+
+so the full extract pipeline (operators/extract.py: lag-window reply
+links + tool-invocation links + symmetrize) gains a DuckDB-checkable
+oracle.  Actor ids are mapped back to string actor_keys on output (join
+against the extracted vertex table) because DuckDB has no xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_TOOL_NAMES = 7
+TOOL_EVERY = 5
+
+
+def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) from events."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(
+            F.pmod(F.col("event_id"), F.lit(TOOL_EVERY)) == 0,
+            F.concat(F.lit("tool_"), F.pmod(F.col("event_id"), F.lit(N_TOOL_NAMES)).cast("string")),
+        ).alias("tool"),
+        "ts",
+    )
+
+
+def transcripts_cte_sql() -> str:
+    """DuckDB-equivalent of events_transcripts as a CTE named `transcripts`."""
+    return f"""
+    transcripts AS (
+        SELECT
+            'u' || CAST(user_id AS VARCHAR) AS conv_id,
+            (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INT
+                AS turn_idx,
+            event_type AS role,
+            props AS text,
+            CASE WHEN event_id % {TOOL_EVERY} = 0
+                 THEN 'tool_' || CAST(event_id % {N_TOOL_NAMES} AS VARCHAR)
+            END AS tool,
+            ts
+        FROM events
+    )
+    """
+
+
+def reply_edges_oracle_sql() -> str:
+    """Full extraction oracle: transcript reply + tool links, symmetrized
+    on STRING actor keys (mirrors extract.extract_edges exactly; the
+    engine's xxhash64 ids are joined back to keys on the Spark side)."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + """,
+    lagged AS (
+        SELECT role,
+               LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+               tool
+        FROM transcripts
+    ),
+    raw AS (
+        SELECT role AS src_key, prev_role AS dst_key, 1::BIGINT AS weight
+        FROM lagged WHERE prev_role IS NOT NULL
+        UNION ALL
+        SELECT role AS src_key, 'tool:' || tool AS dst_key, 1::BIGINT AS weight
+        FROM transcripts WHERE tool IS NOT NULL
+    ),
+    sym AS (
+        SELECT src_key, dst_key, weight FROM raw
+        UNION ALL
+        SELECT dst_key AS src_key, src_key AS dst_key, weight FROM raw
+    )
+    SELECT src_key, dst_key, SUM(weight)::BIGINT AS weight
+    FROM sym WHERE src_key <> dst_key
+    GROUP BY src_key, dst_key
+    HAVING SUM(weight) <> 0
+    """
+    )
+
+
+def turn_text_oracle_sql() -> str:
+    """Per-turn text-equality oracle (input_hint invariant): every
+    (conv_id, turn_idx, text) must survive the actor-annotation step of
+    the extraction pipeline byte-identical, under stable turn ordering."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + "SELECT conv_id, turn_idx, text FROM transcripts"
+    )

@@ -82,3 +82,35 @@ def test_tool_edges_and_degree(spark):
         vertices.filter(F.col("kind") == "tool").join(deg, "id").orderBy(F.desc("degree")).collect()
     )
     assert tool_deg[0].actor_key == "tool:tool_00"
+
+
+def test_events_transcripts_mapping(spark):
+    """The events→transcripts mapping (sources/events_transcripts.py) must
+    produce the exact input_hint schema with a stable, gapless per-
+    conversation turn ordering, and the extraction must run end-to-end on
+    it (driver gate: transcript_reply_edges / transcript_turn_text)."""
+    import os
+
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL", "/root/testdata/sf0.001")
+    t = events_transcripts(spark, sf_dir)
+    assert [f.name for f in t.schema.fields] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert dict(t.dtypes)["turn_idx"] == "int"
+
+    # gapless 0..n-1 turn ordering per conversation
+    bad = (
+        t.groupBy("conv_id")
+        .agg(F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi"), F.count("*").alias("n"))
+        .filter((F.col("lo") != 0) | (F.col("hi") != F.col("n") - 1))
+    )
+    assert bad.limit(1).count() == 0
+
+    edges = extract_edges(t)
+    verts = extract_vertices(t)
+    assert_no_id_collisions(verts)
+    # symmetrized: every (src,dst) has its mirror with equal weight
+    e2 = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight").alias("w2"))
+    joined = edges.join(e2, ["src", "dst"])
+    assert joined.count() == edges.count()
+    assert joined.filter(F.col("weight") != F.col("w2")).count() == 0
