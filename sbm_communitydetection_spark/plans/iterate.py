@@ -46,27 +46,67 @@ SEVERANCE_EVERY = 8
 
 
 def partition_preserving_checkpoint(df: DataFrame) -> DataFrame:
-    """localCheckpoint that KEEPS the DataFrame's hash partitioning.
+    """localCheckpoint that KEEPS the DataFrame's hash partitioning and
+    RESETS the plan's inherited size statistics.
 
-    With AQE enabled, `Dataset.localCheckpoint` materializes an
-    AdaptiveSparkPlan whose output partitioning is recorded as
-    UnknownPartitioning — so every downstream join/aggregate re-exchanges
-    the checkpointed table even when it was just repartitioned on the join
-    key. Measured on the PR superstep (19.2M-edge bench graph): the
-    "exchange-free adjacency" design silently degraded to a full edge-table
-    shuffle EVERY iteration (explain showed `Scan ExistingRDD ...
-    UnknownPartitioning`), which is why round-1 scaling efficiency was
-    0.237. Compiling the checkpoint with AQE off records the real
-    `hashpartitioning(key, N)` on the LogicalRDD; the toggle only affects
-    this materialization job, and AQE is restored for everything after.
+    Two silent checkpoint pathologies, both measured in this runtime:
+
+    1. With AQE enabled, `Dataset.localCheckpoint` materializes an
+       AdaptiveSparkPlan whose output partitioning is recorded as
+       UnknownPartitioning — so every downstream join/aggregate
+       re-exchanges the checkpointed table even when it was just
+       repartitioned on the join key. Measured on the PR superstep
+       (19.2M-edge bench graph): the "exchange-free adjacency" design
+       silently degraded to a full edge-table shuffle EVERY iteration,
+       which is why round-1 scaling efficiency was 0.237. Compiling the
+       checkpoint with AQE off records the real `hashpartitioning(key, N)`
+       on the LogicalRDD; the toggle only affects this materialization
+       job, and AQE is restored for everything after.
+
+    2. The LogicalRDD COPIES the origin plan's Catalyst statistics
+       (`originStats`). Join size estimates are PRODUCTS of their
+       children's `sizeInBytes`, so an iterative loop whose superstep
+       references the previous state 2-3 times DOUBLES the stat's digit
+       count every iteration even though each checkpointed plan is a
+       single leaf: 20 → 42 → 86 → ... digits (measured). By ~25
+       compounded supersteps (e.g. warm-started Louvain per stream batch)
+       the sizeInBytes is a multi-million-digit BigInt and Catalyst spends
+       MINUTES per planning pass inside BigInteger.multiplyToomCook3
+       (jstack: SizeInBytesOnlyStatsPlanVisitor.visitJoin). Rebuilding the
+       LogicalRDD with `originStats=None` caps the stat at
+       defaultSizeInBytes (19 digits) forever; iteration wall time stays
+       flat. Side effect (unchanged behavior): checkpointed tables report
+       unknown size and are never auto-broadcast — all hot-loop joins
+       here already broadcast or hint explicitly.
     """
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        return df.localCheckpoint(eager=True)
+        ck = df.localCheckpoint(eager=True)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+    try:
+        lp = ck._jdf.queryExecution().logical()
+        if lp.getClass().getName() != "org.apache.spark.sql.execution.LogicalRDD":
+            return ck
+        jvm = spark._jvm
+        none = jvm.scala.Option.empty()
+        new_lp = jvm.org.apache.spark.sql.execution.LogicalRDD(
+            lp.output(),
+            lp.rdd(),
+            lp.outputPartitioning(),
+            lp.outputOrdering(),
+            lp.isStreaming(),
+            lp.stream(),
+            spark._jsparkSession,
+            none,  # originStats: see (2) above
+            none,  # originConstraints: unused by this workload
+        )
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(spark._jsparkSession, new_lp)
+        return DataFrame(jdf, spark)
+    except Exception:  # pragma: no cover — internal-API drift safety net
+        return ck
 
 
 class LineageTruncator:
