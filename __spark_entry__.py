@@ -213,6 +213,20 @@ def _q_coarsen(spark, sf_dir):
     return G.coarsen(edges, derived_labels(edges)).select("src", "dst", "weight")
 
 
+def _q_sync_communities(spark, sf_dir):
+    """C2 incremental coarsen repair: disband labels {0,1}, repair the
+    super-graph from the touched delta only; the oracle recomputes C1 from
+    scratch under the post-disband labeling — equality proves the repair.
+    (derived_labels satisfies the label-is-a-member-id invariant: vertex
+    L has L % N_LABELS == L for L < N_LABELS.)"""
+    edges = lineitem_edges(spark, sf_dir)
+    labels = derived_labels(edges)
+    coarse = G.coarsen(edges, labels)
+    touched = labels.select("label").distinct().filter(F.col("label") < 2)
+    repaired, _ = G.sync_communities(coarse, edges, labels, touched)
+    return repaired.select("src", "dst", "weight")
+
+
 def _q_canonical_relabel(spark, sf_dir):
     edges = lineitem_edges(spark, sf_dir)
     return G.canonical_relabel(derived_labels(edges)).select("id", "label")
@@ -466,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph DML / coarsening
         "community_stats": _q_community_stats,  # A4/A6
         "coarsen": _q_coarsen,  # C1
+        "sync_communities": _q_sync_communities,  # C2
         "canonical_relabel": _q_canonical_relabel,  # C4
         "edge_removal": _q_edge_removal,  # G5
         "node_removal": _q_node_removal,  # G8
@@ -534,6 +549,13 @@ GROUP BY e.src, l.label""",
         # graph DML / coarsening
         "community_stats": edges_cte + ",\n" + O.community_stats_sql(N_LABELS),
         "coarsen": edges_cte + ",\n" + O.coarsen_sql(N_LABELS),
+        "sync_communities": edges_cte
+        + f""",
+labels AS (SELECT DISTINCT src AS id, src % {N_LABELS} AS label FROM edges),
+new_labels AS (SELECT id, CASE WHEN label IN (0, 1) THEN id ELSE label END AS label FROM labels)
+SELECT l1.label AS src, l2.label AS dst, SUM(e.weight)::BIGINT AS weight
+FROM edges e JOIN new_labels l1 ON e.src = l1.id JOIN new_labels l2 ON e.dst = l2.id
+GROUP BY l1.label, l2.label""",
         "canonical_relabel": edges_cte + ",\n" + O.canonical_relabel_sql(N_LABELS),
         "edge_removal": edges_cte + ",\n" + O.edge_removal_sql(),
         "node_removal": edges_cte + ",\n" + O.node_removal_sql(),

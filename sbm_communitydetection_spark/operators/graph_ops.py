@@ -141,6 +141,67 @@ def coarsen(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def sync_communities(
+    coarse: DataFrame,
+    edges: DataFrame,
+    labels: DataFrame,
+    touched: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """C2 — incremental coarsen repair (syncCommunities,
+    src/dynamic_community_detection.cpp:249-276): disband the ``touched``
+    communities (members revert to singletons, C3) and repair the coarse
+    super-graph WITHOUT recomputing it from all edges.
+
+    Returns ``(coarse', labels')`` where ``coarse'`` equals
+    ``coarsen(edges, labels')`` (tested) but is built from:
+
+    * an anti-join dropping coarse rows incident to a touched label
+      (|coarse| rows, broadcast-able touched set — no edge scan), plus
+    * the re-aggregated contributions of ONLY the edges with a touched
+      endpoint (one broadcast semi-join pass over ``edges``; just the
+      small delta shuffles).
+
+    At 100 TB scale this turns the per-batch repair cost from an O(|E|)
+    SHUFFLE (full C1 recompute) into one shuffle-free semi-join scan of
+    ``edges`` plus a shuffle of only O(|coarse| + touched degree) rows:
+    the final re-aggregation runs over the community-sized union, never
+    the edge table. (The re-aggregation is required for correctness — a
+    disbanded member's id may collide with a surviving community's label:
+    under label propagation the origin vertex of label L need not itself
+    remain in community L, so singleton and surviving key spaces are not
+    disjoint.)
+    """
+    t = touched.select("label").distinct()
+    kept = coarse.join(
+        F.broadcast(t.withColumnRenamed("label", "src")), "src", "left_anti"
+    ).join(F.broadcast(t.withColumnRenamed("label", "dst")), "dst", "left_anti")
+
+    members = labels.join(F.broadcast(t), "label", "left_semi").select("id")
+    new_labels = labels.join(
+        F.broadcast(members.withColumn("m", F.lit(1))), "id", "left"
+    ).select(
+        "id",
+        F.when(F.col("m").isNotNull(), F.col("id")).otherwise(F.col("label")).alias("label"),
+    )
+
+    # edges with >=1 endpoint in a disbanded community, relabeled under the
+    # post-disband labeling; only THESE rows shuffle for the re-aggregation
+    m_src = F.broadcast(members.withColumnRenamed("id", "src"))
+    m_dst = F.broadcast(members.withColumnRenamed("id", "dst"))
+    inc = edges.join(m_src, "src", "left_semi").unionByName(
+        edges.join(m_src, "src", "left_anti").join(m_dst, "dst", "left_semi")
+    )
+    delta = edges_with_labels(inc, new_labels).select(
+        F.col("src_label").alias("src"), F.col("dst_label").alias("dst"), "weight"
+    )
+    repaired = (
+        kept.unionByName(delta)
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+    )
+    return repaired, new_labels
+
+
 def canonical_relabel(labels: DataFrame, distributed_threshold: int = 1_000_000) -> DataFrame:
     """relabelGraph (C4: src/dynamic_community_detection.cpp:345-357):
     dense labels 0..k-1 in order of each community's minimum member id —

@@ -73,9 +73,22 @@ def stream_community_detection(
     initial_edges: DataFrame | None = None,
     initial_labels: DataFrame | None = None,
     lpa_variant: str = "keep_own",
+    locality_radius: int | None = None,
 ) -> StreamResult:
     """Consume ``edge_stream(src, dst, weight, edge_seq)`` in ``n_batches``
-    ordered micro-batches, maintaining a community partition throughout."""
+    ordered micro-batches, maintaining a community partition throughout.
+
+    ``locality_radius`` bounds each batch's LPA repair to the r-hop BFS
+    ball around the affected vertices (disbanded members + batch
+    endpoints) — the reference's affected-subgraph locality
+    (collectRNeighborhood, src/belief_propagation.cpp:128-167, applied
+    here to the DCD repair loop). Labels outside the ball are frozen:
+    supersteps run over only the edges whose src lies in the ball, so
+    ball vertices still see every neighbor's label while per-batch edge
+    work drops from O(|E|) to O(Σ degree over the ball) — the property
+    that makes per-batch repair affordable at 10^12-turn scale. Applies
+    to the LPA variants; ``gain`` needs globally consistent community
+    degrees and always runs on the full graph."""
     bounds = edge_stream.agg(
         F.min("edge_seq").alias("lo"), F.max("edge_seq").alias("hi"), F.count("*").alias("n")
     ).collect()[0]
@@ -102,6 +115,7 @@ def stream_community_detection(
         batch_sym = symmetrize(batch)
         edges = truncate(add_edges(edges, batch))
 
+        affected = None
         verts = edges.select(F.col("src").alias("id")).distinct()
         if labels is None:
             labels = verts.select("id", F.col("id").alias("label"))
@@ -120,6 +134,15 @@ def stream_community_detection(
                 .select(F.explode(F.array("sl", "dl")).alias("label"))
                 .distinct()
             )
+            if locality_radius is not None:
+                # affected set BEFORE disband: members of touched
+                # communities plus this batch's endpoints
+                affected = (
+                    labels.join(touched, "label", "left_semi")
+                    .select("id")
+                    .unionByName(batch_sym.select(F.col("src").alias("id")))
+                    .distinct()
+                )
             labels = labels.join(
                 touched.withColumn("hit", F.lit(1)), "label", "left"
             ).select(
@@ -144,11 +167,23 @@ def stream_community_detection(
                 ).labels
             )
         else:
+            step_edges = edges
+            if locality_radius is not None and affected is not None:
+                from ..operators.frontier import r_hop_neighborhood
+
+                ball = r_hop_neighborhood(edges, affected, locality_radius).select("id")
+                # keep every edge whose UPDATE TARGET (src) is in the ball:
+                # outside vertices have no rows and keep their label via
+                # lpa_superstep's left join; ball vertices still aggregate
+                # over all their neighbors
+                step_edges = edges.join(
+                    ball.withColumnRenamed("id", "src"), "src", "left_semi"
+                ).localCheckpoint(eager=True)
             for _ in range(supersteps_per_batch):
                 # truncate EVERY superstep: lpa_superstep references the
                 # label plan ~3×, so an unchecked chain grows as 3^steps
                 # logical nodes
-                labels = truncate(lpa_superstep(edges, labels, variant=lpa_variant))
+                labels = truncate(lpa_superstep(step_edges, labels, variant=lpa_variant))
 
         row = {
             "batch": b,

@@ -78,3 +78,41 @@ def test_canonical_relabel_distributed_path_matches_window_path(spark):
     )
     assert a == b
     assert {lbl for _, lbl in a} == {0, 1, 2, 3, 4}
+
+
+def test_sync_communities_equals_full_recompute(spark):
+    """C2 incremental coarsen repair == full C1 recompute after disband
+    (src/dynamic_community_detection.cpp:249-276 semantics)."""
+    from pyspark.sql import functions as F
+
+    from sbm_communitydetection_spark.operators.graph_ops import (
+        coarsen,
+        sync_communities,
+        symmetrize,
+    )
+    from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+
+    raw = spark.range(600).select(
+        (F.xxhash64("id") % 50).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 50).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    edges = symmetrize(raw).localCheckpoint(eager=True)
+    # an LPA labeling satisfies the label-is-a-member-id invariant
+    labels = label_propagation(
+        spark, edges, max_iterations=3, variant="keep_own", tolerance=-1.0
+    ).state.localCheckpoint(eager=True)
+    coarse = coarsen(edges, labels)
+    touched = labels.select("label").distinct().orderBy("label").limit(2)
+
+    repaired, new_labels = sync_communities(coarse, edges, labels, touched)
+    expected = coarsen(edges, new_labels)
+
+    got = {(r.src, r.dst): r.weight for r in repaired.collect()}
+    want = {(r.src, r.dst): r.weight for r in expected.collect()}
+    assert got == want
+    # disbanded members are singletons; everyone else unchanged
+    moved = new_labels.join(labels.withColumnRenamed("label", "old"), "id").filter(
+        F.col("label") != F.col("old")
+    )
+    assert moved.filter(F.col("label") != F.col("id")).count() == 0

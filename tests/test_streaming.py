@@ -74,3 +74,24 @@ def test_structured_ingest_accumulates_weights(spark, tmp_path):
     assert state[(1, 2)] == 1 and state[(2, 1)] == 1
     assert state[(2, 3)] == 1 and state[(3, 2)] == 1
     assert len(state) == 6
+
+
+def test_locality_radius_stream_matches_planted(spark):
+    """C2-style locality: bounding each batch's repair to the r-hop ball
+    around affected vertices must still track the planted partition on a
+    well-separated SBM (frozen labels outside the ball; full neighbor
+    visibility inside)."""
+    vertices, stream = generate_sbm(spark, n=40, k=2, m=300, p_in=0.9, p_out=0.05, seed=5)
+    edge_stream = stream.select(
+        "src", "dst", F.lit(1).cast("long").alias("weight"), F.col("edge_seq")
+    )
+    truth = vertices.select("id", "label")
+    res = stream_community_detection(
+        spark,
+        edge_stream,
+        n_batches=4,
+        supersteps_per_batch=6,
+        truth=truth,
+        locality_radius=2,
+    )
+    assert res.metrics[-1]["edge_cls_acc"] > 0.9, res.metrics[-1]
