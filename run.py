@@ -12,9 +12,10 @@ Accepted config keys (the reference's schema, same names):
     nodes, edges, communities, radius,
     intra_community_edge_probability, inter_community_edge_probability,
     algorithm_number (1=DCD streaming, 2=StreamBP, 3=ACD/FM, 4=exact ILP),
-    uneven_node_distribution (engine divergence: block assignment is
-    hash-uniform, so sizes are near-even; the flag is recorded but has no
-    effect — documented in SURVEY.md §2.3)
+    uneven_node_distribution (as in the reference, the flag only relaxes
+    the nodes % communities == 0 validation — the n mod k leftover
+    vertices keep label=id / offset=-1 and receive no edges,
+    utils/sequence_generator.cpp:82-84 + src/graph.cpp:33-40)
 plus engine extras (optional): seed (default 42), n_batches (default 10),
 noise (BP side-information noise, default 0.5).
 
@@ -66,7 +67,10 @@ def main() -> None:
     spark = get_spark(app_name="run", cores=args.cores)
     spark.sparkContext.setLogLevel("ERROR")
 
-    vertices, stream = generate_sbm(spark, n=n, k=k, m=m, p_in=p_in, p_out=p_out, seed=seed)
+    uneven = bool(cfg.get("uneven_node_distribution", False))
+    vertices, stream = generate_sbm(
+        spark, n=n, k=k, m=m, p_in=p_in, p_out=p_out, seed=seed, uneven=uneven
+    )
     stream = stream.select(
         "src", "dst", F.lit(1).cast("long").alias("weight"), "edge_seq"
     ).localCheckpoint(eager=True)

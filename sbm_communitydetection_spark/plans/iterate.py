@@ -207,6 +207,34 @@ class IterationDriver:
         with open(os.path.join(self.dir, "_metrics.jsonl"), "a") as f:
             f.write(json.dumps(row) + "\n")
 
+    def _partition_lineage(self, i: int) -> list[dict] | None:
+        """Per-partition lineage for a durable snapshot: one entry per
+        parquet part-file with its row count and size, read from the file
+        FOOTERS on the driver (no Spark job). This is the per-partition
+        half of the north_rule's "per-partition lineage + convergence
+        metrics"; on Iceberg the same rows come from the manifest's
+        per-file record counts."""
+        if self.mode != "parquet":
+            return None
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return None
+        path = self._iter_path(i)
+        out = []
+        for name in sorted(os.listdir(path)):
+            if not name.endswith(".parquet"):
+                continue
+            fp = os.path.join(path, name)
+            out.append(
+                {
+                    "file": name,
+                    "rows": pq.ParquetFile(fp).metadata.num_rows,
+                    "bytes": os.path.getsize(fp),
+                }
+            )
+        return out
+
     def latest_complete_iteration(self) -> int | None:
         """Highest i with a _SUCCESS marker — the resume point."""
         if self.dir is None or not os.path.isdir(self.dir):
@@ -268,6 +296,7 @@ class IterationDriver:
                     "rows": state.count(),
                     "partitions": state.rdd.getNumPartitions(),
                     "snapshot": self._iter_path(0) if self.dir else "localCheckpoint",
+                    "partition_lineage": self._partition_lineage(0),
                 }
             )
             start_iter = 1
@@ -291,6 +320,7 @@ class IterationDriver:
                 "partitions": new_state.rdd.getNumPartitions(),
                 "wall_sec": round(wall, 4),
                 "snapshot": self._iter_path(i) if self.dir else "localCheckpoint",
+                "partition_lineage": self._partition_lineage(i),
             }
             metrics.append(row)
             self._log_metrics(row)

@@ -62,26 +62,37 @@ def hash_uniform(col, seed: int):
     return F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m)) / F.lit(float(m))
 
 
-def block_assignment(spark: SparkSession, n: int, k: int, seed: int) -> DataFrame:
+def block_assignment(
+    spark: SparkSession, n: int, k: int, seed: int, uneven: bool = False
+) -> DataFrame:
     """vertices(id, label, offset): seeded random permutation into k equal blocks.
 
     Reference: src/sbm.cpp:111-142 (generateSbm + communityTracker fill).
     The global window sort is acceptable for fixture-scale n; the
     at-scale variant would assign `pos` via a distributed sort + per-
     partition offsets (zipWithIndex pattern) — same deterministic result.
+
+    ``uneven`` mirrors config `uneven_node_distribution`
+    (utils/sequence_generator.cpp:56-58, :82-84): it only RELAXES the
+    divisibility validation — generateSbm still fills k blocks of
+    floor(n/k), so the n mod k leftover vertices never enter the
+    communityTracker: they keep the Graph-constructor defaults
+    (label = id, src/graph.cpp:33-40; offset stays unassigned, -1 here)
+    and the edge generator can never draw them.
     """
-    if n % k != 0:
+    if n % k != 0 and not uneven:
         raise ValueError("nodes % communities must be 0 (utils/sequence_generator.cpp:82-84)")
     b = n // k
     w = Window.orderBy("r", "id")
+    assigned = F.col("pos") < k * b
     return (
         spark.range(n)
         .withColumn("r", hash_uniform(F.col("id"), seed))
         .withColumn("pos", F.row_number().over(w) - F.lit(1))
         .select(
             F.col("id").cast("long").alias("id"),
-            (F.col("pos") / b).cast("long").alias("label"),
-            (F.col("pos") % b).cast("int").alias("offset"),
+            F.when(assigned, (F.col("pos") / b).cast("long")).otherwise(F.col("id")).alias("label"),
+            F.when(assigned, (F.col("pos") % b).cast("int")).otherwise(F.lit(-1)).alias("offset"),
         )
     )
 
@@ -149,9 +160,14 @@ def generate_sbm(
     p_in: float,
     p_out: float,
     seed: int = 42,
+    uneven: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """(vertices, edge_stream) — the Spark analogue of `generateSequence`
-    (utils/sequence_generator.cpp:5-113) minus the result-directory I/O."""
-    vertices = block_assignment(spark, n, k, seed)
+    (utils/sequence_generator.cpp:5-113) minus the result-directory I/O.
+
+    ``uneven``: see block_assignment — the n mod k leftover vertices stay
+    label=id / offset=-1 and receive no edges (the resolve join only maps
+    tracker offsets 0..floor(n/k)-1)."""
+    vertices = block_assignment(spark, n, k, seed, uneven=uneven)
     edges = sbm_edge_stream(spark, vertices, n, k, m, p_in, p_out, seed)
     return vertices, edges

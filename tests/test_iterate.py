@@ -32,6 +32,11 @@ def test_parquet_checkpoint_and_metrics(spark, tmp_path):
     assert lines[0]["phase"] == "init"
     assert all("snapshot" in x and "partitions" in x for x in lines)
     assert [x["iteration"] for x in lines] == list(range(6))
+    # per-partition lineage: part-file rows sum to the snapshot's row count
+    for x in lines:
+        pl = x["partition_lineage"]
+        assert pl and sum(p["rows"] for p in pl) == 10
+        assert all(p["bytes"] > 0 and p["file"].endswith(".parquet") for p in pl)
 
 
 def test_resume_from_latest_snapshot(spark, tmp_path):

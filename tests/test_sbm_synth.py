@@ -33,6 +33,32 @@ def test_block_assignment_equal_blocks(spark):
         assert sorted(offs) == [0, 1, 2, 3]
 
 
+def test_block_assignment_uneven(spark):
+    """uneven_node_distribution (utils/sequence_generator.cpp:56-58, :82-84):
+    n % k != 0 allowed; the n mod k leftover vertices keep Graph-ctor
+    defaults (label=id, src/graph.cpp:33-40) and never receive edges."""
+    import pytest
+
+    with pytest.raises(ValueError):
+        block_assignment(spark, 22, 5, seed=42)
+    v = block_assignment(spark, 22, 5, seed=42, uneven=True).collect()
+    assert len(v) == 22
+    leftovers = [r for r in v if r.offset == -1]
+    assert len(leftovers) == 2
+    assert all(r.label == r.id for r in leftovers)
+    assigned = [r for r in v if r.offset >= 0]
+    by_label: dict[int, list[int]] = {}
+    for r in assigned:
+        by_label.setdefault(r.label, []).append(r.offset)
+    assert sorted(by_label) == [0, 1, 2, 3, 4]
+    assert all(sorted(o) == [0, 1, 2, 3] for o in by_label.values())
+    # leftover vertices are unreachable by the edge generator
+    vertices, stream = generate_sbm(spark, n=22, k=5, m=200, p_in=0.9, p_out=0.1, uneven=True)
+    left_ids = {r.id for r in leftovers}
+    touched = {r.src for r in stream.collect()} | {r.dst for r in stream.collect()}
+    assert not (left_ids & touched)
+
+
 def test_block_assignment_deterministic(spark):
     a = sorted(map(tuple, block_assignment(spark, 40, 4, seed=7).collect()))
     b = sorted(map(tuple, block_assignment(spark, 40, 4, seed=7).collect()))
