@@ -30,6 +30,7 @@ from ..plans.iterate import (
     IterationDriver,
     IterationResult,
     partition_preserving_checkpoint,
+    unpersist_checkpoint,
 )
 
 
@@ -158,8 +159,10 @@ def label_propagation(
             {"level": lv, "sweeps": s, "modularity": q}
             for lv, (s, q) in enumerate(zip(res.sweeps, res.modularity_per_level))
         ]
+        state = res.labels.localCheckpoint(eager=True)
+        unpersist_checkpoint(res.labels)  # superseded membership checkpoint
         return IterationResult(
-            state=res.labels.localCheckpoint(eager=True),
+            state=state,
             iterations=total_sweeps,
             converged=True,
             metrics=metrics,
@@ -227,7 +230,7 @@ def label_propagation(
 
         return new, changed
 
-    return driver.run(
+    result = driver.run(
         labels,
         step,
         max_iterations=max_iterations,
@@ -235,3 +238,6 @@ def label_propagation(
         metric_name="labels_changed",
         log_rows=not fixed_iters,
     )
+    # release the pre-partitioned edge checkpoint (static input, dead now)
+    unpersist_checkpoint(edges)
+    return result

@@ -33,7 +33,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.iterate import LineageTruncator, partition_preserving_checkpoint
+from ..plans.iterate import (
+    LineageTruncator,
+    partition_preserving_checkpoint,
+    unpersist_checkpoint,
+)
 from .graph_ops import canonical_relabel, coarsen
 
 EPSILON_GAIN = 1e-4  # include/DCD/dynamic_community_detection.h:25
@@ -183,11 +187,15 @@ def _sweeps_until_stable(
         # parity from the best state before giving up (2 consecutive fails)
         new = truncate(_move_sweep(edges, best, two_m, epsilon, parity=s % 2))
         q_new = _level_modularity(edges, new, two_m)
+        # release the loser state's blocks immediately — a sweep loop
+        # otherwise keeps its whole state history in the block manager
         if q_new > q_best + q_tol:
+            unpersist_checkpoint(best)
             best, q_best = new, q_new
             improving_sweeps += 1
             fails = 0
         else:
+            unpersist_checkpoint(new)
             fails += 1
             if fails >= 2:
                 break
@@ -245,30 +253,41 @@ def louvain(
         # n_sweeps==0 with q > best_q happens only for a warm start whose
         # initial partition already beats singletons: adopt it, then stop.
         if q <= best_q + min_modularity_gain:
+            unpersist_checkpoint(moved)
             break
         # compose: original membership's label is a vertex of level_edges
-        membership = (
+        prev_membership = membership
+        membership = truncate(
             membership.join(
                 moved.select(F.col("id").alias("label"), F.col("label").alias("new_label")),
                 "label",
-            )
-            .select("id", F.col("new_label").alias("label"))
+            ).select("id", F.col("new_label").alias("label"))
         )
-        membership = truncate(membership)
+        unpersist_checkpoint(prev_membership)
         best_q = q
         levels += 1
         sweeps_per_level.append(n_sweeps)
         q_per_level.append(q)
         if n_sweeps == 0:
+            unpersist_checkpoint(moved)
             break
         # super-graph keeps self-loops: they carry the absorbed intra weight
         # that the next level's degree/tot terms need (C1 semantics)
         coarse = coarsen(level_edges, moved)
         n_coarse = coarse.select("src").distinct().count()
         if n_coarse <= 1:
+            unpersist_checkpoint(moved)
             break
+        prev_level_edges = level_edges
         level_edges = truncate(coarse)
+        unpersist_checkpoint(prev_level_edges)
+        unpersist_checkpoint(moved)
 
+    # the level graphs are dead once the final membership is materialized;
+    # the membership checkpoint itself stays — the returned labels plan
+    # reads it lazily
+    unpersist_checkpoint(level_edges)
+    unpersist_checkpoint(edges)
     if canonical:
         membership = canonical_relabel(membership)
     return LouvainResult(

@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.iterate import IterationDriver, partition_preserving_checkpoint
+from ..plans.iterate import (
+    IterationDriver,
+    partition_preserving_checkpoint,
+    unpersist_checkpoint,
+)
 
 
 def pagerank(
@@ -144,4 +148,10 @@ def pagerank(
     )
     if collect_metrics is not None:
         collect_metrics.extend(result.metrics)
+    # the run's static inputs (transition table, vertex/dangling sets) are
+    # dead once the final rank vector is materialized — release their
+    # blocks so back-to-back operators in one session start with a clean
+    # block manager (see unpersist_checkpoint)
+    for df in (adj, verts, dangling_ids):
+        unpersist_checkpoint(df)
     return result.state

@@ -66,6 +66,18 @@ def get_spark(
         # on fat executors want the same on a real cluster
         # (spark.executor.extraJavaOptions there).
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # Iterative supersteps retire one shuffle dependency per iteration;
+        # ContextCleaner only deletes a retired shuffle's files after a JVM
+        # GC collects the dependency object, and the default periodicGC
+        # interval is 30min — so dead shuffle files pile up in
+        # spark.local.dir (tmpfs here: they eat RAM) for the whole run.
+        # Measured on the 19.2M-edge bench, PR(10)+LPA(5) at local[32]:
+        # 28.4s+22.0s Σ-iteration time at the default vs 16.2s+15.2s with
+        # 15s. Long-lived iterative jobs on a real cluster want the same.
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "15s"),
+        )
     )
     if local_dir and "spark.local.dir" not in (extra_conf or {}):
         builder = builder.config("spark.local.dir", local_dir)

@@ -19,9 +19,11 @@ per batch:
      log sink S6 (src/approximate_community_detection.cpp:47-55) — to a
      JSONL lineage file and keep it in the result.
 
-Per-batch state is localCheckpoint-truncated; with a parquet-mode
-IterationDriver the state snapshots are durable and the stream is
-resumable mid-batch (north_rule).
+Per-batch state is localCheckpoint-truncated; with ``checkpoint_dir``
+set, every batch additionally writes durable (edges, labels) parquet
+snapshots + a per-partition lineage row, and ``resume=True`` restarts a
+killed run from the latest complete batch (north_rule "any run resumes
+mid-iteration").
 """
 
 from __future__ import annotations
@@ -37,7 +39,66 @@ from pyspark.sql import functions as F
 from ..functions.metrics import modularity
 from ..operators.graph_ops import add_edges, symmetrize
 from ..operators.label_propagation import lpa_superstep
-from ..plans.iterate import LineageTruncator
+from ..plans.iterate import (
+    LineageTruncator,
+    parquet_partition_lineage,
+    unpersist_checkpoint,
+)
+
+
+class StreamCheckpointer:
+    """Durable per-batch (edges, labels) snapshots under
+    ``<checkpoint_dir>/<run_id>/batch=<b>/{edges,labels}`` — the streaming
+    analogue of IterationDriver's parquet mode. A batch is complete when
+    both tables carry a _SUCCESS marker; resume loads the highest complete
+    batch. The directory layout is the Parquet stand-in for an Iceberg
+    snapshot-per-batch table (see plans/iterate.py docstring)."""
+
+    def __init__(self, spark: SparkSession, checkpoint_dir: str, run_id: str = "stream"):
+        self.spark = spark
+        self.dir = os.path.join(checkpoint_dir, run_id)
+        self.run_id = run_id
+
+    def _batch_path(self, b: int, table: str) -> str:
+        return os.path.join(self.dir, f"batch={b}", table)
+
+    def persist(self, b: int, edges: DataFrame, labels: DataFrame) -> tuple[DataFrame, DataFrame]:
+        e_path, l_path = self._batch_path(b, "edges"), self._batch_path(b, "labels")
+        edges.write.mode("overwrite").parquet(e_path)
+        labels.write.mode("overwrite").parquet(l_path)
+        return self.spark.read.parquet(e_path), self.spark.read.parquet(l_path)
+
+    def lineage(self, b: int) -> dict:
+        return {
+            "edges": parquet_partition_lineage(self._batch_path(b, "edges")),
+            "labels": parquet_partition_lineage(self._batch_path(b, "labels")),
+        }
+
+    def latest_complete_batch(self) -> int | None:
+        if not os.path.isdir(self.dir):
+            return None
+        best = None
+        for name in os.listdir(self.dir):
+            if not name.startswith("batch="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if all(
+                os.path.exists(os.path.join(self.dir, name, t, "_SUCCESS"))
+                for t in ("edges", "labels")
+            ):
+                best = b if best is None else max(best, b)
+        return best
+
+    def resume_state(self) -> tuple[DataFrame, DataFrame, int] | None:
+        """(edges, labels, next_batch) from the latest durable snapshot."""
+        b = self.latest_complete_batch()
+        if b is None:
+            return None
+        return (
+            self.spark.read.parquet(self._batch_path(b, "edges")),
+            self.spark.read.parquet(self._batch_path(b, "labels")),
+            b + 1,
+        )
 
 
 @dataclass
@@ -74,6 +135,9 @@ def stream_community_detection(
     initial_labels: DataFrame | None = None,
     lpa_variant: str = "keep_own",
     locality_radius: int | None = None,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+    run_id: str = "stream",
 ) -> StreamResult:
     """Consume ``edge_stream(src, dst, weight, edge_seq)`` in ``n_batches``
     ordered micro-batches, maintaining a community partition throughout.
@@ -97,6 +161,7 @@ def stream_community_detection(
     span = (bounds.hi - bounds.lo + 1) / n_batches
 
     truncate = LineageTruncator(spark, prefix="stream")
+    ckpt = StreamCheckpointer(spark, checkpoint_dir, run_id) if checkpoint_dir else None
     edges = (
         initial_edges
         if initial_edges is not None
@@ -105,7 +170,13 @@ def stream_community_detection(
     labels = initial_labels.localCheckpoint(eager=True) if initial_labels is not None else None
     metrics: list[dict] = []
 
-    for b in range(n_batches):
+    start_batch = 0
+    if resume and ckpt is not None:
+        resumed = ckpt.resume_state()
+        if resumed is not None:
+            edges, labels, start_batch = resumed
+
+    for b in range(start_batch, n_batches):
         t0 = time.monotonic()
         lo = bounds.lo + int(b * span)
         hi = bounds.hi + 1 if b == n_batches - 1 else bounds.lo + int((b + 1) * span)
@@ -156,16 +227,16 @@ def stream_community_detection(
             # optima on dense graphs (see label_propagation docstring)
             from ..operators.louvain import louvain
 
-            labels = truncate(
-                louvain(
-                    spark,
-                    edges,
-                    initial_labels=labels,
-                    max_levels=2,
-                    max_sweeps=supersteps_per_batch,
-                    canonical=False,
-                ).labels
+            res = louvain(
+                spark,
+                edges,
+                initial_labels=labels,
+                max_levels=2,
+                max_sweeps=supersteps_per_batch,
+                canonical=False,
             )
+            labels = truncate(res.labels)
+            unpersist_checkpoint(res.labels)  # superseded membership checkpoint
         else:
             step_edges = edges
             if locality_radius is not None and affected is not None:
@@ -185,12 +256,16 @@ def stream_community_detection(
                 # logical nodes
                 labels = truncate(lpa_superstep(step_edges, labels, variant=lpa_variant))
 
+        if ckpt is not None:
+            edges, labels = ckpt.persist(b, edges, labels)
         row = {
             "batch": b,
             "edges_seen": int(edges.agg(F.sum("weight") / 2).collect()[0][0] or 0),
             "wall_sec": round(time.monotonic() - t0, 4),
             **_batch_metrics(edges, labels, truth),
         }
+        if ckpt is not None:
+            row["partition_lineage"] = ckpt.lineage(b)
         metrics.append(row)
         if metrics_path:
             os.makedirs(os.path.dirname(metrics_path) or ".", exist_ok=True)

@@ -76,6 +76,40 @@ def test_structured_ingest_accumulates_weights(spark, tmp_path):
     assert len(state) == 6
 
 
+def test_stream_resume_from_durable_checkpoint(spark, tmp_path):
+    """north_rule: a killed streaming run resumes from the latest complete
+    per-batch snapshot and ends bit-identical to an uninterrupted run."""
+    import shutil
+
+    vertices, stream = generate_sbm(spark, n=40, k=2, m=300, p_in=0.9, p_out=0.05, seed=5)
+    edge_stream = stream.select(
+        "src", "dst", F.lit(1).cast("long").alias("weight"), F.col("edge_seq")
+    )
+
+    full = stream_community_detection(
+        spark, edge_stream, n_batches=4, supersteps_per_batch=4,
+        checkpoint_dir=str(tmp_path), run_id="full",
+    )
+    want = sorted(map(tuple, full.labels.collect()))
+    # durable per-batch lineage rows present
+    assert all(m["partition_lineage"]["labels"] for m in full.metrics)
+
+    # same run under run_id="crash", then simulate a crash after batch 1
+    stream_community_detection(
+        spark, edge_stream, n_batches=4, supersteps_per_batch=4,
+        checkpoint_dir=str(tmp_path), run_id="crash",
+    )
+    for b in (2, 3):
+        shutil.rmtree(tmp_path / "crash" / f"batch={b}")
+
+    res = stream_community_detection(
+        spark, edge_stream, n_batches=4, supersteps_per_batch=4,
+        checkpoint_dir=str(tmp_path), run_id="crash", resume=True,
+    )
+    assert [m["batch"] for m in res.metrics] == [2, 3]  # only the re-run batches
+    assert sorted(map(tuple, res.labels.collect())) == want
+
+
 def test_locality_radius_stream_matches_planted(spark):
     """C2-style locality: bounding each batch's repair to the r-hop ball
     around affected vertices must still track the planted partition on a
