@@ -52,7 +52,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..plans.iterate import IterationDriver, partition_preserving_checkpoint
+from ..plans.iterate import (
+    IterationDriver,
+    partition_preserving_checkpoint,
+    unpersist_checkpoint,
+)
 
 MSG_SCHEMA = StructType(
     [
@@ -243,7 +247,14 @@ def belief_propagation(
         log_rows=not fixed_iters,
     )
     final = ew.join(result.state, ["src", "dst"]).join(pr, "dst")
-    return final.groupBy("dst").applyInPandas(_finalize_kernel(p_in, p_out), BELIEF_SCHEMA)
+    out = final.groupBy("dst").applyInPandas(
+        _finalize_kernel(p_in, p_out), BELIEF_SCHEMA
+    ).localCheckpoint(eager=True)
+    # the n-row belief table is materialized — release the per-run inputs
+    # and the final message state (see unpersist_checkpoint)
+    for df in (ew, pr, result.state):
+        unpersist_checkpoint(df)
+    return out
 
 
 def _belief_propagation_agg(
@@ -325,11 +336,16 @@ def _belief_propagation_agg(
     b = _softmax_col(F.zip_with("prior", "tot", lambda p, t: F.log(p) + t))
     final = tot.join(pr, "dst").select(F.col("dst").alias("id"), b.alias("belief"))
     # argmax = first index of the max (ties → smallest state, np.argmax parity)
-    return final.select(
+    out = final.select(
         "id",
         (F.array_position(F.col("belief"), F.array_max("belief")) - 1).cast("long").alias("label"),
         "belief",
-    )
+    ).localCheckpoint(eager=True)
+    # the n-row belief table is materialized — release the per-run inputs
+    # and the final message state (see unpersist_checkpoint)
+    for df in (ew, pr, result.state):
+        unpersist_checkpoint(df)
+    return out
 
 
 # -- pure-python oracle (tests) ---------------------------------------------

@@ -153,7 +153,9 @@ def unpersist_checkpoint(df: DataFrame) -> None:
     try:
         lp = df._jdf.queryExecution().logical()
         if lp.getClass().getName() == "org.apache.spark.sql.execution.LogicalRDD":
-            lp.rdd().unpersist(False)
+            # blocking: deterministic release (async unpersist may lag the
+            # next iteration's allocation spike, which is the whole point)
+            lp.rdd().unpersist(True)
     except Exception:  # pragma: no cover — internal-API drift safety net
         pass
 

@@ -85,6 +85,30 @@ def test_canonical_relabel_distributed_path_matches_window_path(spark):
     assert {lbl for _, lbl in a} == {0, 1, 2, 3, 4}
 
 
+def test_superseded_state_blocks_released(spark):
+    """Back-to-back operators must not pile up their iteration history in
+    the block manager (measured r2: LPA 15s fresh vs 47s after PageRank at
+    local[32] before the unpersist discipline)."""
+    from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+    from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+
+    raw = spark.range(3000).select(
+        (F.xxhash64("id") % 200).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 200).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    edges = symmetrize(raw).localCheckpoint(eager=True)
+    sc = spark.sparkContext._jsc.sc()
+    base = len(sc.getRDDStorageInfo())
+    pagerank(spark, edges, tolerance=-1.0, max_iterations=6, broadcast_rows_threshold=0).count()
+    label_propagation(spark, edges, max_iterations=4, variant="plain", tolerance=-1.0).state.count()
+    after = len(sc.getRDDStorageInfo())
+    # 10 supersteps ran; only the two operators' FINAL states may remain
+    # cached beyond what existed before (plus nothing from statics)
+    assert after - base <= 2, f"cached RDDs grew {base} -> {after}"
+
+
 def test_sync_communities_equals_full_recompute(spark):
     """C2 incremental coarsen repair == full C1 recompute after disband
     (src/dynamic_community_detection.cpp:249-276 semantics)."""

@@ -186,7 +186,10 @@ def main() -> None:
     ap.add_argument(
         "sf_dir", nargs="?", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
-    ap.add_argument("--repeats", type=int, default=2)
+    # the sandbox host grants cycles in bursts (hypervisor throttling;
+    # runs are ~2x bimodal) — best-of-N with N >= 3 estimates each level's
+    # un-throttled capability
+    ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--write-md", action="store_true")
     args = ap.parse_args()
 
