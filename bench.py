@@ -89,8 +89,11 @@ def main() -> None:
     )
     # broadcast=0 forces the pure shuffle join path — the configuration a
     # 10^12-scale cluster must use (rank/label vectors too big to
-    # broadcast), hence what the N-vs-4N scaling run measures
-    broadcast_thr = 5_000_000 if os.environ.get("SPARK_GRAFT_PR_BROADCAST", "1") == "1" else 0
+    # broadcast), hence what the N-vs-4N scaling run measures. Measured
+    # crossover: at 1M vertices the per-iteration broadcast of the state
+    # vector LOSES to the exchange-free co-partitioned hash join (PR 43.3s
+    # vs 29.5s, LPA 27.9s vs 20.2s at local[32]) — threshold 250k.
+    broadcast_thr = 250_000 if os.environ.get("SPARK_GRAFT_PR_BROADCAST", "1") == "1" else 0
     # the scaling harness pins shuffle partitions across parallelism
     # levels (a real cluster keeps partitioning fixed when scaling
     # executors); default remains partitions == cores
@@ -172,8 +175,10 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    pr_lpa_iters = PR_ITERS + LPA_ITERS
+    pr_lpa_iters = ("pagerank" in which) * PR_ITERS + ("lpa" in which) * LPA_ITERS
     pr_lpa_time = timings.get("pagerank", 0.0) + timings.get("lpa", 0.0)
+    if pr_lpa_time == 0.0:  # neither metric query selected
+        pr_lpa_iters, pr_lpa_time = 0, float("inf")
     rss, cpu = _rss_cpu()
     result = {
         "metric": "headline_queries_total_time",

@@ -86,7 +86,17 @@ def connected_components(
 
         return new, changed
 
-    result = driver.run(pairs, step, max_iterations=max_iterations, tolerance=0.0, metric_name="edge_set_changed")
+    # log_rows=False: the checksum metric already scans the persisted round
+    # output (and carries the row count inside it) — the separate
+    # metrics-only count action would be a third whole job per round
+    result = driver.run(
+        pairs,
+        step,
+        max_iterations=max_iterations,
+        tolerance=0.0,
+        metric_name="edge_set_changed",
+        log_rows=False,
+    )
     stars = result.state  # (member, center) pairs; centers are component minima
 
     comp = stars.select(F.col("src").alias("id"), F.col("dst").alias("component")).unionByName(

@@ -119,7 +119,7 @@ def label_propagation(
     variant: str = "plain",
     tolerance: float = 0.0,
     driver: IterationDriver | None = None,
-    broadcast_rows_threshold: int = 5_000_000,
+    broadcast_rows_threshold: int = 250_000,
 ) -> IterationResult:
     """IterationResult whose .state is labels(id, label) at convergence.
 
