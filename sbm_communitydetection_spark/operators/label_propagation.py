@@ -184,7 +184,10 @@ def label_propagation(
         )
         labels = verts.select("id", F.col("id").alias("label"))
     # co-partitioned with edges on the superstep join key (id → dst)
-    labels = labels.repartition("id")
+    # key="id": the singleton init projects `id` under two aliases, and the
+    # checkpoint recorder would keep hash(label) — making the FIRST
+    # superstep re-exchange the label vector twice (see ppc docstring)
+    labels = partition_preserving_checkpoint(labels.repartition("id"), key="id")
 
     n_vertices = labels.count()
     use_broadcast = n_vertices <= broadcast_rows_threshold

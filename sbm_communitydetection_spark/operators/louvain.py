@@ -178,7 +178,9 @@ def _sweeps_until_stable(
     stop rule, src/dynamic_community_detection.cpp:63-117), with rollback
     of the final non-improving sweep — synchronous moves can oscillate, and
     the modularity-monotone criterion converts that into a clean stop."""
-    best = truncate(labels)
+    # key="id": the level init projects `id` under two aliases (label=id),
+    # which would record the wrong partitioning leaf (see ppc docstring)
+    best = partition_preserving_checkpoint(labels.repartition("id"), key="id")
     q_best = _level_modularity(edges, best, two_m)
     improving_sweeps = 0
     fails = 0

@@ -71,9 +71,19 @@ def parquet_partition_lineage(path: str) -> list[dict] | None:
     return out
 
 
-def partition_preserving_checkpoint(df: DataFrame) -> DataFrame:
+def partition_preserving_checkpoint(df: DataFrame, key: str | None = None) -> DataFrame:
     """localCheckpoint that KEEPS the DataFrame's hash partitioning and
     RESETS the plan's inherited size statistics.
+
+    ``key``: name of the column the caller just ``repartition``-ed by.
+    Only pass it when that is literally true — it OVERRIDES the recorded
+    partitioning with ``hashpartitioning(key, n)``. Needed when the plan
+    projects ONE expression under SEVERAL aliases (e.g. the singleton
+    label init ``select(id, id AS label)``): the alias-aware recorder
+    emits a PartitioningCollection and ``Dataset.checkpoint`` keeps only
+    its FIRST leaf, which may be the wrong alias — measured: the LPA
+    init recorded ``hash(label)`` instead of ``hash(id)``, so the first
+    superstep re-exchanged the label vector twice.
 
     Two silent checkpoint pathologies, both measured in this runtime:
 
@@ -118,10 +128,22 @@ def partition_preserving_checkpoint(df: DataFrame) -> DataFrame:
             return ck
         jvm = spark._jvm
         none = jvm.scala.Option.empty()
+        partitioning = lp.outputPartitioning()
+        if key is not None:
+            out, attr = lp.output(), None
+            for i in range(out.size()):
+                if out.apply(i).name() == key:
+                    attr = out.apply(i)
+                    break
+            n = partitioning.numPartitions() or lp.rdd().getNumPartitions()
+            if attr is not None and n > 0:
+                partitioning = jvm.org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+                    spark.sparkContext._jvm.PythonUtils.toSeq([attr]), n
+                )
         new_lp = jvm.org.apache.spark.sql.execution.LogicalRDD(
             lp.output(),
             lp.rdd(),
-            lp.outputPartitioning(),
+            partitioning,
             lp.outputOrdering(),
             lp.isStreaming(),
             lp.stream(),
