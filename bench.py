@@ -84,7 +84,7 @@ def main() -> None:
     which = set(
         os.environ.get(
             "SPARK_GRAFT_BENCH_QUERIES",
-            "pagerank,lpa,connected_components,triangle_count,degree_topk",
+            "transcript_extract,pagerank,lpa,connected_components,triangle_count,degree_topk",
         ).split(",")
     )
     # broadcast=0 forces the pure shuffle join path — the configuration a
@@ -126,6 +126,20 @@ def main() -> None:
     # swamps the scaling signal this harness exists to measure.
     iter_timing = os.environ.get("SPARK_GRAFT_BENCH_ITER_TIMING", "0") == "1"
 
+    if "transcript_extract" in which:
+        # the A+B payload axis end-to-end: events → transcript schema →
+        # reply/tool link extraction → symmetrized weighted edge table
+        def run_extract():
+            from sbm_communitydetection_spark.operators.extract import extract_graph
+            from sbm_communitydetection_spark.sources.events_transcripts import (
+                events_transcripts,
+            )
+
+            t = events_transcripts(spark, sf_dir)
+            _, tedges = extract_graph(t)
+            tedges.count()
+
+        timed("transcript_extract", run_extract)
     if "pagerank" in which:
         pr_metrics: list = []
 

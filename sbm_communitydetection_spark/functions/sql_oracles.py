@@ -431,9 +431,15 @@ bf AS (
     FROM prior p LEFT JOIN nf n ON n.id = p.id AND n.s = p.s
 ),
 lab AS (
+    -- tolerance argmax (smallest s within 1e-9 of the max) — mirrors the
+    -- engine's tie rule so exact structural ties broken by float noise
+    -- resolve identically in both engines
     SELECT id, s,
-           ROW_NUMBER() OVER (PARTITION BY id ORDER BY logit DESC, s ASC) AS rn
-    FROM bf
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY near_max DESC, s ASC) AS rn
+    FROM (
+        SELECT *, (logit >= MAX(logit) OVER (PARTITION BY id) - 1e-9) AS near_max
+        FROM bf
+    )
 )"""
     )
     return ",\n".join(parts) + "\nSELECT id, CAST(s AS BIGINT) AS label FROM lab WHERE rn = 1"

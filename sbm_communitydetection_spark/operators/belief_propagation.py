@@ -335,10 +335,23 @@ def _belief_propagation_agg(
     tot = _tot_agg(_lt(result.state), k)
     b = _softmax_col(F.zip_with("prior", "tot", lambda p, t: F.log(p) + t))
     final = tot.join(pr, "dst").select(F.col("dst").alias("id"), b.alias("belief"))
-    # argmax = first index of the max (ties → smallest state, np.argmax parity)
+    # argmax with a 1e-9 tie tolerance: structurally symmetric vertices
+    # produce EXACT belief ties in real arithmetic that float summation
+    # order breaks differently per engine; "first state within eps of the
+    # max" makes the tie-break (smallest s) reproducible across engines
+    # and partitionings. eps sits ~4 orders above accumulated float noise
+    # and ~6 below any genuine belief gap.
+    mx = F.array_max("belief")
     out = final.select(
         "id",
-        (F.array_position(F.col("belief"), F.array_max("belief")) - 1).cast("long").alias("label"),
+        (
+            F.array_position(
+                F.transform(F.col("belief"), lambda b: b >= mx - F.lit(1e-9)), F.lit(True)
+            )
+            - 1
+        )
+        .cast("long")
+        .alias("label"),
         "belief",
     ).localCheckpoint(eager=True)
     # the n-row belief table is materialized — release the per-run inputs

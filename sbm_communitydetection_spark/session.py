@@ -33,6 +33,16 @@ def get_spark(
     else:
         master = f"local[{cores}]"
         n_parallel = cores
+
+    # Under spark-submit (the north-rule launch contract:
+    # `spark-submit --py-files dist/*.zip run.py ...`) the master and any
+    # --conf flags come from the launcher; PYSPARK_GATEWAY_PORT marks that
+    # the JVM gateway already exists. Setting .master() here would
+    # silently override the cluster manager the operator chose.
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    master_env = os.environ.get("SPARK_GRAFT_MASTER")
+    if master_env:
+        master = master_env
     if shuffle_partitions is None:
         shuffle_partitions = max(8, n_parallel)
 
@@ -46,9 +56,11 @@ def get_spark(
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
 
+    builder = SparkSession.builder
+    if not submitted:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.default.parallelism", str(n_parallel))
         .config("spark.sql.adaptive.enabled", "true")
