@@ -45,30 +45,22 @@ from pyspark.sql import DataFrame, SparkSession
 SEVERANCE_EVERY = 8
 
 
-def parquet_partition_lineage(path: str) -> list[dict] | None:
-    """One lineage entry per parquet part-file of a snapshot directory —
-    rows from the file footer, bytes from the filesystem; read on the
-    driver, no Spark job. On Iceberg the same rows come from the
-    manifest's per-file record counts."""
-    try:
-        import pyarrow.parquet as pq
-    except ImportError:  # pragma: no cover
-        return None
-    if not os.path.isdir(path):
-        return None
-    out = []
-    for name in sorted(os.listdir(path)):
-        if not name.endswith(".parquet"):
-            continue
-        fp = os.path.join(path, name)
-        out.append(
-            {
-                "file": name,
-                "rows": pq.ParquetFile(fp).metadata.num_rows,
-                "bytes": os.path.getsize(fp),
-            }
-        )
-    return out
+# Durable snapshots go through the TableIO seam (SURVEY §7): Parquet
+# directories in this sandbox, Iceberg snapshot-per-iteration when a
+# catalog is configured. Re-exported here for existing importers.
+from sbm_communitydetection_spark.sources.table_io import (  # noqa: E402
+    ParquetTableIO,
+    parquet_partition_lineage,
+)
+
+__all__ = [
+    "IterationDriver",
+    "IterationResult",
+    "LineageTruncator",
+    "parquet_partition_lineage",
+    "partition_preserving_checkpoint",
+    "unpersist_checkpoint",
+]
 
 
 def partition_preserving_checkpoint(df: DataFrame, key: str | None = None) -> DataFrame:
@@ -245,22 +237,31 @@ class IterationDriver:
         run_id: str = "run",
         checkpoint_dir: str | None = None,
         mode: str = "local",
+        table_io=None,
     ):
-        """mode: 'local' (localCheckpoint) or 'parquet' (durable, resumable)."""
+        """mode: 'local' (localCheckpoint) or 'parquet' (durable, resumable).
+
+        ``table_io``: any TableIO implementation (sources/table_io.py) for
+        the durable path; defaults to ParquetTableIO under checkpoint_dir.
+        Pass IcebergTableIO(...) on a cluster with an Iceberg catalog —
+        nothing else changes."""
         if mode not in ("local", "parquet"):
             raise ValueError(f"unknown checkpoint mode {mode!r}")
-        if mode == "parquet" and not checkpoint_dir:
-            raise ValueError("parquet mode requires checkpoint_dir")
+        if mode == "parquet" and not (checkpoint_dir or table_io):
+            raise ValueError("parquet mode requires checkpoint_dir or table_io")
         self.spark = spark
         self.run_id = run_id
-        self.dir = os.path.join(checkpoint_dir, run_id) if checkpoint_dir else None
         self.mode = mode
+        self.io = table_io
+        if mode == "parquet" and self.io is None:
+            self.io = ParquetTableIO(spark, checkpoint_dir, run_id)
+        self.dir = getattr(self.io, "dir", None)
         self._truncator = LineageTruncator(spark, prefix=run_id)
 
     # -- snapshot plumbing -------------------------------------------------
     def _iter_path(self, i: int) -> str:
-        assert self.dir is not None
-        return os.path.join(self.dir, f"iter={i}")
+        assert self.io is not None
+        return self.io.snapshot_ref(i)
 
     def _persist(self, df: DataFrame, i: int) -> DataFrame:
         if self.mode == "local":
@@ -269,44 +270,35 @@ class IterationDriver:
             # inputs, so each superstep shuffles only the intrinsic
             # communication, never the state/adjacency re-exchange
             return self._truncator(df)
-        path = self._iter_path(i)
-        df.write.mode("overwrite").parquet(path)
-        return self.spark.read.parquet(path)
+        return self.io.write_snapshot(df, i)
 
     def _log_metrics(self, row: dict) -> None:
-        if self.dir is None:
+        if self.io is None:
             return
-        os.makedirs(self.dir, exist_ok=True)
-        with open(os.path.join(self.dir, "_metrics.jsonl"), "a") as f:
-            f.write(json.dumps(row) + "\n")
+        self.io.append_metrics(json.dumps(row))
 
     def _partition_lineage(self, i: int) -> list[dict] | None:
         """Per-partition lineage for a durable snapshot: one entry per
-        parquet part-file with its row count and size, read from the file
-        FOOTERS on the driver (no Spark job). This is the per-partition
-        half of the north_rule's "per-partition lineage + convergence
-        metrics"."""
+        data file with its row count and size (parquet footers on the
+        driver, or the Iceberg manifest's files table). This is the
+        per-partition half of the north_rule's "per-partition lineage +
+        convergence metrics"."""
         if self.mode != "parquet":
             return None
-        return parquet_partition_lineage(self._iter_path(i))
+        return self.io.partition_lineage(i)
 
     def latest_complete_iteration(self) -> int | None:
-        """Highest i with a _SUCCESS marker — the resume point."""
-        if self.dir is None or not os.path.isdir(self.dir):
+        """Highest durably-committed i — the resume point."""
+        if self.io is None:
             return None
-        best = None
-        for name in os.listdir(self.dir):
-            if name.startswith("iter=") and os.path.exists(os.path.join(self.dir, name, "_SUCCESS")):
-                i = int(name.split("=", 1)[1])
-                best = i if best is None else max(best, i)
-        return best
+        return self.io.latest_complete_iteration()
 
     def resume_state(self) -> tuple[DataFrame, int] | None:
         """(state, next_iteration) from the latest durable snapshot."""
         i = self.latest_complete_iteration()
         if i is None:
             return None
-        return self.spark.read.parquet(self._iter_path(i)), i + 1
+        return self.io.read_snapshot(i), i + 1
 
     # -- the loop ----------------------------------------------------------
     def run(
@@ -350,7 +342,7 @@ class IterationDriver:
                     "phase": "init",
                     "rows": state.count(),
                     "partitions": state.rdd.getNumPartitions(),
-                    "snapshot": self._iter_path(0) if self.dir else "localCheckpoint",
+                    "snapshot": self._iter_path(0) if self.io else "localCheckpoint",
                     "partition_lineage": self._partition_lineage(0),
                 }
             )
@@ -381,7 +373,7 @@ class IterationDriver:
                 "rows": rows,
                 "partitions": new_state.rdd.getNumPartitions(),
                 "wall_sec": round(wall, 4),
-                "snapshot": self._iter_path(i) if self.dir else "localCheckpoint",
+                "snapshot": self._iter_path(i) if self.io else "localCheckpoint",
                 "partition_lineage": self._partition_lineage(i),
             }
             metrics.append(row)
