@@ -24,11 +24,25 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     accumulation (src/graph.cpp:24-26), zero-weight skip
     (src/graph.cpp:16-18), self-loop guards (src/sbm.cpp:96-98).
     """
-    e = edges.select("src", "dst", "weight")
-    both = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"))
+    # Single pass: explode each row into both directions instead of
+    # union-ing the plan with its reverse — a union references the input
+    # subtree TWICE, so an expensive upstream (e.g. the transcript
+    # window in operators/extract.py) would scan + shuffle + window the
+    # whole input twice. Self-loops are dropped pre-explode (symmetric
+    # predicate, half the comparisons).
+    e = edges.select("src", "dst", "weight").filter(F.col("src") != F.col("dst"))
+    both = e.select(
+        F.explode(
+            F.array(
+                F.struct("src", "dst", "weight"),
+                F.struct(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), F.col("weight")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.weight")
     return (
-        both.filter(F.col("src") != F.col("dst"))
-        .groupBy("src", "dst")
+        both.groupBy("src", "dst")
         .agg(F.sum("weight").alias("weight"))
         .filter(F.col("weight") != 0)
     )

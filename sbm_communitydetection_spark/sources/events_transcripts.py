@@ -42,10 +42,17 @@ TOOL_EVERY = 5
 
 def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) from events."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "conv_id", F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    )
+    # Partition the turn-ordering window by the DERIVED conv_id (1:1 with
+    # user_id, so semantics are identical): downstream extraction windows
+    # partition by conv_id, and keying this window the same way lets them
+    # reuse this exchange instead of re-shuffling the whole turn table
+    # (measured: 5 → 3 exchanges in the extract_graph physical plan).
+    w = Window.partitionBy("conv_id").orderBy("ts", "event_id")
     return ev.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        "conv_id",
         (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
