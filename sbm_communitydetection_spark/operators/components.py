@@ -104,7 +104,11 @@ def connected_components(
     )
     comp = comp.groupBy("id").agg(F.min("component").alias("component"))
 
-    all_ids = pairs.select(F.col("src").alias("id")).unionByName(pairs.select(F.col("dst").alias("id")))
+    # from the UNFILTERED edges: a vertex mentioned only in self-loops
+    # still exists and forms its own singleton component
+    all_ids = edges.select(F.col("src").alias("id")).unionByName(
+        edges.select(F.col("dst").alias("id"))
+    )
     if vertices is not None:
         all_ids = all_ids.unionByName(vertices.select("id"))
     all_ids = all_ids.distinct()
