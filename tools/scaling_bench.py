@@ -13,7 +13,10 @@ Protocol (round 2):
   executors; letting it track the core count conflates plan shape with
   parallelism (map-side-combine output grows with partition count).
 * Each level runs `bench.py` in a FRESH subprocess (own JVM), best of
-  `--repeats` runs.
+  `--repeats` runs, with repeats INTERLEAVED round-robin across levels:
+  the host's cycle grant drifts over minutes, and back-to-back repeats
+  of one level would let a throttled phase contaminate exactly one side
+  of an efficiency pair.
 * A PLATFORM CEILING probe runs first: plain CPU-burning processes (no
   Spark, no memory traffic) measure how many extra cycles the host
   actually grants from N to 4N processes. This sandbox is a
@@ -95,9 +98,24 @@ def run_bench(cores: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
-def best_of(cores: int, sf_dir: str, repeats: int) -> dict:
-    runs = [run_bench(cores, sf_dir) for _ in range(repeats)]
-    return max(runs, key=lambda r: r["edges_per_sec"])
+def interleaved_runs(levels: list[int], sf_dir: str, repeats: int) -> dict[int, list[dict]]:
+    """All repeats, ROUND-ROBIN across levels: the host's throttling state
+    drifts over minutes, so running one level's repeats back-to-back lets
+    a throttled phase contaminate exactly one side of an efficiency pair.
+    Interleaving spreads every level's samples across the whole session,
+    so best-of-N per level compares like phases with like."""
+    all_runs: dict[int, list[dict]] = {c: [] for c in levels}
+    for r in range(repeats):
+        for c in levels:
+            print(
+                f"-- round {r + 1}/{repeats}: bench.py at local[{c}] on {sf_dir} "
+                f"(parts={PINNED_PARTS}) ...",
+                file=sys.stderr,
+            )
+            run = run_bench(c, sf_dir)
+            all_runs[c].append(run)
+            print(f"   edges/sec={run['edges_per_sec']:,.0f} total={run['value']}s", file=sys.stderr)
+    return all_runs
 
 
 def pair_eff(results: dict, pair: tuple[int, int]) -> dict:
@@ -116,8 +134,9 @@ def render_md(results: dict, effs: dict, ceilings: dict, sf_dir: str) -> str:
         f"(`{sf_dir}`), fresh JVM per level, N vs 4N CORES, shuffle partitions",
         f"PINNED at {PINNED_PARTS} across levels (a real cluster keeps partitioning",
         "fixed while scaling executors). Metric pair: PageRank 10 iters + LPA 5",
-        "iters (pure shuffle path, iteration-timing mode), best of repeats,",
-        f"measured {date}.",
+        "iters (pure shuffle path, iteration-timing mode), best of repeats",
+        "interleaved round-robin across levels (per-run raw throughputs in",
+        f"the JSON files), measured {date}.",
         "",
         "## Platform ceiling (no Spark)",
         "",
@@ -198,15 +217,10 @@ def main() -> None:
     print(f"   {ceilings}", file=sys.stderr)
 
     levels = sorted(set(PRIMARY) | set(SECONDARY))
-    results = {}
+    all_runs = interleaved_runs(levels, args.sf_dir, args.repeats)
+    results = {c: max(rs, key=lambda r: r["edges_per_sec"]) for c, rs in all_runs.items()}
     for cores in levels:
-        print(
-            f"-- running bench.py at local[{cores}] on {args.sf_dir} "
-            f"(best of {args.repeats}, parts={PINNED_PARTS}) ...",
-            file=sys.stderr,
-        )
-        results[cores] = best_of(cores, args.sf_dir, args.repeats)
-        print(f"   {json.dumps(results[cores])}", file=sys.stderr)
+        print(f"   best local[{cores}]: {json.dumps(results[cores])}", file=sys.stderr)
 
     effs = {"primary": pair_eff(results, PRIMARY), "secondary": pair_eff(results, SECONDARY)}
     summary = {
@@ -217,6 +231,9 @@ def main() -> None:
         "secondary_pair": effs["secondary"],
         "platform_ceiling_8_to_32": round((ceilings[32] / ceilings[8]) / 4, 4),
         "levels": {str(c): results[c] for c in levels},
+        "all_edges_per_sec": {
+            str(c): [r["edges_per_sec"] for r in rs] for c, rs in all_runs.items()
+        },
         "sf_dir": args.sf_dir,
     }
     print(json.dumps(summary))
@@ -224,8 +241,10 @@ def main() -> None:
     if args.write_md:
         os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
         for cores in levels:
+            best = dict(results[cores])
+            best["all_edges_per_sec"] = [r["edges_per_sec"] for r in all_runs[cores]]
             with open(os.path.join(REPO, "BENCH", f"scaling_local{cores}.json"), "w") as f:
-                json.dump(results[cores], f, indent=2)
+                json.dump(best, f, indent=2)
         with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
             f.write(render_md(results, effs, ceilings, args.sf_dir))
 
