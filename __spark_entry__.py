@@ -395,6 +395,10 @@ def _q_minhash_lsh(spark, sf_dir):
     return TD.minhash_lsh_dup_pairs(_docs(spark, sf_dir))
 
 
+def _q_near_dup_clusters(spark, sf_dir):
+    return TD.near_dup_clusters(spark, _docs(spark, sf_dir))
+
+
 def _q_simhash(spark, sf_dir):
     return TD.simhash(_docs(spark, sf_dir))
 
@@ -499,6 +503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard,
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_dup_pairs": _q_minhash_lsh,
+        "near_dup_clusters": _q_near_dup_clusters,  # LSH pairs → CC → canonical survivor
         "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_pairs,
         "simhash_banded_dup_pairs": _q_simhash_banded_pairs,
@@ -574,6 +579,7 @@ GROUP BY l1.label, l2.label""",
         "ngram_jaccard_pairs": TD.ngram_jaccard_pairs_sql(),
         "minhash_signatures": TD.minhash_signatures_sql(),
         "minhash_lsh_dup_pairs": TD.minhash_lsh_dup_pairs_sql(),
+        "near_dup_clusters": TD.near_dup_clusters_sql(),
         "simhash": TD.simhash_sql(),
         "simhash_dup_pairs": TD.simhash_dup_pairs_sql(),
         "simhash_banded_dup_pairs": TD.simhash_dup_pairs_sql(max_hamming=3),

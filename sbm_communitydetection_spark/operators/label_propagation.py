@@ -242,5 +242,9 @@ def label_propagation(
         log_rows=not fixed_iters,
     )
     # release the pre-partitioned edge checkpoint (static input, dead now)
+    # and this operator's OWN init-label checkpoint — the driver persisted
+    # its own copy at iteration 0, so the original is an orphan that would
+    # otherwise sit in the block manager for the life of the session
     unpersist_checkpoint(edges)
+    unpersist_checkpoint(labels)
     return result

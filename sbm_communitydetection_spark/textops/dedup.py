@@ -205,15 +205,16 @@ def minhash_lsh_dup_pairs(
     return cands.join(exact, ["a", "b"]).select("a", "b", "jaccard")
 
 
-def minhash_lsh_dup_pairs_sql(
-    table: str = "documents",
-    threshold: float = 0.4,
-    num_hashes: int = MINHASH_NUM,
-    rows_per_band: int = MINHASH_ROWS_PER_BAND,
-    n: int = NGRAM_N,
+def _lsh_ctes_sql(
+    table: str,
+    threshold: float,
+    num_hashes: int,
+    rows_per_band: int,
+    n: int,
 ) -> str:
-    return f"""
-    WITH {_signature_cte_sql(table, num_hashes, n)},
+    """CTE chain ending in `dup(a, b, jaccard)` — shared by the pair query
+    and the clustering query."""
+    return f"""{_signature_cte_sql(table, num_hashes, n)},
     bands AS (
         SELECT doc_id, CAST(hash_id / {rows_per_band} AS INT) AS band,
                string_agg(CAST(min_h AS VARCHAR), '_' ORDER BY hash_id) AS band_key
@@ -232,8 +233,90 @@ def minhash_lsh_dup_pairs_sql(
         SELECT a, b, ROUND(i / (sa.sz + sb.sz - i), 6) AS jaccard
         FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
         WHERE ROUND(i / (sa.sz + sb.sz - i), 6) >= {threshold}
+    ),
+    dup AS (
+        SELECT cands.a, cands.b, jaccard
+        FROM cands JOIN exact ON cands.a = exact.a AND cands.b = exact.b
+    )"""
+
+
+def minhash_lsh_dup_pairs_sql(
+    table: str = "documents",
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    n: int = NGRAM_N,
+) -> str:
+    return f"""
+    WITH {_lsh_ctes_sql(table, threshold, num_hashes, rows_per_band, n)}
+    SELECT a, b, jaccard FROM dup
+    """
+
+
+def near_dup_clusters(
+    spark,
+    docs: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """(doc_id, cluster_id, keep): the dedup DECISION a training pipeline
+    applies — connected components over the LSH dup-pair graph, one
+    canonical survivor per cluster.
+
+    cluster_id = min doc_id reachable through near-dup pairs (transitive:
+    A~B, B~C puts A and C in one cluster even if A!~C — the standard
+    fuzzy-dedup semantics); keep = 1 on the cluster's minimum doc_id.
+
+    Scale: candidate pairs come from banded LSH (never all-pairs); the
+    component step runs large-star/small-star on the PAIR graph only —
+    docs with no near-dup never enter the iteration and are closed over
+    via one left join at the end. At 100 TB the pair graph is orders of
+    magnitude smaller than the corpus, so the iterative part is cheap and
+    the whole job is one LSH pass + one join."""
+    from ..operators.components import connected_components
+
+    pairs = minhash_lsh_dup_pairs(docs, threshold, num_hashes, rows_per_band, n)
+    half = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    edges = half.unionByName(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    comp = connected_components(spark, edges.withColumn("weight", F.lit(1).cast("long")))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.coalesce("component", "doc_id") == F.col("doc_id")).cast("int").alias("keep"),
+        )
     )
-    SELECT cands.a, cands.b, jaccard FROM cands JOIN exact ON cands.a = exact.a AND cands.b = exact.b
+
+
+def near_dup_clusters_sql(
+    table: str = "documents",
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    n: int = NGRAM_N,
+) -> str:
+    """Small-scale oracle: min-reachable-id via recursive transitive
+    closure over the symmetrized dup-pair graph (same shape as the
+    connected-components oracle, functions/sql_oracles.py)."""
+    return f"""
+    WITH RECURSIVE {_lsh_ctes_sql(table, threshold, num_hashes, rows_per_band, n)},
+    sym AS (
+        SELECT a AS src, b AS dst FROM dup
+        UNION ALL
+        SELECT b AS src, a AS dst FROM dup
+    ),
+    reach(u, v) AS (
+        SELECT doc_id, doc_id FROM {table}
+        UNION
+        SELECT r.u, s.dst FROM reach r JOIN sym s ON r.v = s.src
+    )
+    SELECT u AS doc_id, MIN(v)::BIGINT AS cluster_id,
+           (u = MIN(v))::INT AS keep
+    FROM reach GROUP BY u
     """
 
 

@@ -63,6 +63,16 @@ def test_minhash_lsh_finds_near_dup(docs):
     assert (0, 3) not in pairs
 
 
+def test_near_dup_clusters_transitive_canonical(spark, docs):
+    # 0~1 (exact) and 0~2 (near): transitivity puts {0,1,2} in ONE cluster
+    # with 0 as the canonical survivor; 3 stays a singleton.
+    res = {r.doc_id: (r.cluster_id, r.keep) for r in TD.near_dup_clusters(spark, docs).collect()}
+    assert res[0] == (0, 1) and res[1] == (0, 0) and res[2] == (0, 0)
+    assert res[3] == (3, 1)
+    # survivors of the dedup decision
+    assert {d for d, (_, k) in res.items() if k} == {0, 3}
+
+
 def test_minhash_signature_identical_for_identical_docs(docs):
     sig = TD.minhash_signatures(docs).collect()
     by_doc: dict[int, dict[int, int]] = {}
