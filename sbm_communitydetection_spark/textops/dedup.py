@@ -15,8 +15,9 @@ Scale notes (100 TB):
   banding reduces the pair space to same-bucket collisions; candidates
   verified with exact Jaccard.
 * SimHash — one groupBy producing a 60-bit fingerprint per doc;
-  near-dup pairs = fingerprints within Hamming distance k (banded at
-  scale; the sf-scale query joins on the full fingerprint space).
+  near-dup pairs = fingerprints within Hamming distance k, ALWAYS via
+  (k+1)-band pigeonhole bucketing (total recall, no all-pairs join);
+  the O(n²) join survives only as the DuckDB oracle SQL.
 * embedding cosine — exact threshold join at sf scale; the ANN path for
   100 TB is textops/similarity.py (IVF buckets).
 
@@ -365,18 +366,12 @@ def simhash_sql(table: str = "documents", bits: int = SIMHASH_BITS) -> str:
 def simhash_dup_pairs(docs: DataFrame, max_hamming: int = 6, bits: int = SIMHASH_BITS) -> DataFrame:
     """(a, b, hamming) — fingerprint pairs within Hamming distance.
 
-    sf-scale check joins the full pair space; the 100 TB path buckets
-    fingerprints into 4 bands of 15 bits (any pair within distance 3
-    collides on ≥1 band) before the verify join."""
-    fp = simhash(docs, bits)
-    a = fp.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
-    b = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    DEFAULT = the banded path (total recall by pigeonhole, see
+    `simhash_banded_dup_pairs`): the driver's oracle for this query stays
+    the all-pairs SQL join, so the correctness gate proves
+    banded == all-pairs at this op's radius every round. The O(n²) Spark
+    cross join this op used at sf scale is gone."""
+    return simhash_banded_dup_pairs(docs, max_hamming=max_hamming, bits=bits)
 
 
 def simhash_dup_pairs_sql(table: str = "documents", max_hamming: int = 6, bits: int = SIMHASH_BITS) -> str:
@@ -390,12 +385,16 @@ def simhash_dup_pairs_sql(table: str = "documents", max_hamming: int = 6, bits: 
 
 
 def simhash_banded_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, bits: int = SIMHASH_BITS, n_bands: int = 4
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = SIMHASH_BITS,
+    n_bands: int | None = None,
 ) -> DataFrame:
     """(a, b, hamming) — the 100 TB SimHash near-dup path: band the 60-bit
-    fingerprint into ``n_bands`` disjoint bit slices (4 x 15 bits), bucket
-    on (band, slice_value), and verify only same-bucket candidates with an
-    exact `bit_count`.
+    fingerprint into ``n_bands`` disjoint bit slices (default
+    ``max_hamming + 1``, uneven widths when bits don't divide evenly),
+    bucket on (band, slice_value), and verify only same-bucket candidates
+    with an exact `bit_count`.
 
     Pigeonhole guarantee: a pair within Hamming distance ``max_hamming``
     <= n_bands - 1 differs in at most n_bands - 1 bands, so at least one
@@ -405,20 +404,26 @@ def simhash_banded_dup_pairs(
 
     Plan shape at scale: one explode (n_bands rows/doc), one shuffle keyed
     on (band, key) — the quadratic term is per-bucket, never global; the
-    all-pairs `a < b` cross join of `simhash_dup_pairs` is gone."""
+    all-pairs `a < b` cross join this replaces is gone."""
+    if n_bands is None:
+        n_bands = max_hamming + 1
     if max_hamming >= n_bands:
         raise ValueError(
             f"banded recall guarantee needs max_hamming <= n_bands-1 "
             f"(got max_hamming={max_hamming}, n_bands={n_bands})"
         )
-    if bits % n_bands:
-        raise ValueError(f"bits={bits} not divisible by n_bands={n_bands}")
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
+    if n_bands > bits:
+        raise ValueError(f"n_bands={n_bands} exceeds fingerprint bits={bits}")
+    # uneven slicing: the first (bits % n_bands) bands are one bit wider,
+    # covering all `bits` bits exactly once — pigeonhole holds regardless
+    # of band widths
+    base, extra = divmod(bits, n_bands)
+    widths = [base + (1 if j < extra else 0) for j in range(n_bands)]
+    offsets = [sum(widths[:j]) for j in range(n_bands)]
     fp = simhash(docs, bits)
     keys = F.array(
         *[
-            F.shiftright(F.col("simhash"), j * band_bits).bitwiseAND(F.lit(mask))
+            F.shiftright(F.col("simhash"), offsets[j]).bitwiseAND(F.lit((1 << widths[j]) - 1))
             for j in range(n_bands)
         ]
     )
