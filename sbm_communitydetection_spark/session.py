@@ -93,6 +93,14 @@ def get_spark(
     )
     if local_dir and "spark.local.dir" not in (extra_conf or {}):
         builder = builder.config("spark.local.dir", local_dir)
+    # SPARK_GRAFT_CONF="k=v;k2=v2" — ad-hoc conf overrides without code
+    # changes (bench experiments, launch-contract parity with
+    # spark-submit --conf). extra_conf (explicit caller) wins.
+    env_conf = os.environ.get("SPARK_GRAFT_CONF", "")
+    for pair in filter(None, (p.strip() for p in env_conf.split(";"))):
+        k, sep, v = pair.partition("=")
+        if k and sep and k not in (extra_conf or {}):
+            builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -91,6 +91,24 @@ def test_simhash_hamming_orders_similarity(docs):
     assert near < far
 
 
+def test_simhash_banded_equals_all_pairs_any_radius(docs):
+    # pigeonhole recall must be TOTAL at every radius, including ones
+    # where 60 bits don't divide evenly into max_hamming+1 bands
+    fp = {r.doc_id: r.simhash for r in TD.simhash(docs).collect()}
+    for radius in (0, 3, 6, 9):
+        exact = {
+            (a, b, bin(fp[a] ^ fp[b]).count("1"))
+            for a in fp
+            for b in fp
+            if a < b and bin(fp[a] ^ fp[b]).count("1") <= radius
+        }
+        banded = {
+            (r.a, r.b, r.hamming)
+            for r in TD.simhash_banded_dup_pairs(docs, max_hamming=radius).collect()
+        }
+        assert banded == exact, f"radius {radius}"
+
+
 def test_cosine_topk_matches_numpy(embs):
     res = TS.cosine_topk(embs, k=3).collect()
     rows = embs.orderBy("vec_id").collect()
