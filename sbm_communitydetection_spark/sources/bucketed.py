@@ -1,0 +1,58 @@
+"""Bucketed adjacency storage — the co-located-join layout for 100 TB.
+
+The reference holds adjacency as in-memory pointer lists (src/graph.h:23);
+at cluster scale the analogue is an edge table PRE-BUCKETED on the
+superstep probe key so the join ships only the (small) state vector:
+a `bucketBy(N, "src").sortBy("src", "dst")` parquet table scans with
+`Bucketed: true` and satisfies hashpartitioning(src, N) straight off
+disk — zero exchange on the 100 TB side of every iteration, across JOBS
+and RESTARTS, which a localCheckpoint cannot give (it dies with the
+session). On Iceberg the same layout is `bucket(N, src)` partitioning +
+`sortedBy`; the TableIO seam (sources/table_io.py) names where that
+swap happens.
+
+The sorted-within-bucket layout is the columnar CSR analogue promised
+in SURVEY §4: each bucket file holds contiguous, sorted (src, dst) runs.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed_adjacency(
+    edges: DataFrame, table: str, buckets: int = 32, warehouse_comment: str | None = None
+) -> None:
+    """Persist a (src, dst, weight) edge table bucketed+sorted by src.
+
+    `buckets` is the cluster-lifetime parallelism unit: pick ~2-4x total
+    executor cores at deployment scale; every co-partitioned consumer
+    must shuffle to the SAME number (Spark only elides the exchange when
+    partition counts line up)."""
+    (
+        edges.write.mode("overwrite")
+        .bucketBy(buckets, "src")
+        .sortBy("src", "dst")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed_adjacency(spark: SparkSession, table: str) -> DataFrame:
+    """Scan the bucketed adjacency; the plan reports `Bucketed: true` and
+    downstream equi-joins/aggregations on `src` need no exchange."""
+    return spark.table(table)
+
+
+def physical_exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the compiled physical plan — the
+    quantity every scale argument in docs/SCALE.md is about."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"Exchange hashpartitioning", plan))
+
+
+def scan_is_bucketed(df: DataFrame) -> bool:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Bucketed: true" in plan

@@ -1,0 +1,66 @@
+"""Bucketed adjacency layout: the 100 TB side of a superstep must join
+exchange-free straight off disk (SCALE.md "Data layout")."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sbm_communitydetection_spark.sources.bucketed import (
+    physical_exchange_count,
+    read_bucketed_adjacency,
+    scan_is_bucketed,
+    write_bucketed_adjacency,
+)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.range(20000).select(
+        (F.xxhash64("id") % 1000).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+
+
+def _superstep_plan(adj, state):
+    # one PR-shaped superstep: probe join on src, re-aggregate on dst
+    return (
+        adj.join(state.hint("SHUFFLE_HASH"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("weight")).alias("contrib"))
+    )
+
+
+def test_bucketed_superstep_joins_exchange_free(spark, edges):
+    # lands in the session warehouse dir; dropped in the finally block
+    write_bucketed_adjacency(edges, "adj_bucketed_test", buckets=8)
+    try:
+        adj = read_bucketed_adjacency(spark, "adj_bucketed_test")
+        state = spark.range(1000).select(F.col("id").alias("src"), F.lit(1.0).alias("rank"))
+        # shuffle partitions must match the bucket count for elision
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            # bucketing is reported on the scan only when a plan consumes
+            # the hash distribution — assert on the superstep plan
+            assert scan_is_bucketed(_superstep_plan(adj, state))
+            bucketed_exchanges = physical_exchange_count(_superstep_plan(adj, state))
+            plain_exchanges = physical_exchange_count(_superstep_plan(edges, state))
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+        # bucketed: only the state vector + the dst re-aggregation move
+        # (2 exchanges); unbucketed adjacency adds a third — the 100 TB
+        # table itself
+        assert bucketed_exchanges == 2
+        assert plain_exchanges == 3
+
+        # and the result is the same data
+        got = sorted(
+            tuple(r) for r in _superstep_plan(adj, state).collect()
+        )
+        want = sorted(tuple(r) for r in _superstep_plan(edges, state).collect())
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS adj_bucketed_test")
