@@ -167,6 +167,20 @@ def _q_triangles_per_vertex(spark, sf_dir):
 # -- transcript extraction (input_hint pipeline, driver-gated) --------------
 
 
+def _q_conv_stats(spark, sf_dir):
+    from sbm_communitydetection_spark.operators.extract import conv_stats
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return conv_stats(events_transcripts(spark, sf_dir))
+
+
+def _q_role_transitions(spark, sf_dir):
+    from sbm_communitydetection_spark.operators.extract import role_transitions
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return role_transitions(events_transcripts(spark, sf_dir))
+
+
 def _q_transcript_edges(spark, sf_dir):
     """Full transcripts→link-graph extraction (operators/extract.py) over
     the events-derived transcript table; ids mapped back to string actor
@@ -476,6 +490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript extraction (input_hint pipeline)
         "transcript_reply_edges": _q_transcript_edges,  # extract.py end-to-end
         "transcript_turn_text": _q_turn_text,  # per-turn text equality
+        "conv_stats": _q_conv_stats,  # per-conversation rollup
+        "role_transitions": _q_role_transitions,  # who-replies-to-whom counts
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
         "fm_refine_pair": _q_fm_refine,  # D3 (rows-only check)
@@ -544,6 +560,8 @@ def oracle_sql() -> dict[str, str]:
         # transcript extraction (events-derived input_hint table)
         "transcript_reply_edges": ET.reply_edges_oracle_sql(),
         "transcript_turn_text": ET.turn_text_oracle_sql(),
+        "conv_stats": ET.conv_stats_oracle_sql(),
+        "role_transitions": ET.role_transitions_oracle_sql(),
         # skew path: salted aggregate must equal the PLAIN A8 aggregation
         "salted_neighbor_weights": edges_cte
         + f""",

@@ -105,3 +105,42 @@ def assert_no_id_collisions(vertices: DataFrame) -> None:
     dupes = vertices.groupBy("id").agg(F.countDistinct("actor_key").alias("n")).filter(F.col("n") > 1)
     if dupes.limit(1).count() > 0:
         raise ValueError("vertex id hash collision detected — widen id scheme")
+
+
+# ---------------------------------------------------------------------------
+# transcript analytics (axis-B queries over the input_hint table itself)
+# ---------------------------------------------------------------------------
+
+
+def conv_stats(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, n_actors, n_tool_calls, duration_ms) — the
+    per-conversation rollup a transcripts warehouse serves constantly.
+    One hash aggregate keyed on conv_id; at 10^12 turns this is the
+    map-side-combine-friendly shape (no window, no join)."""
+    return transcripts.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.countDistinct("role").cast("long").alias("n_actors"),
+        F.count("tool").cast("long").alias("n_tool_calls"),
+        # ts arrives TIMESTAMP_NTZ from parquet; session tz is pinned UTC,
+        # so the cast is identity and unix_millis resolves
+        (
+            F.unix_millis(F.max("ts").cast("timestamp"))
+            - F.unix_millis(F.min("ts").cast("timestamp"))
+        ).alias("duration_ms"),
+    )
+
+
+def role_transitions(transcripts: DataFrame) -> DataFrame:
+    """(role_from, role_to, n) — who-replies-to-whom counts under stable
+    turn ordering; the aggregate form of the reply-edge extraction
+    (directed, NOT symmetrized — this is the analytics view, the graph
+    ingest is `reply_edges`)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lagged = transcripts.select(
+        F.lag("role").over(w).alias("role_from"), F.col("role").alias("role_to")
+    )
+    return (
+        lagged.filter(F.col("role_from").isNotNull())
+        .groupBy("role_from", "role_to")
+        .agg(F.count("*").cast("long").alias("n"))
+    )

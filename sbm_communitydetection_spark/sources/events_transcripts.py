@@ -126,3 +126,37 @@ def turn_text_oracle_sql() -> str:
         + transcripts_cte_sql()
         + "SELECT conv_id, turn_idx, text FROM transcripts"
     )
+
+
+def conv_stats_oracle_sql() -> str:
+    """Mirror of operators/extract.conv_stats over the transcripts CTE."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + """
+    SELECT conv_id,
+           COUNT(*)::BIGINT AS n_turns,
+           COUNT(DISTINCT role)::BIGINT AS n_actors,
+           COUNT(tool)::BIGINT AS n_tool_calls,
+           (epoch_ms(MAX(ts)) - epoch_ms(MIN(ts)))::BIGINT AS duration_ms
+    FROM transcripts GROUP BY conv_id
+    """
+    )
+
+
+def role_transitions_oracle_sql() -> str:
+    """Mirror of operators/extract.role_transitions."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + """,
+    lagged AS (
+        SELECT LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_from,
+               role AS role_to
+        FROM transcripts
+    )
+    SELECT role_from, role_to, COUNT(*)::BIGINT AS n
+    FROM lagged WHERE role_from IS NOT NULL
+    GROUP BY role_from, role_to
+    """
+    )

@@ -114,3 +114,28 @@ def test_events_transcripts_mapping(spark):
     joined = edges.join(e2, ["src", "dst"])
     assert joined.count() == edges.count()
     assert joined.filter(F.col("weight") != F.col("w2")).count() == 0
+
+
+def test_conv_stats_and_role_transitions_semantics(spark):
+    from datetime import datetime
+
+    from sbm_communitydetection_spark.operators.extract import conv_stats, role_transitions
+
+    rows = [
+        # conv c1: a -> b -> a, one tool call, 90s span
+        ("c1", 0, "a", "t0", None, datetime(2026, 1, 1, 0, 0, 0)),
+        ("c1", 1, "b", "t1", "tool_0", datetime(2026, 1, 1, 0, 0, 30)),
+        ("c1", 2, "a", "t2", None, datetime(2026, 1, 1, 0, 1, 30)),
+        # conv c2: single turn — no transitions, zero duration
+        ("c2", 0, "b", "t3", None, datetime(2026, 1, 1, 1, 0, 0)),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    stats = {r.conv_id: r for r in conv_stats(t).collect()}
+    assert stats["c1"].n_turns == 3 and stats["c1"].n_actors == 2
+    assert stats["c1"].n_tool_calls == 1 and stats["c1"].duration_ms == 90_000
+    assert stats["c2"].n_turns == 1 and stats["c2"].duration_ms == 0
+
+    trans = {(r.role_from, r.role_to): r.n for r in role_transitions(t).collect()}
+    assert trans == {("a", "b"): 1, ("b", "a"): 1}  # directed, turn-ordered
