@@ -32,7 +32,7 @@ from ..plans.iterate import (
 
 def pagerank(
     spark: SparkSession,
-    edges: DataFrame,
+    edges: DataFrame | None,
     vertices: DataFrame | None = None,
     damping: float = 0.85,
     tolerance: float = 1e-8,
@@ -40,37 +40,59 @@ def pagerank(
     driver: IterationDriver | None = None,
     broadcast_rows_threshold: int = 250_000,
     collect_metrics: list | None = None,
+    transition: DataFrame | None = None,
 ) -> DataFrame:
     """ranks(id, rank) with Σ rank = 1.
 
     edges(src, dst, weight) is treated as DIRECTED here; pass the
     symmetrized table for the undirected semantics of the link graph.
+
+    ``transition``: optional PREBUILT (src, dst, frac) table — e.g. a
+    bucketed-table scan from sources/bucketed.write_transition_table —
+    used verbatim instead of building the adjacency in-run. That
+    eliminates the one per-run shuffle of the full edge table too: a
+    bucketBy(N, src) scan satisfies hashpartitioning(src, N) straight
+    off disk, so across restarts and repeat runs the 100 TB side never
+    moves at all. frac must equal weight / out_weight(src) and every
+    directed edge appear exactly once; `edges` may be None then.
     """
+    if edges is None and transition is None:
+        raise ValueError("pagerank needs edges or a prebuilt transition table")
     driver = driver or IterationDriver(spark, run_id="pagerank")
+    edge_src = edges if edges is not None else transition
 
     verts = (
         vertices.select("id")
         if vertices is not None
-        else edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
+        else edge_src.select(F.col("src").alias("id"))
+        .unionByName(edge_src.select(F.col("dst").alias("id")))
         .distinct()
     )
     verts = verts.localCheckpoint(eager=True)
     n = verts.count()
 
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # Pre-partition the transition table by the probe key so the
-    # per-iteration join only shuffles the (small) rank vector, never the
-    # edge table. MUST be the partition-preserving checkpoint: a plain
-    # localCheckpoint under AQE records UnknownPartitioning and silently
-    # re-exchanges all of `adj` every superstep (measured — the round-1
-    # scaling failure).
-    adj = partition_preserving_checkpoint(
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("frac"))
-        .repartition("src")
-    )
-    dangling_ids = verts.join(out_w.select(F.col("src").alias("id")), "id", "left_anti").localCheckpoint(
+    if transition is not None:
+        # caller-owned layout (bucketed scan or equivalent): use as-is —
+        # no per-run shuffle, no checkpoint to release
+        adj = transition.select("src", "dst", "frac")
+        out_src = transition.select(F.col("src").alias("id")).distinct()
+        owns_adj = False
+    else:
+        out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+        # Pre-partition the transition table by the probe key so the
+        # per-iteration join only shuffles the (small) rank vector, never the
+        # edge table. MUST be the partition-preserving checkpoint: a plain
+        # localCheckpoint under AQE records UnknownPartitioning and silently
+        # re-exchanges all of `adj` every superstep (measured — the round-1
+        # scaling failure).
+        adj = partition_preserving_checkpoint(
+            edges.join(out_w, "src")
+            .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("frac"))
+            .repartition("src")
+        )
+        out_src = out_w.select(F.col("src").alias("id"))
+        owns_adj = True
+    dangling_ids = verts.join(out_src, "id", "left_anti").localCheckpoint(
         eager=True
     )
     # On a symmetrized link graph every vertex has out-edges: skip the
@@ -155,7 +177,8 @@ def pagerank(
     # the run's static inputs (transition table, vertex/dangling sets) are
     # dead once the final rank vector is materialized — release their
     # blocks so back-to-back operators in one session start with a clean
-    # block manager (see unpersist_checkpoint)
-    for df in (adj, verts, dangling_ids):
+    # block manager (see unpersist_checkpoint). A caller-provided
+    # transition table is NOT ours to release.
+    for df in (adj, verts, dangling_ids) if owns_adj else (verts, dangling_ids):
         unpersist_checkpoint(df)
     return result.state

@@ -56,3 +56,27 @@ def physical_exchange_count(df: DataFrame) -> int:
 def scan_is_bucketed(df: DataFrame) -> bool:
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Bucketed: true" in plan
+
+
+def write_transition_table(
+    edges: DataFrame, table: str, buckets: int = 32
+) -> None:
+    """Precompute and persist the PageRank transition table
+    (src, dst, frac = weight / out_weight(src)), bucketed+sorted by src.
+
+    Pass `read_bucketed_adjacency(spark, table)` to
+    `pagerank(..., transition=...)`: the per-run adjacency build AND its
+    shuffle disappear — across restarts the 100 TB side never moves."""
+    from pyspark.sql import functions as F
+
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    tr = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("frac")
+    )
+    (
+        tr.write.mode("overwrite")
+        .bucketBy(buckets, "src")
+        .sortBy("src", "dst")
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -64,3 +64,24 @@ def test_bucketed_superstep_joins_exchange_free(spark, edges):
         assert got == want
     finally:
         spark.sql("DROP TABLE IF EXISTS adj_bucketed_test")
+
+
+def test_pagerank_over_bucketed_transition_matches_inline_build(spark, edges):
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+    from sbm_communitydetection_spark.sources.bucketed import write_transition_table
+
+    e = edges.localCheckpoint(eager=True)
+    write_transition_table(e, "pr_transition_test", buckets=8)
+    try:
+        tr = read_bucketed_adjacency(spark, "pr_transition_test")
+        inline = {r.id: r.rank for r in pagerank(spark, e, tolerance=-1.0, max_iterations=5).collect()}
+        prebuilt = {
+            r.id: r.rank
+            for r in pagerank(
+                spark, None, tolerance=-1.0, max_iterations=5, transition=tr
+            ).collect()
+        }
+        assert inline.keys() == prebuilt.keys()
+        assert all(abs(inline[k] - prebuilt[k]) < 1e-12 for k in inline)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_transition_test")
