@@ -120,6 +120,7 @@ def label_propagation(
     tolerance: float = 0.0,
     driver: IterationDriver | None = None,
     broadcast_rows_threshold: int = 250_000,
+    edges_partitioned_by_dst: bool = False,
 ) -> IterationResult:
     """IterationResult whose .state is labels(id, label) at convergence.
 
@@ -172,7 +173,13 @@ def label_propagation(
     # each iteration shuffles only the label vector, not the edges —
     # partition-preserving checkpoint, or AQE downgrades this to a full
     # edge re-exchange per superstep (see plans/iterate.py).
-    edges = partition_preserving_checkpoint(edges.repartition("dst"))
+    # edges_partitioned_by_dst: the caller's table already satisfies
+    # hashpartitioning(dst) — e.g. a bucketBy(N, dst) scan
+    # (sources/bucketed.py) — so even the one per-run edge shuffle is
+    # skipped and the big side never moves across restarts.
+    owns_edges = not edges_partitioned_by_dst
+    if owns_edges:
+        edges = partition_preserving_checkpoint(edges.repartition("dst"))
     fixed_iters = tolerance < 0
     if initial_labels is not None:
         labels = initial_labels.select("id", "label")
@@ -241,10 +248,12 @@ def label_propagation(
         metric_name="labels_changed",
         log_rows=not fixed_iters,
     )
-    # release the pre-partitioned edge checkpoint (static input, dead now)
+    # release the pre-partitioned edge checkpoint (static input, dead now;
+    # a caller-provided pre-partitioned table is not ours to release)
     # and this operator's OWN init-label checkpoint — the driver persisted
     # its own copy at iteration 0, so the original is an orphan that would
     # otherwise sit in the block manager for the life of the session
-    unpersist_checkpoint(edges)
+    if owns_edges:
+        unpersist_checkpoint(edges)
     unpersist_checkpoint(labels)
     return result

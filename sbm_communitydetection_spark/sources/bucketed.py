@@ -23,18 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_bucketed_adjacency(
-    edges: DataFrame, table: str, buckets: int = 32, warehouse_comment: str | None = None
+    edges: DataFrame, table: str, buckets: int = 32, key: str = "src"
 ) -> None:
-    """Persist a (src, dst, weight) edge table bucketed+sorted by src.
+    """Persist a (src, dst, weight) edge table bucketed+sorted by `key`.
 
-    `buckets` is the cluster-lifetime parallelism unit: pick ~2-4x total
-    executor cores at deployment scale; every co-partitioned consumer
-    must shuffle to the SAME number (Spark only elides the exchange when
-    partition counts line up)."""
+    `key` is the superstep's probe column: "src" for PageRank-shaped
+    joins, "dst" for the LPA neighbor-label aggregate. `buckets` is the
+    cluster-lifetime parallelism unit: pick ~2-4x total executor cores at
+    deployment scale; every co-partitioned consumer must shuffle to the
+    SAME number (Spark only elides the exchange when partition counts
+    line up)."""
+    other = "dst" if key == "src" else "src"
     (
         edges.write.mode("overwrite")
-        .bucketBy(buckets, "src")
-        .sortBy("src", "dst")
+        .bucketBy(buckets, key)
+        .sortBy(key, other)
         .format("parquet")
         .saveAsTable(table)
     )

@@ -85,3 +85,29 @@ def test_pagerank_over_bucketed_transition_matches_inline_build(spark, edges):
         assert all(abs(inline[k] - prebuilt[k]) < 1e-12 for k in inline)
     finally:
         spark.sql("DROP TABLE IF EXISTS pr_transition_test")
+
+
+def test_lpa_over_dst_bucketed_adjacency_matches_inline(spark, edges):
+    from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+    from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+
+    sym = symmetrize(edges).localCheckpoint(eager=True)
+    write_bucketed_adjacency(sym, "lpa_adj_dst_test", buckets=8, key="dst")
+    try:
+        adj = read_bucketed_adjacency(spark, "lpa_adj_dst_test")
+        inline = {
+            r.id: r.label
+            for r in label_propagation(
+                spark, sym, max_iterations=3, tolerance=-1.0
+            ).state.collect()
+        }
+        prebuilt = {
+            r.id: r.label
+            for r in label_propagation(
+                spark, adj, max_iterations=3, tolerance=-1.0,
+                edges_partitioned_by_dst=True,
+            ).state.collect()
+        }
+        assert inline == prebuilt
+    finally:
+        spark.sql("DROP TABLE IF EXISTS lpa_adj_dst_test")
