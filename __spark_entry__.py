@@ -472,6 +472,18 @@ def _q_multimodal_decode(spark, sf_dir):
     return TM.decode_meta(TM.payload_table(_docs(spark, sf_dir)))
 
 
+def _q_multimodal_resize(spark, sf_dir):
+    return TM.resize_meta(TM.payload_table(_docs(spark, sf_dir)))
+
+
+def _q_multimodal_frames(spark, sf_dir):
+    return TM.frame_sample(TM.payload_table(_docs(spark, sf_dir)))
+
+
+def _q_multimodal_features(spark, sf_dir):
+    return TM.extract_features(TM.payload_table(_docs(spark, sf_dir)))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.13 plus
     the training-data pipeline ops (textops/)."""
@@ -534,6 +546,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_decode": _q_multimodal_decode,
+        "multimodal_resize_meta": _q_multimodal_resize,
+        "multimodal_frame_sample": _q_multimodal_frames,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -616,4 +631,7 @@ GROUP BY l1.label, l2.label""",
         "lang_id": TA.lang_id_sql(),
         "doc_fingerprint": TA.doc_fingerprint_sql(),
         "multimodal_decode": TM.decode_meta_sql(),
+        "multimodal_resize_meta": TM.resize_meta_sql(),
+        "multimodal_frame_sample": TM.frame_sample_sql(),
+        "multimodal_features": TM.extract_features_sql(),
     }

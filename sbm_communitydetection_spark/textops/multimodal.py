@@ -103,3 +103,171 @@ def decode_meta_sql(table: str = "documents") -> str:
                 AS BIGINT) AS checksum
     FROM p
     """
+
+FRAME_BYTES = 256  # stand-in fixed frame stride for the frame-sample path
+FEATURE_DIM = 8
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, n_frame_bytes long, frame_checksum long"
+FEATURE_SCHEMA = "doc_id long, dim_idx int, value double"
+
+
+def resize_image(payload: bytes, width: int, height: int) -> bytes:
+    """Real resample — codec libraries are not in this container."""
+    raise NotImplementedError(
+        "codec libraries (PIL/ffmpeg) unavailable in sandbox; "
+        "resize_meta carries the real Spark-side plumbing"
+    )
+
+
+def resize_meta(docs_with_payload: DataFrame, target_w: int = 64, target_h: int = 48) -> DataFrame:
+    """(doc_id, width, height, target_w, target_h, scale) — the metadata
+    half of a resize stage: pure column arithmetic on the decoded dims
+    (JVM-side, no Python at all); the byte-level resample drops into
+    `resize_image` in production."""
+    n = F.col("n_bytes")
+    w = (n % 640 + 1).cast("int")
+    h = (n % 480 + 1).cast("int")
+    scale = F.round(
+        F.least(F.lit(float(target_w)) / w, F.lit(float(target_h)) / h), 6
+    )
+    return docs_with_payload.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        F.lit(target_w).alias("target_w"),
+        F.lit(target_h).alias("target_h"),
+        scale.alias("scale"),
+    )
+
+
+def frame_sample(docs_with_payload: DataFrame, every_k: int = 2) -> DataFrame:
+    """One row per SAMPLED fixed-stride frame (every_k-th FRAME_BYTES
+    chunk, tail partial frame included) — the row-expanding mapInPandas
+    shape a video frame-extractor uses: Arrow batch in, frame table out,
+    all frame arithmetic vectorized (offsets via numpy, checksums as
+    cumsum differences at frame boundaries)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            if not len(payloads):
+                yield pd.DataFrame(
+                    {"doc_id": [], "frame_idx": [], "n_frame_bytes": [], "frame_checksum": []}
+                )
+                continue
+            lens = payloads.str.len().to_numpy(dtype=np.int64)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            n_frames = (lens + FRAME_BYTES - 1) // FRAME_BYTES
+            n_sampled = (n_frames + every_k - 1) // every_k
+            # flat byte stream + absolute payload starts
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            csum = np.concatenate(([0], np.cumsum(flat, dtype=np.int64)))
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            out_doc = np.repeat(doc_ids, n_sampled)
+            out_len = np.repeat(lens, n_sampled)
+            out_start = np.repeat(starts, n_sampled)
+            # per-doc sampled frame ordinals 0, k, 2k, ... via a grouped arange
+            seq = np.arange(len(out_doc)) - np.repeat(
+                np.concatenate(([0], np.cumsum(n_sampled)))[:-1], n_sampled
+            )
+            frame_idx = seq * every_k
+            f_lo = out_start + frame_idx * FRAME_BYTES
+            f_hi = np.minimum(f_lo + FRAME_BYTES, out_start + out_len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "frame_idx": frame_idx,
+                    "n_frame_bytes": f_hi - f_lo,
+                    "frame_checksum": (csum[f_hi] - csum[f_lo]) % 1_000_003,
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(batches, FRAME_SCHEMA)
+
+
+def extract_features(docs_with_payload: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """(doc_id, dim_idx, value) — deterministic byte-histogram 'embedding'
+    (bucket = byte % dim, value = bucket count / payload length), the
+    feature-extract stage's plumbing in long format so the gate hashes
+    scalar doubles. Vectorized: one np.bincount per Arrow batch over
+    (row_index * dim + byte % dim)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            if not len(payloads):
+                yield pd.DataFrame({"doc_id": [], "dim_idx": [], "value": []})
+                continue
+            lens = payloads.str.len().to_numpy(dtype=np.int64)
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            row_of_byte = np.repeat(np.arange(len(payloads)), lens)
+            counts = np.bincount(
+                row_of_byte * dim + (flat % dim).astype(np.int64),
+                minlength=len(payloads) * dim,
+            ).reshape(len(payloads), dim)
+            values = counts / np.maximum(lens, 1)[:, None]
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), dim),
+                    "dim_idx": np.tile(np.arange(dim, dtype=np.int32), len(payloads)),
+                    # no rounding: cnt/len divides identically in IEEE on
+                    # both engines; the gate's 6-sig-digit formatter does
+                    # the canonicalization
+                    "value": values.ravel(),
+                }
+            )
+
+    return docs_with_payload.select("doc_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+
+
+def resize_meta_sql(table: str = "documents", target_w: int = 64, target_h: int = 48) -> str:
+    return f"""
+    WITH p AS (SELECT doc_id, octet_length(encode(text)) AS n FROM {table})
+    SELECT doc_id,
+           CAST(n % 640 + 1 AS INT) AS width,
+           CAST(n % 480 + 1 AS INT) AS height,
+           {target_w} AS target_w, {target_h} AS target_h,
+           ROUND(LEAST({target_w}.0 / (n % 640 + 1), {target_h}.0 / (n % 480 + 1)), 6) AS scale
+    FROM p
+    """
+
+
+def frame_sample_sql(table: str = "documents", every_k: int = 2) -> str:
+    """ASCII-corpus mirror: frame checksums as ascii() folds over the
+    frame's character slice (octet_length == length on this corpus)."""
+    return f"""
+    WITH p AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM {table}
+    ),
+    frames AS (
+        SELECT doc_id, text, n, UNNEST(generate_series(0,
+                   (n + {FRAME_BYTES} - 1) // {FRAME_BYTES} - 1)) AS frame_idx
+        FROM p
+    )
+    SELECT doc_id, frame_idx,
+           (LEAST((frame_idx + 1) * {FRAME_BYTES}, n) - frame_idx * {FRAME_BYTES})::BIGINT
+               AS n_frame_bytes,
+           CAST(list_sum(list_transform(
+                    generate_series(frame_idx * {FRAME_BYTES} + 1,
+                                    LEAST((frame_idx + 1) * {FRAME_BYTES}, n)),
+                    i -> ascii(text[i]))) % 1000003 AS BIGINT) AS frame_checksum
+    FROM frames WHERE frame_idx % {every_k} = 0
+    """
+
+
+def extract_features_sql(table: str = "documents", dim: int = FEATURE_DIM) -> str:
+    return f"""
+    WITH p AS (
+        SELECT doc_id, text, octet_length(encode(text)) AS n FROM {table}
+    ),
+    dims AS (SELECT UNNEST(generate_series(0, {dim} - 1)) AS dim_idx),
+    b AS (
+        SELECT doc_id, dim_idx,
+               list_sum(list_transform(generate_series(1, n),
+                        i -> CASE WHEN ascii(text[i]) % {dim} = dim_idx THEN 1 ELSE 0 END))
+                   AS cnt,
+               GREATEST(n, 1) AS n1
+        FROM p CROSS JOIN dims
+    )
+    SELECT doc_id, dim_idx::INT AS dim_idx, cnt * 1.0 / n1 AS value FROM b
+    """

@@ -173,3 +173,41 @@ def test_payload_table_schema(docs):
     pt = TM.payload_table(docs)
     assert dict(pt.dtypes)["payload"] == "binary"
     assert pt.filter(F.col("n_bytes") != F.octet_length("payload")).count() == 0
+
+
+def test_multimodal_frame_sample_covers_sampled_strides(spark, docs):
+    pt = TM.payload_table(docs)
+    frames = TM.frame_sample(pt, every_k=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    for d, rows in by_doc.items():
+        payload = texts[d].encode()
+        n_frames = (len(payload) + TM.FRAME_BYTES - 1) // TM.FRAME_BYTES
+        assert sorted(r.frame_idx for r in rows) == list(range(0, n_frames, 2))
+        for r in rows:
+            chunk = payload[r.frame_idx * TM.FRAME_BYTES:(r.frame_idx + 1) * TM.FRAME_BYTES]
+            assert r.n_frame_bytes == len(chunk)
+            assert r.frame_checksum == sum(chunk) % 1_000_003
+
+
+def test_multimodal_features_histogram(spark, docs):
+    feats = TM.extract_features(TM.payload_table(docs)).collect()
+    texts = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for r in feats:
+        b = texts[r.doc_id]
+        want = sum(1 for x in b if x % TM.FEATURE_DIM == r.dim_idx) / max(len(b), 1)
+        assert abs(r.value - want) < 1e-12
+    # per-doc histogram sums to 1
+    sums = {}
+    for r in feats:
+        sums[r.doc_id] = sums.get(r.doc_id, 0.0) + r.value
+    assert all(abs(v - 1.0) < 1e-9 for v in sums.values())
+
+
+def test_multimodal_resize_meta_scale(spark, docs):
+    meta = TM.resize_meta(TM.payload_table(docs), target_w=64, target_h=48).collect()
+    for r in meta:
+        assert 1 <= r.width <= 640 and 1 <= r.height <= 480
+        assert abs(r.scale - round(min(64.0 / r.width, 48.0 / r.height), 6)) < 1e-9
