@@ -413,6 +413,19 @@ def _q_near_dup_clusters(spark, sf_dir):
     return TD.near_dup_clusters(spark, _docs(spark, sf_dir))
 
 
+def _q_stream_dedup(spark, sf_dir):
+    """Incremental LSH dedup over 3 arrival batches; the union of
+    per-batch emissions must equal the one-shot batch LSH SQL oracle —
+    the exactly-once cross-batch guarantee, driver-checked."""
+    from pyspark.sql import functions as F
+
+    from sbm_communitydetection_spark.textops.stream_dedup import stream_minhash_dedup
+
+    docs = _docs(spark, sf_dir)
+    batches = [docs.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i) for i in range(3)]
+    return stream_minhash_dedup(spark, batches)
+
+
 def _q_simhash(spark, sf_dir):
     return TD.simhash(_docs(spark, sf_dir))
 
@@ -532,6 +545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_dup_pairs": _q_minhash_lsh,
         "near_dup_clusters": _q_near_dup_clusters,  # LSH pairs → CC → canonical survivor
+        "stream_dedup_pairs": _q_stream_dedup,  # incremental LSH == batch LSH
         "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_pairs,
         "simhash_banded_dup_pairs": _q_simhash_banded_pairs,
@@ -613,6 +627,7 @@ GROUP BY l1.label, l2.label""",
         "minhash_signatures": TD.minhash_signatures_sql(),
         "minhash_lsh_dup_pairs": TD.minhash_lsh_dup_pairs_sql(),
         "near_dup_clusters": TD.near_dup_clusters_sql(),
+        "stream_dedup_pairs": TD.minhash_lsh_dup_pairs_sql(),
         "simhash": TD.simhash_sql(),
         "simhash_dup_pairs": TD.simhash_dup_pairs_sql(),
         "simhash_banded_dup_pairs": TD.simhash_dup_pairs_sql(max_hamming=3),

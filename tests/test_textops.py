@@ -211,3 +211,39 @@ def test_multimodal_resize_meta_scale(spark, docs):
     for r in meta:
         assert 1 <= r.width <= 640 and 1 <= r.height <= 480
         assert abs(r.scale - round(min(64.0 / r.width, 48.0 / r.height), 6)) < 1e-9
+
+
+def test_stream_dedup_equals_batch_dedup(spark):
+    from sbm_communitydetection_spark.textops.stream_dedup import stream_minhash_dedup
+
+    mk = lambda s: s  # noqa: E731
+    group_a = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    group_b = "spark executors shuffle parquet row groups across the cluster network fabric"
+    rows = [
+        (0, group_a + " today"), (1, group_a + " today"),          # batch 0 exact dups
+        (2, group_b + " quickly"), (3, "totally unrelated words about gardening and soil"),
+        (4, group_a + " tonight"),                                  # batch 1: near-dup of 0/1
+        (5, group_b + " slowly"), (6, "another singleton about pottery kilns and glaze"),
+        (7, group_a + " today"),                                    # batch 2: exact dup of 0/1
+        (8, group_b + " quickly"),                                  # batch 2: exact dup of 2
+    ]
+    docs = [
+        (i, mk(t), "en", "s", len(t)) for i, t in rows
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    full = spark.createDataFrame(docs, schema)
+    batches = [
+        spark.createDataFrame(docs[0:4], schema),
+        spark.createDataFrame(docs[4:7], schema),
+        spark.createDataFrame(docs[7:9], schema),
+    ]
+    batch_pairs = sorted(
+        tuple(r) for r in TD.minhash_lsh_dup_pairs(full, threshold=0.4).collect()
+    )
+    stream_pairs = sorted(
+        tuple(r) for r in stream_minhash_dedup(spark, batches, threshold=0.4).collect()
+    )
+    assert stream_pairs == batch_pairs
+    found = {(a, b) for a, b, _ in stream_pairs}
+    # cross-batch pairs must be present: (0,4) b0-b1, (0,7) b0-b2, (2,8) b0-b2
+    assert {(0, 1), (0, 4), (0, 7), (1, 7), (2, 8)} <= found
