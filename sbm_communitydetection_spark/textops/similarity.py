@@ -87,13 +87,72 @@ def label_centroids(embs: DataFrame, dim: int = IVF_DIM) -> DataFrame:
     return exploded.groupBy("label", "d").agg(F.round(F.avg("val"), 6).alias("c"))
 
 
-def ivf_topk(embs: DataFrame, k: int = 5, dim: int = IVF_DIM) -> DataFrame:
+def kmeans_centroids(
+    embs: DataFrame,
+    n_cells: int = 16,
+    iters: int = 10,
+    seed: int = 7,
+    sample_rows: int = 100_000,
+) -> DataFrame:
+    """(label, d, c) — coarse quantizer TRAINED with Lloyd k-means on a
+    seeded sample, the production IVF recipe (no ground-truth `label`
+    column required): train driver-side on O(100k) sampled vectors —
+    k-means over a bounded sample is a driver-scale problem even at
+    10^12 rows — then assignment and search run distributed exactly as
+    with any other centroid table.
+
+    Deterministic: sample = lowest xxhash64(vec_id, seed) rows; init =
+    seeded choice; centroids rounded to 6 decimals like label_centroids."""
+    import numpy as np
+
+    sample = (
+        embs.select(
+            "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
+        )
+        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.array([r.v for r in sample], dtype=np.float64)
+    if len(X) < n_cells:
+        raise ValueError(f"sample of {len(X)} rows cannot seed {n_cells} cells")
+    rng = np.random.default_rng(seed)
+    # k-means++ (D²) init: spreads seeds across true clusters, which
+    # plain random init reliably fails to do on small/clumped samples
+    first = int(rng.integers(len(X)))
+    C = [X[first]]
+    for _ in range(1, n_cells):
+        d2 = np.min(((X[:, None, :] - np.array(C)[None, :, :]) ** 2).sum(-1), axis=1)
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        C.append(X[int(rng.choice(len(X), p=p))])
+    C = np.array(C)
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for j in range(n_cells):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(0)
+    rows = [
+        (j, d, round(float(C[j, d]), 6)) for j in range(n_cells) for d in range(C.shape[1])
+    ]
+    return embs.sparkSession.createDataFrame(rows, "label long, d int, c double")
+
+
+def ivf_topk(
+    embs: DataFrame, k: int = 5, dim: int = IVF_DIM, centroids: DataFrame | None = None
+) -> DataFrame:
     """(vec_id, neighbor_id, rank, cos) — IVF ANN with 1-probe.
+
+    `centroids`: optional trained coarse quantizer (label, d, c) — pass
+    `kmeans_centroids(embs, ...)` for the label-free production path.
+    Default = per-`label` means, the deterministic stand-in that keeps
+    the DuckDB oracle exact.
 
     Plan shape at scale: centroid assignment = narrow explode + broadcast
     join on the tiny centroid table; the search join shuffles on `cell`
     only, so the quadratic term is per-cell."""
-    cents = label_centroids(embs, dim)
+    cents = centroids if centroids is not None else label_centroids(embs, dim)
     # centroid norms
     cnorm = cents.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
     # vector ⋅ centroid via the exploded representation (portable & exact)

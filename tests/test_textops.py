@@ -247,3 +247,18 @@ def test_stream_dedup_equals_batch_dedup(spark):
     found = {(a, b) for a, b, _ in stream_pairs}
     # cross-batch pairs must be present: (0,4) b0-b1, (0,7) b0-b2, (2,8) b0-b2
     assert {(0, 1), (0, 4), (0, 7), (1, 7), (2, 8)} <= found
+
+
+def test_ivf_with_trained_kmeans_centroids(embs):
+    # production path: no ground-truth label column used for the quantizer
+    cents = TS.kmeans_centroids(embs, n_cells=3, iters=10, seed=7, sample_rows=100)
+    res = TS.ivf_topk(embs, k=3, centroids=cents).collect()
+    exact = TS.cosine_topk(embs, k=3).collect()
+    got = {(r.vec_id, r.neighbor_id) for r in res}
+    want = {(r.vec_id, r.neighbor_id) for r in exact}
+    # tight synthetic clusters: trained cells recover the exact neighbors
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, f"recall {recall}"
+    # determinism: same seed → same centroid table
+    again = TS.kmeans_centroids(embs, n_cells=3, iters=10, seed=7, sample_rows=100)
+    assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, again.collect()))
