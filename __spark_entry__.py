@@ -41,6 +41,8 @@ from sbm_communitydetection_spark.textops import similarity as TS  # noqa: E402
 PR_ITERS = 5
 LPA_ITERS = 3
 BP_ITERS = 2
+KCORE_K = 3
+KCORE_ROUNDS = 4
 BP_K = 6
 BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
@@ -141,6 +143,12 @@ def _q_components(spark, sf_dir):
     from sbm_communitydetection_spark.operators.components import connected_components
 
     return connected_components(spark, lineitem_edges(spark, sf_dir)).select("id", "component")
+
+
+def _q_k_core(spark, sf_dir):
+    from sbm_communitydetection_spark.operators.kcore import k_core
+
+    return k_core(spark, lineitem_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
 
 
 def _q_triangle_count(spark, sf_dir):
@@ -509,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_propagation_fixed_iters": _q_lpa,
         "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
         "connected_components": _q_components,
+        "k_core": _q_k_core,  # fixed-round peel (gate parity mode)
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "r_hop_neighborhood": _q_r_hop,  # T6 radius-bounded BFS
@@ -583,6 +592,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + O.components_recursive_sql(),
+        "k_core": edges_cte + ",\n" + O.k_core_unrolled_sql(KCORE_K, KCORE_ROUNDS),
         "triangle_count": edges_cte + ",\n" + O.triangle_count_sql(),
         "triangles_per_vertex": edges_cte + ",\n" + O.triangle_per_vertex_sql(),
         "r_hop_neighborhood": edges_cte + ",\n" + _frontier_sql(2),

@@ -443,3 +443,22 @@ lab AS (
 )"""
     )
     return ",\n".join(parts) + "\nSELECT id, CAST(s AS BIGINT) AS label FROM lab WHERE rn = 1"
+
+
+def k_core_unrolled_sql(k: int, rounds: int) -> str:
+    """Fixed-round synchronous k-core peel over the `edges` CTE —
+    (id, degree) of vertices surviving `rounds` peel rounds (equals the
+    true k-core once the peel has converged; round-for-round identical
+    to operators/kcore.k_core(rounds=R))."""
+    parts = [
+        "kp AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "s0 AS (SELECT DISTINCT src AS id FROM kp)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS (SELECT p.src AS id, COUNT(*)::BIGINT AS degree FROM kp p "
+            f"JOIN s{i-1} a ON p.src = a.id JOIN s{i-1} b ON p.dst = b.id "
+            f"GROUP BY p.src)"
+        )
+        parts.append(f"s{i} AS (SELECT id, degree FROM d{i} WHERE degree >= {k})")
+    return ",\n".join(parts) + f"\nSELECT id, degree FROM s{rounds}"

@@ -138,3 +138,47 @@ def test_triangles_tiny_known(spark):
     assert triangle_count(edges).collect()[0].triangles == 4
     got = {r.id: r.tri_count for r in triangle_counts_per_vertex(edges).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_k_core_matches_python_peel(spark):
+    from collections import defaultdict
+
+    from sbm_communitydetection_spark.operators.kcore import k_core
+
+    raw = spark.range(400).select(
+        (F.xxhash64("id") % 60).alias("src"),
+        (F.xxhash64("id", F.lit(3)) % 60).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    rows = [(r.src, r.dst) for r in raw.collect() if r.src != r.dst]
+    adj = defaultdict(set)
+    for s, d in rows:
+        adj[s].add(d)
+        adj[d].add(s)
+    for k in (2, 3, 4):
+        # python oracle: sequential peel to fixpoint
+        alive = set(adj)
+        changed = True
+        while changed:
+            changed = False
+            for v in list(alive):
+                if len(adj[v] & alive) < k:
+                    alive.discard(v)
+                    changed = True
+        got = {r.id: r.degree for r in k_core(spark, raw, k=k).collect()}
+        assert set(got) == alive, f"k={k}"
+        for v, deg in got.items():
+            assert deg == len(adj[v] & alive), f"k={k} vertex {v}"
+
+
+def test_k_core_fixed_rounds_converges_on_gate_graph(spark):
+    """The gate's fixed-round unroll must have converged at sf0.001 so the
+    oracle equals the true fixpoint (KCORE_ROUNDS is chosen with margin)."""
+    import __spark_entry__ as entry
+    from sbm_communitydetection_spark.operators.kcore import k_core
+    from sbm_communitydetection_spark.sources.tpch_graph import lineitem_edges
+
+    edges = lineitem_edges(spark, "/root/testdata/sf0.001")
+    fixed = {(r.id, r.degree) for r in k_core(spark, edges, k=entry.KCORE_K, rounds=entry.KCORE_ROUNDS).collect()}
+    converged = {(r.id, r.degree) for r in k_core(spark, edges, k=entry.KCORE_K).collect()}
+    assert fixed == converged
