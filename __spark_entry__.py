@@ -88,6 +88,20 @@ def _q_degree(spark, sf_dir):
     return G.weighted_degree(lineitem_edges(spark, sf_dir)).select("id", "degree")
 
 
+def _q_degree_histogram(spark, sf_dir):
+    """log2-bucketed weighted-degree distribution — the graph-shape probe
+    that decides salting thresholds and partition sizing at 100 TB
+    (docs/SCALE.md 'Skew'). Two hash aggregates, no joins."""
+    from pyspark.sql import functions as F
+
+    deg = G.weighted_degree(lineitem_edges(spark, sf_dir))
+    return (
+        deg.select(F.floor(F.log2(F.col("degree").cast("double"))).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vertices"))
+    )
+
+
 def _q_total_edges(spark, sf_dir):
     return G.total_edges(lineitem_edges(spark, sf_dir)).select(
         F.col("total_edges").cast("double").alias("total_edges")
@@ -512,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph core + north-star algorithms
         "edge_extract_symmetrize": _q_edges,  # G2/G3
         "weighted_degree": _q_degree,  # A1
+        "degree_histogram": _q_degree_histogram,  # skew probe
         "total_edges": _q_total_edges,  # G10/A2
         "pagerank_fixed_iters": _q_pagerank,
         "label_propagation_fixed_iters": _q_lpa,
@@ -583,6 +598,11 @@ def oracle_sql() -> dict[str, str]:
         "edge_extract_symmetrize": edges_cte + "SELECT src, dst, weight FROM edges",
         "weighted_degree": edges_cte
         + "SELECT src AS id, SUM(weight)::BIGINT AS degree FROM edges GROUP BY src",
+        "degree_histogram": edges_cte
+        + """,
+deg AS (SELECT SUM(weight)::BIGINT AS degree FROM edges GROUP BY src)
+SELECT FLOOR(LOG2(degree::DOUBLE))::BIGINT AS bucket, COUNT(*)::BIGINT AS n_vertices
+FROM deg GROUP BY bucket""",
         "total_edges": edges_cte + "SELECT (SUM(weight) / 2.0)::DOUBLE AS total_edges FROM edges",
         "pagerank_fixed_iters": edges_cte + ",\n" + O.pagerank_unrolled_sql(PR_ITERS),
         "label_propagation_fixed_iters": edges_cte + ",\n" + O.lpa_unrolled_sql(LPA_ITERS),
