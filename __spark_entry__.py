@@ -43,6 +43,7 @@ LPA_ITERS = 3
 BP_ITERS = 2
 KCORE_K = 3
 KCORE_ROUNDS = 4
+PPR_SRC_MOD = 100
 BP_K = 6
 BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
@@ -115,6 +116,22 @@ def _q_pagerank(spark, sf_dir):
 
     ranks = pagerank(
         spark, lineitem_edges(spark, sf_dir), damping=0.85, tolerance=-1.0, max_iterations=PR_ITERS
+    )
+    return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_personalized_pagerank(spark, sf_dir):
+    """Fixed-iteration PPR; reset set = vertices with id % PPR_SRC_MOD == 0
+    (deterministic, mirrors the unrolled SQL oracle's member set)."""
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+
+    edges = lineitem_edges(spark, sf_dir)
+    members = edges.select(F.col("src").alias("id")).distinct().filter(
+        F.pmod(F.col("id"), F.lit(PPR_SRC_MOD)) == 0
+    )
+    ranks = pagerank(
+        spark, edges, damping=0.85, tolerance=-1.0, max_iterations=PR_ITERS,
+        reset_ids=members,
     )
     return ranks.select("id", F.round("rank", 8).alias("rank"))
 
@@ -529,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,  # skew probe
         "total_edges": _q_total_edges,  # G10/A2
         "pagerank_fixed_iters": _q_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "label_propagation_fixed_iters": _q_lpa,
         "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
         "connected_components": _q_components,
@@ -605,6 +623,9 @@ SELECT FLOOR(LOG2(degree::DOUBLE))::BIGINT AS bucket, COUNT(*)::BIGINT AS n_vert
 FROM deg GROUP BY bucket""",
         "total_edges": edges_cte + "SELECT (SUM(weight) / 2.0)::DOUBLE AS total_edges FROM edges",
         "pagerank_fixed_iters": edges_cte + ",\n" + O.pagerank_unrolled_sql(PR_ITERS),
+        "personalized_pagerank": edges_cte
+        + ",\n"
+        + O.ppr_unrolled_sql(PR_ITERS, src_mod=PPR_SRC_MOD),
         "label_propagation_fixed_iters": edges_cte + ",\n" + O.lpa_unrolled_sql(LPA_ITERS),
         "belief_propagation_fixed_iters": edges_cte
         + ",\n"

@@ -462,3 +462,41 @@ def k_core_unrolled_sql(k: int, rounds: int) -> str:
         )
         parts.append(f"s{i} AS (SELECT id, degree FROM d{i} WHERE degree >= {k})")
     return ",\n".join(parts) + f"\nSELECT id, degree FROM s{rounds}"
+
+
+def ppr_unrolled_sql(
+    n_iterations: int, damping: float = 0.85, src_mod: int = 100, round_to: int = 8
+) -> str:
+    """Fixed-iteration PERSONALIZED PageRank over the `edges` CTE with
+    reset set S = {id : id % src_mod = 0}; valid on the symmetric
+    (dangling-free) gate graph where the dangling term is exactly 0."""
+    parts = [
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        f"members AS (SELECT id FROM verts WHERE id % {src_mod} = 0)",
+        "ns AS (SELECT COUNT(*)::DOUBLE AS s FROM members)",
+        "outw AS (SELECT src, SUM(weight)::DOUBLE AS out_w FROM edges GROUP BY src)",
+        "adj AS (SELECT e.src, e.dst, e.weight / o.out_w AS frac FROM edges e JOIN outw o ON e.src = o.src)",
+        """resets AS (
+    SELECT v.id, CASE WHEN m.id IS NOT NULL THEN 1.0 / (SELECT s FROM ns) ELSE 0.0 END AS r
+    FROM verts v LEFT JOIN members m ON v.id = m.id
+)""",
+        "r0 AS (SELECT id, r AS rank FROM resets)",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"""r{i} AS (
+    SELECT v.id,
+           (1.0 - {damping}) * rs.r + {damping} * COALESCE(s.c, 0.0) AS rank
+    FROM verts v
+    JOIN resets rs ON v.id = rs.id
+    LEFT JOIN (
+        SELECT a.dst AS id, SUM(a.frac * r.rank) AS c
+        FROM adj a JOIN r{i - 1} r ON a.src = r.id
+        GROUP BY a.dst
+    ) s ON v.id = s.id
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{n_iterations}"
+    )

@@ -41,11 +41,18 @@ def pagerank(
     broadcast_rows_threshold: int = 250_000,
     collect_metrics: list | None = None,
     transition: DataFrame | None = None,
+    reset_ids: DataFrame | None = None,
 ) -> DataFrame:
     """ranks(id, rank) with Σ rank = 1.
 
     edges(src, dst, weight) is treated as DIRECTED here; pass the
     symmetrized table for the undirected semantics of the link graph.
+
+    ``reset_ids``: optional (id) set — PERSONALIZED PageRank: teleport
+    and dangling mass land uniformly on this set instead of all
+    vertices (r(v) = 1/|S| on S, else 0; init = r). The per-iteration
+    plan gains one join against the static reset vector, co-partitioned
+    with the state on hash(id) so it is exchange-free.
 
     ``transition``: optional PREBUILT (src, dst, frac) table — e.g. a
     bucketed-table scan from sources/bucketed.write_transition_table —
@@ -117,10 +124,28 @@ def pagerank(
         side = state.withColumnRenamed("id", "src")
         return F.broadcast(side) if use_broadcast else side.hint("SHUFFLE_HASH")
 
+    # personalized teleport vector r(v): static, co-partitioned with the
+    # state on hash(id), checkpointed once (released at the end)
+    resets = None
+    if reset_ids is not None:
+        members = reset_ids.select("id").distinct()
+        ns = verts.join(members, "id", "left_semi").count()
+        if ns == 0:
+            raise ValueError("reset_ids contains no graph vertex")
+        resets = partition_preserving_checkpoint(
+            verts.join(members.select("id", F.lit(1.0).alias("m")), "id", "left")
+            .select("id", (F.coalesce(F.col("m"), F.lit(0.0)) / ns).alias("r"))
+            .repartition("id"),
+            key="id",
+        )
+
     # init co-partitioned with adj (hash(id) ≡ hash(src) after the rename
     # in _rank_side): every superstep's big join is then exchange-free on
     # BOTH sides — only the partially-aggregated contribs move
-    ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).repartition("id")
+    if resets is not None:
+        ranks = resets.select("id", F.col("r").alias("rank"))
+    else:
+        ranks = verts.select("id", F.lit(1.0 / n).alias("rank")).repartition("id")
     base = (1.0 - damping) / n
 
     def step(state: DataFrame, i: int):
@@ -140,13 +165,31 @@ def pagerank(
         # SHUFFLE_HASH: both sides are already hash(id)-partitioned; the
         # hint swaps the default co-partitioned sort-merge (2 sorts of the
         # full rank vector per superstep) for a plain hash join
-        new = state.join(contribs.hint("SHUFFLE_HASH"), "id", "left").select(
-            "id",
-            (
-                F.lit(base)
-                + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
-            ).alias("rank"),
-        )
+        if resets is not None:
+            rs = F.broadcast(resets) if use_broadcast else resets.hint("SHUFFLE_HASH")
+            new = (
+                state.join(contribs.hint("SHUFFLE_HASH"), "id", "left")
+                .join(rs, "id")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping) * F.col("r")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.lit(dangling_mass) * F.col("r")
+                        )
+                    ).alias("rank"),
+                )
+            )
+        else:
+            new = state.join(contribs.hint("SHUFFLE_HASH"), "id", "left").select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling_mass / n))
+                ).alias("rank"),
+            )
         if fixed_iters:
             # no convergence test requested — skip the extra delta action
             return new, float("inf")
@@ -179,6 +222,9 @@ def pagerank(
     # blocks so back-to-back operators in one session start with a clean
     # block manager (see unpersist_checkpoint). A caller-provided
     # transition table is NOT ours to release.
-    for df in (adj, verts, dangling_ids) if owns_adj else (verts, dangling_ids):
+    statics = [verts, dangling_ids] + ([adj] if owns_adj else []) + (
+        [resets] if resets is not None else []
+    )
+    for df in statics:
         unpersist_checkpoint(df)
     return result.state

@@ -182,3 +182,38 @@ def test_k_core_fixed_rounds_converges_on_gate_graph(spark):
     fixed = {(r.id, r.degree) for r in k_core(spark, edges, k=entry.KCORE_K, rounds=entry.KCORE_ROUNDS).collect()}
     converged = {(r.id, r.degree) for r in k_core(spark, edges, k=entry.KCORE_K).collect()}
     assert fixed == converged
+
+
+def test_personalized_pagerank_reduces_to_plain_and_localizes(spark):
+    from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+
+    raw = spark.range(500).select(
+        (F.xxhash64("id") % 80).alias("src"),
+        (F.xxhash64("id", F.lit(5)) % 80).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    edges = symmetrize(raw).localCheckpoint(eager=True)
+    all_ids = edges.select(F.col("src").alias("id")).distinct()
+    plain = {r.id: r.rank for r in pagerank(spark, edges, tolerance=-1.0, max_iterations=6).collect()}
+    # reset over ALL vertices == uniform teleport == plain PageRank
+    ppr_all = {
+        r.id: r.rank
+        for r in pagerank(
+            spark, edges, tolerance=-1.0, max_iterations=6, reset_ids=all_ids
+        ).collect()
+    }
+    assert plain.keys() == ppr_all.keys()
+    assert all(abs(plain[k] - ppr_all[k]) < 1e-12 for k in plain)
+
+    # single-source PPR: the source outranks everything and mass sums to 1
+    src0 = all_ids.orderBy("id").limit(1)
+    src0_id = src0.collect()[0].id
+    ppr1 = {
+        r.id: r.rank
+        for r in pagerank(
+            spark, edges, tolerance=-1.0, max_iterations=10, reset_ids=src0
+        ).collect()
+    }
+    assert abs(sum(ppr1.values()) - 1.0) < 1e-9
+    assert ppr1[src0_id] == max(ppr1.values())
