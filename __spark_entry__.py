@@ -29,6 +29,7 @@ from sbm_communitydetection_spark.operators import graph_ops as G  # noqa: E402
 from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     N_LABELS,
     derived_labels,
+    lineitem_directed_edges_sql,
     lineitem_edges,
     lineitem_edges_sql,
 )
@@ -44,6 +45,7 @@ BP_ITERS = 2
 KCORE_K = 3
 KCORE_ROUNDS = 4
 PPR_SRC_MOD = 100
+HITS_ITERS = 4
 BP_K = 6
 BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
@@ -134,6 +136,21 @@ def _q_personalized_pagerank(spark, sf_dir):
         reset_ids=members,
     )
     return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_hits(spark, sf_dir):
+    """Fixed-iteration HITS hubs/authorities over the DIRECTED derived
+    graph (symmetric edges would collapse hub == auth)."""
+    from sbm_communitydetection_spark.operators.hits import hits
+    from sbm_communitydetection_spark.sources.tpch_graph import lineitem_directed_edges
+
+    scores = hits(
+        spark, lineitem_directed_edges(spark, sf_dir), tolerance=-1.0,
+        max_iterations=HITS_ITERS,
+    )
+    return scores.select(
+        "id", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
 
 
 def _q_lpa(spark, sf_dir):
@@ -547,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_edges": _q_total_edges,  # G10/A2
         "pagerank_fixed_iters": _q_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
+        "hits_fixed_iters": _q_hits,
         "label_propagation_fixed_iters": _q_lpa,
         "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
         "connected_components": _q_components,
@@ -626,6 +644,10 @@ FROM deg GROUP BY bucket""",
         "personalized_pagerank": edges_cte
         + ",\n"
         + O.ppr_unrolled_sql(PR_ITERS, src_mod=PPR_SRC_MOD),
+        "hits_fixed_iters": "WITH "
+        + lineitem_directed_edges_sql()
+        + ",\n"
+        + O.hits_unrolled_sql(HITS_ITERS),
         "label_propagation_fixed_iters": edges_cte + ",\n" + O.lpa_unrolled_sql(LPA_ITERS),
         "belief_propagation_fixed_iters": edges_cte
         + ",\n"

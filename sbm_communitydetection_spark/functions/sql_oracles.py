@@ -464,6 +464,52 @@ def k_core_unrolled_sql(k: int, rounds: int) -> str:
     return ",\n".join(parts) + f"\nSELECT id, degree FROM s{rounds}"
 
 
+def hits_unrolled_sql(n_iterations: int, round_to: int = 8) -> str:
+    """Fixed-iteration HITS over a DIRECTED `edges` CTE, mirroring
+    operators/hits.py exactly: Jacobi simultaneous update, L1 norms of
+    iteration i-1 folded into iteration i's multiply, final L1-normalized
+    select. Expression association order matches the Spark side
+    (((weight * score) / norm), left-assoc) for float-exact parity."""
+    parts = [
+        """verts AS (
+    SELECT src AS id FROM edges UNION SELECT dst FROM edges
+)""",
+        "nv AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
+        "s0 AS (SELECT id, 1.0 / (SELECT n FROM nv) AS hub, 1.0 / (SELECT n FROM nv) AS auth FROM verts)",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"norm{i} AS (SELECT SUM(hub) AS sh, SUM(auth) AS sa FROM s{i - 1})"
+        )
+        parts.append(
+            f"""s{i} AS (
+    SELECT v.id,
+           COALESCE(h.c, 0.0) AS hub,
+           COALESCE(a.c, 0.0) AS auth
+    FROM verts v
+    LEFT JOIN (
+        SELECT e.src AS id, SUM(e.weight * s.auth / (SELECT sa FROM norm{i})) AS c
+        FROM edges e JOIN s{i - 1} s ON e.dst = s.id GROUP BY e.src
+    ) h ON v.id = h.id
+    LEFT JOIN (
+        SELECT e.dst AS id, SUM(e.weight * s.hub / (SELECT sh FROM norm{i})) AS c
+        FROM edges e JOIN s{i - 1} s ON e.src = s.id GROUP BY e.dst
+    ) a ON v.id = a.id
+)"""
+        )
+    parts.append(
+        f"normf AS (SELECT SUM(hub) AS sh, SUM(auth) AS sa FROM s{n_iterations})"
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT id,
+       ROUND(hub / (SELECT sh FROM normf), {round_to}) AS hub,
+       ROUND(auth / (SELECT sa FROM normf), {round_to}) AS auth
+FROM s{n_iterations}"""
+    )
+
+
 def ppr_unrolled_sql(
     n_iterations: int, damping: float = 0.85, src_mod: int = 100, round_to: int = 8
 ) -> str:

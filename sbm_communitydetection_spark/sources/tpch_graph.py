@@ -58,6 +58,39 @@ def lineitem_edges_sql(n_verts: int = N_VERTS) -> str:
     """
 
 
+def lineitem_directed_edges(
+    spark: SparkSession, sf_dir: str, n_verts: int = N_VERTS
+) -> DataFrame:
+    """edges(src, dst, weight) — DIRECTED derived graph (no mirroring):
+    weight-aggregated, self-loops dropped. Hub/authority-style operators
+    need asymmetric adjacency; the symmetrized table collapses them."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw = li.select(
+        F.pmod(F.col("l_orderkey"), F.lit(n_verts)).cast("long").alias("src"),
+        F.pmod(F.col("l_partkey"), F.lit(n_verts)).cast("long").alias("dst"),
+    )
+    return (
+        raw.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("weight"))
+    )
+
+
+def lineitem_directed_edges_sql(n_verts: int = N_VERTS) -> str:
+    """DuckDB twin of lineitem_directed_edges as a CTE body named `edges`."""
+    return f"""
+    raw AS (
+        SELECT l_orderkey % {n_verts} AS src, l_partkey % {n_verts} AS dst
+        FROM lineitem
+    ),
+    edges AS (
+        SELECT src, dst, COUNT(*)::BIGINT AS weight
+        FROM raw WHERE src <> dst
+        GROUP BY src, dst
+    )
+    """
+
+
 def derived_labels(edges: DataFrame, n_labels: int = N_LABELS) -> DataFrame:
     """Deterministic label assignment for metric oracles: label = id % n_labels."""
     return (

@@ -217,3 +217,28 @@ def test_personalized_pagerank_reduces_to_plain_and_localizes(spark):
     }
     assert abs(sum(ppr1.values()) - 1.0) < 1e-9
     assert ppr1[src0_id] == max(ppr1.values())
+
+
+def test_hits_star_digraph_and_symmetric_collapse(spark):
+    from sbm_communitydetection_spark.operators.hits import hits
+
+    # star digraph: spokes 1..5 all point AT vertex 0 -> 0 is the pure
+    # authority (auth=1), spokes are the pure hubs (hub=1/5 each)
+    rows = [(i, 0, 1) for i in range(1, 6)]
+    star = spark.createDataFrame(rows, "src long, dst long, weight long")
+    s = {r.id: (r.hub, r.auth) for r in hits(spark, star, tolerance=-1.0, max_iterations=3).collect()}
+    assert abs(s[0][1] - 1.0) < 1e-12 and abs(s[0][0]) < 1e-12
+    for i in range(1, 6):
+        assert abs(s[i][0] - 0.2) < 1e-12 and abs(s[i][1]) < 1e-12
+
+    # on a SYMMETRIZED table hub == auth everywhere (the reason the gate
+    # query runs on the directed derivation)
+    raw = spark.range(300).select(
+        (F.xxhash64("id") % 40).alias("src"),
+        (F.xxhash64("id", F.lit(7)) % 40).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    sym = symmetrize(raw).localCheckpoint(eager=True)
+    out = hits(spark, sym, tolerance=-1.0, max_iterations=4).collect()
+    assert all(abs(r.hub - r.auth) < 1e-12 for r in out)
+    assert abs(sum(r.auth for r in out) - 1.0) < 1e-9
