@@ -25,6 +25,9 @@ from sbm_communitydetection_spark.functions import sql_oracles as O  # noqa: E40
 from sbm_communitydetection_spark.operators.frontier import (  # noqa: E402
     r_hop_neighborhood_sql as _frontier_sql,
 )
+from sbm_communitydetection_spark.operators.linkpred import (  # noqa: E402
+    adamic_adar_sql as _aa_sql,
+)
 from sbm_communitydetection_spark.operators import graph_ops as G  # noqa: E402
 from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     N_LABELS,
@@ -46,6 +49,7 @@ KCORE_K = 3
 KCORE_ROUNDS = 4
 PPR_SRC_MOD = 100
 HITS_ITERS = 4
+AA_PROBE_MOD = 100
 BP_K = 6
 BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
@@ -150,6 +154,26 @@ def _q_hits(spark, sf_dir):
     )
     return scores.select(
         "id", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
+
+
+def _q_local_clustering(spark, sf_dir):
+    from sbm_communitydetection_spark.operators.triangles import local_clustering_coefficient
+
+    return local_clustering_coefficient(lineitem_edges(spark, sf_dir)).select(
+        "id", F.round("lcc", 8).alias("lcc")
+    )
+
+
+def _q_adamic_adar(spark, sf_dir):
+    """Partner-lookup Adamic-Adar for the deterministic probe set
+    (a % AA_PROBE_MOD == 0): non-adjacent pairs, common-neighbor count
+    and AA score."""
+    from sbm_communitydetection_spark.operators.linkpred import adamic_adar
+
+    scores = adamic_adar(lineitem_edges(spark, sf_dir), probe_mod=AA_PROBE_MOD)
+    return scores.select(
+        "a", "b", "cn_count", F.round("aa_score", 6).alias("aa_score")
     )
 
 
@@ -565,6 +589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_fixed_iters": _q_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_fixed_iters": _q_hits,
+        "local_clustering": _q_local_clustering,
+        "adamic_adar": _q_adamic_adar,
         "label_propagation_fixed_iters": _q_lpa,
         "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
         "connected_components": _q_components,
@@ -648,6 +674,8 @@ FROM deg GROUP BY bucket""",
         + lineitem_directed_edges_sql()
         + ",\n"
         + O.hits_unrolled_sql(HITS_ITERS),
+        "local_clustering": edges_cte + ",\n" + O.local_clustering_sql(),
+        "adamic_adar": edges_cte + ",\n" + _aa_sql(AA_PROBE_MOD),
         "label_propagation_fixed_iters": edges_cte + ",\n" + O.lpa_unrolled_sql(LPA_ITERS),
         "belief_propagation_fixed_iters": edges_cte
         + ",\n"

@@ -127,6 +127,40 @@ SELECT v.id, COALESCE(cnt.c, 0)::BIGINT AS tri_count
 FROM verts v LEFT JOIN cnt ON v.id = cnt.id"""
 
 
+def local_clustering_sql(round_to: int = 8) -> str:
+    """(id, lcc) — 2·tri/(d·(d−1)) over distinct neighbors, 0 for d<2."""
+    return """pairs AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+tri AS (
+    SELECT p1.a AS x, p1.b AS y, p2.b AS z
+    FROM pairs p1
+    JOIN pairs p2 ON p1.b = p2.a
+    JOIN pairs p3 ON p3.a = p1.a AND p3.b = p2.b
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+cnt AS (
+    SELECT id, COUNT(*)::BIGINT AS c FROM (
+        SELECT x AS id FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY id
+),
+deg AS (
+    SELECT src AS id, COUNT(*)::BIGINT AS d
+    FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+    GROUP BY src
+)
+SELECT v.id,
+       CASE WHEN COALESCE(deg.d, 0) >= 2
+            THEN ROUND(2.0 * COALESCE(cnt.c, 0) / (deg.d * (deg.d - 1)), {rt})
+            ELSE 0.0 END AS lcc
+FROM verts v
+LEFT JOIN cnt ON v.id = cnt.id
+LEFT JOIN deg ON v.id = deg.id""".replace("{rt}", str(round_to))
+
+
 def labels_pair_cte_sql(n_pred: int, n_truth: int) -> str:
     """pred/truth partitions (id % n) over the `edges` CTE's vertex set."""
     return f"""verts AS (SELECT DISTINCT src AS id FROM edges),

@@ -1,0 +1,99 @@
+"""Link prediction over the undirected link graph: common-neighbor and
+Adamic-Adar scoring via wedge enumeration.
+
+    cn(a, b)  = |N(a) ∩ N(b)|
+    aa(a, b)  = Σ_{c ∈ N(a) ∩ N(b)}  1 / ln |N(c)|
+
+One self-join of the distinct-neighbor table on the wedge CENTER, then a
+groupBy on the endpoint pair — the canonical Spark shape (no cross
+join; candidate pairs exist only where a common neighbor does).
+
+Scale levers, both standard for 100 TB link prediction:
+
+- ``degree_cap``: drop wedge centers with degree > cap BEFORE the
+  self-join. Hub centers dominate the wedge count (Σ d(c)² blows up on
+  skewed graphs) while contributing the least signal (1/ln d → 0);
+  capping bounds per-center work at cap². Off by default — the DuckDB
+  oracle requires exact semantics.
+- ``probe_mod``: restrict the LEFT endpoint to a deterministic probe
+  set (a % probe_mod == 0), pushed below the self-join — the
+  partner-lookup pattern (score all candidates FOR these vertices)
+  instead of the all-pairs materialization.
+
+No reference analogue (SURVEY.md §2.13 scope extension); gated by a
+mirrored DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def adamic_adar(
+    edges: DataFrame,
+    probe_mod: int | None = None,
+    degree_cap: int | None = None,
+    include_existing: bool = False,
+) -> DataFrame:
+    """(a, b, cn_count, aa_score) for unordered pairs a < b that share at
+    least one common neighbor; existing edges are anti-joined away unless
+    ``include_existing``."""
+    nbrs = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = nbrs.groupBy(F.col("src").alias("c")).agg(
+        F.count("*").cast("long").alias("deg_c")
+    )
+    centers = deg if degree_cap is None else deg.filter(F.col("deg_c") <= degree_cap)
+
+    left = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    if probe_mod is not None:
+        left = left.filter(F.pmod(F.col("a"), F.lit(probe_mod)) == 0)
+    right = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+
+    wedges = (
+        left.join(right, "c")
+        .filter(F.col("a") < F.col("b"))
+        .join(centers, "c")
+    )
+    scores = wedges.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("cn_count"),
+        F.sum(F.lit(1.0) / F.log(F.col("deg_c"))).alias("aa_score"),
+    )
+    if include_existing:
+        return scores
+    existing = nbrs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    return scores.join(existing, ["a", "b"], "left_anti")
+
+
+def adamic_adar_sql(
+    probe_mod: int | None = None, round_to: int = 6
+) -> str:
+    """DuckDB twin over the `edges` CTE (same association order:
+    1.0 / LN(deg))."""
+    probe = f"AND l.dst % {probe_mod} = 0" if probe_mod is not None else ""
+    return f"""nbrs AS (
+    SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+),
+deg AS (SELECT src AS c, COUNT(*)::BIGINT AS deg_c FROM nbrs GROUP BY src),
+wedges AS (
+    SELECT l.dst AS a, r.dst AS b, l.src AS c
+    FROM nbrs l JOIN nbrs r ON l.src = r.src AND l.dst < r.dst {probe}
+),
+scores AS (
+    SELECT w.a, w.b, COUNT(*)::BIGINT AS cn_count,
+           SUM(1.0 / LN(d.deg_c)) AS aa_score
+    FROM wedges w JOIN deg d ON w.c = d.c
+    GROUP BY w.a, w.b
+),
+existing AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM nbrs
+)
+SELECT s.a, s.b, s.cn_count, ROUND(s.aa_score, {round_to}) AS aa_score
+FROM scores s LEFT JOIN existing e ON s.a = e.a AND s.b = e.b
+WHERE e.a IS NULL"""

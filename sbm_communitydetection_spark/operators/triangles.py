@@ -53,6 +53,33 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return triangle_list(edges).agg(F.count("*").cast("long").alias("triangles"))
 
 
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(id, lcc) — 2·tri(v) / (d(v)·(d(v)−1)) over DISTINCT neighbors;
+    0.0 for degree < 2.
+
+    Reuses the degree-ordered triangle list (one extra groupBy over the
+    distinct-neighbor table, no new shuffle shape); the division is the
+    only new work. Whole plan is Catalyst-side column math.
+    """
+    tri = triangle_counts_per_vertex(edges)
+    deg = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return tri.join(deg, "id", "left").select(
+        "id",
+        F.when(
+            F.coalesce("deg", F.lit(0)) >= 2,
+            F.lit(2.0) * F.col("tri_count") / (F.col("deg") * (F.col("deg") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )
+
+
 def triangle_counts_per_vertex(edges: DataFrame, vertices: DataFrame | None = None) -> DataFrame:
     """(id, tri_count) — triangles incident to each vertex; 0 for the rest."""
     tris = triangle_list(edges)

@@ -242,3 +242,32 @@ def test_hits_star_digraph_and_symmetric_collapse(spark):
     out = hits(spark, sym, tolerance=-1.0, max_iterations=4).collect()
     assert all(abs(r.hub - r.auth) < 1e-12 for r in out)
     assert abs(sum(r.auth for r in out) - 1.0) < 1e-9
+
+
+def test_local_clustering_and_adamic_adar_hand_graph(spark):
+    import math
+
+    from sbm_communitydetection_spark.operators.linkpred import adamic_adar
+    from sbm_communitydetection_spark.operators.triangles import local_clustering_coefficient
+
+    # square 0-1-2-3-0 with chord 0-2: tri = {0:2, 1:1, 2:2, 3:1}
+    raw = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1), (0, 2, 1)],
+        "src long, dst long, weight long",
+    )
+    edges = symmetrize(raw)
+    lcc = {r.id: r.lcc for r in local_clustering_coefficient(edges).collect()}
+    assert abs(lcc[0] - 2 / 3) < 1e-12 and abs(lcc[2] - 2 / 3) < 1e-12
+    assert lcc[1] == 1.0 and lcc[3] == 1.0
+
+    # only non-adjacent pair is (1,3); common neighbors {0,2}
+    aa = adamic_adar(edges).collect()
+    assert len(aa) == 1
+    r = aa[0]
+    assert (r.a, r.b, r.cn_count) == (1, 3, 2)
+    assert abs(r.aa_score - 2 / math.log(3)) < 1e-12
+
+    # degree_cap excludes hub centers: cap=2 keeps only centers 1 and 3
+    # (degree 2) — pair (0,2) is adjacent, so nothing survives
+    capped = adamic_adar(edges, degree_cap=2).collect()
+    assert capped == []
