@@ -28,6 +28,9 @@ from sbm_communitydetection_spark.operators.frontier import (  # noqa: E402
 from sbm_communitydetection_spark.operators.linkpred import (  # noqa: E402
     adamic_adar_sql as _aa_sql,
 )
+from sbm_communitydetection_spark.operators.sssp import (  # noqa: E402
+    shortest_paths_sql as _sssp_sql,
+)
 from sbm_communitydetection_spark.operators import graph_ops as G  # noqa: E402
 from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     N_LABELS,
@@ -50,6 +53,8 @@ KCORE_ROUNDS = 4
 PPR_SRC_MOD = 100
 HITS_ITERS = 4
 AA_PROBE_MOD = 100
+SSSP_SRC_MOD = 100
+SSSP_ROUNDS = 3
 BP_K = 6
 BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
@@ -174,6 +179,24 @@ def _q_adamic_adar(spark, sf_dir):
     scores = adamic_adar(lineitem_edges(spark, sf_dir), probe_mod=AA_PROBE_MOD)
     return scores.select(
         "a", "b", "cn_count", F.round("aa_score", 6).alias("aa_score")
+    )
+
+
+def _q_sssp(spark, sf_dir):
+    """Fixed-round multi-source shortest paths (landmark distances) from
+    the deterministic source set id % SSSP_SRC_MOD == 0."""
+    from sbm_communitydetection_spark.operators.sssp import shortest_paths
+
+    edges = lineitem_edges(spark, sf_dir)
+    srcs = edges.select(F.col("src").alias("id")).distinct().filter(
+        F.pmod(F.col("id"), F.lit(SSSP_SRC_MOD)) == 0
+    )
+    return shortest_paths(spark, edges, srcs, rounds=SSSP_ROUNDS)
+
+
+def _q_assortativity(spark, sf_dir):
+    return G.degree_assortativity(lineitem_edges(spark, sf_dir)).select(
+        F.round("assortativity", 8).alias("assortativity")
     )
 
 
@@ -591,6 +614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_fixed_iters": _q_hits,
         "local_clustering": _q_local_clustering,
         "adamic_adar": _q_adamic_adar,
+        "sssp_multi_source": _q_sssp,
+        "degree_assortativity": _q_assortativity,
         "label_propagation_fixed_iters": _q_lpa,
         "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
         "connected_components": _q_components,
@@ -676,6 +701,25 @@ FROM deg GROUP BY bucket""",
         + O.hits_unrolled_sql(HITS_ITERS),
         "local_clustering": edges_cte + ",\n" + O.local_clustering_sql(),
         "adamic_adar": edges_cte + ",\n" + _aa_sql(AA_PROBE_MOD),
+        "sssp_multi_source": edges_cte
+        + ",\n"
+        + _sssp_sql(SSSP_ROUNDS, SSSP_SRC_MOD),
+        "degree_assortativity": edges_cte
+        + """,
+nbrs AS (SELECT src, dst FROM edges WHERE src <> dst),
+deg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM nbrs GROUP BY src),
+p AS (
+    SELECT dx.deg AS x, dy.deg AS y
+    FROM nbrs n JOIN deg dx ON n.src = dx.id JOIN deg dy ON n.dst = dy.id
+),
+s AS (
+    SELECT COUNT(*)::DOUBLE AS m, SUM(x)::DOUBLE AS sx, SUM(y)::DOUBLE AS sy,
+           SUM(x * y)::DOUBLE AS sxy, SUM(x * x)::DOUBLE AS sxx, SUM(y * y)::DOUBLE AS syy
+    FROM p
+)
+SELECT ROUND((m * sxy - sx * sy) / (SQRT(m * sxx - sx * sx) * SQRT(m * syy - sy * sy)), 8)
+       AS assortativity
+FROM s""",
         "label_propagation_fixed_iters": edges_cte + ",\n" + O.lpa_unrolled_sql(LPA_ITERS),
         "belief_propagation_fixed_iters": edges_cte
         + ",\n"

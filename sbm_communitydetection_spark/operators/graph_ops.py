@@ -290,3 +290,40 @@ def apply_label_moves(labels: DataFrame, moves: DataFrame) -> DataFrame:
         labels.join(F.broadcast(mv), "label", "left")
         .select("id", F.coalesce("new_label", "label").alias("label"))
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Single-row (assortativity) — Pearson correlation of the
+    distinct-neighbor degrees across edge endpoints (Newman's r).
+
+    All five moment sums are EXACT integer aggregates (one groupBy + one
+    join + one agg); only the final scalar arithmetic is floating point,
+    with the expression structured identically to the SQL oracle for
+    float parity. Sums stay below 2^53 up to ~10^8-edge inputs; beyond
+    that, pre-scale the degrees (r is scale-invariant).
+    """
+    nbrs = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    deg = nbrs.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    pairs = (
+        nbrs.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("x")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("y")), "dst")
+    )
+    s = pairs.agg(
+        F.count("*").cast("double").alias("m"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    return s.select(
+        (
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("assortativity")
+    )

@@ -1,0 +1,127 @@
+"""Multi-source weighted shortest paths (Bellmann-Ford supersteps).
+
+    dist_i(v) = min(dist_{i-1}(v),  min_{(u,v)∈E} dist_{i-1}(u) + w(u,v))
+
+from a deterministic source set — the landmark-distance pattern (one
+run computes distances from ALL landmarks; per-vertex the nearest
+landmark distance). State holds only REACHED vertices, so early rounds
+move a frontier-sized vector, not |V| rows.
+
+Scale plan (same as pagerank.py/hits.py): the adjacency is checkpointed
+once hash(src)-partitioned, so the per-round relaxation join never
+moves the edge table; the relax output is aggregated map-side by dst and
+full-outer-joined with the state via SHUFFLE_HASH (both sides already
+hash(id)-partitioned). Positive weights assumed (edge weights here are
+link counts ≥ 1).
+
+No reference analogue (SURVEY.md §2.13 scope extension); gated by an
+unrolled DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.iterate import (
+    IterationDriver,
+    partition_preserving_checkpoint,
+    unpersist_checkpoint,
+)
+
+
+def shortest_paths(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = -1,
+    max_iterations: int = 100,
+    driver: IterationDriver | None = None,
+    broadcast_rows_threshold: int = 250_000,
+    collect_metrics: list | None = None,
+) -> DataFrame:
+    """(id, dist) for every vertex REACHED from ``sources`` (an (id)
+    set; dist 0.0 there). ``rounds`` > 0 runs exactly that many
+    relaxation supersteps (the oracle-gated mode); otherwise iterate to
+    fixpoint (metric = number of improved-or-new entries, stop at 0).
+    """
+    driver = driver or IterationDriver(spark, run_id="sssp")
+
+    adj = partition_preserving_checkpoint(
+        edges.select("src", "dst", F.col("weight").cast("double").alias("w")).repartition(
+            "src"
+        ),
+        key="src",
+    )
+    state0 = (
+        sources.select("id").distinct().select("id", F.lit(0.0).alias("dist"))
+    ).repartition("id")
+    fixed = rounds > 0
+    n_iter = rounds if fixed else max_iterations
+
+    def _side(state: DataFrame) -> DataFrame:
+        side = state.withColumnRenamed("id", "src")
+        return F.broadcast(side) if state.count() <= broadcast_rows_threshold else side.hint(
+            "SHUFFLE_HASH"
+        )
+
+    def step(state: DataFrame, i: int):
+        relax = (
+            adj.join(_side(state), "src")
+            .groupBy("dst")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("relaxed"))
+            .withColumnRenamed("dst", "id")
+        )
+        # F.least skips nulls, so a newly-reached vertex (dist null) takes
+        # `relaxed` and an un-improved one keeps `dist`
+        new = (
+            state.join(relax.hint("SHUFFLE_HASH"), "id", "full")
+            .select("id", F.least("dist", "relaxed").alias("dist"))
+        )
+        if fixed:
+            return new, float("inf")
+
+        def improved(persisted: DataFrame) -> float:
+            row = (
+                persisted.join(
+                    state.select("id", F.col("dist").alias("old")), "id", "left"
+                )
+                .filter(F.col("old").isNull() | (F.col("dist") < F.col("old")))
+                .count()
+            )
+            return float(row)
+
+        return new, improved
+
+    result = driver.run(
+        state0,
+        step,
+        max_iterations=n_iter,
+        tolerance=-1.0 if fixed else 0.0,
+        metric_name="improved",
+        log_rows=False,
+    )
+    if collect_metrics is not None:
+        collect_metrics.extend(result.metrics)
+    unpersist_checkpoint(adj)
+    return result.state
+
+
+def shortest_paths_sql(rounds: int, src_mod: int) -> str:
+    """DuckDB twin over the `edges` CTE: sources = {id : id % src_mod = 0}."""
+    parts = [
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        f"s0 AS (SELECT id, 0.0 AS dist FROM verts WHERE id % {src_mod} = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""s{i} AS (
+    SELECT id, MIN(dist) AS dist FROM (
+        SELECT id, dist FROM s{i - 1}
+        UNION ALL
+        SELECT e.dst AS id, s.dist + e.weight AS dist
+        FROM edges e JOIN s{i - 1} s ON e.src = s.id
+    ) GROUP BY id
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, dist FROM s{rounds}"

@@ -271,3 +271,34 @@ def test_local_clustering_and_adamic_adar_hand_graph(spark):
     # (degree 2) — pair (0,2) is adjacent, so nothing survives
     capped = adamic_adar(edges, degree_cap=2).collect()
     assert capped == []
+
+
+def test_sssp_path_graph_and_fixpoint(spark):
+    from sbm_communitydetection_spark.operators.sssp import shortest_paths
+
+    # weighted path 0 -2- 1 -3- 2 -1- 3 -5- 4, source {0}
+    raw = spark.createDataFrame(
+        [(0, 1, 2), (1, 2, 3), (2, 3, 1), (3, 4, 5)],
+        "src long, dst long, weight long",
+    )
+    edges = symmetrize(raw)
+    src = spark.createDataFrame([(0,)], "id long")
+    d = {r.id: r.dist for r in shortest_paths(spark, edges, src).collect()}
+    assert d == {0: 0.0, 1: 2.0, 2: 5.0, 3: 6.0, 4: 11.0}
+
+    # fixed rounds >= diameter reproduces the fixpoint
+    d4 = {r.id: r.dist for r in shortest_paths(spark, edges, src, rounds=4).collect()}
+    assert d4 == d
+    # too few rounds: vertex 4 not yet reached
+    d1 = {r.id: r.dist for r in shortest_paths(spark, edges, src, rounds=1).collect()}
+    assert 4 not in d1 and d1[1] == 2.0
+
+
+def test_degree_assortativity_star_is_minus_one(spark):
+    from sbm_communitydetection_spark.operators.graph_ops import degree_assortativity
+
+    star = symmetrize(
+        spark.createDataFrame([(0, i, 1) for i in range(1, 6)], "src long, dst long, weight long")
+    )
+    r = degree_assortativity(star).collect()[0].assortativity
+    assert abs(r - (-1.0)) < 1e-12
