@@ -1,0 +1,91 @@
+"""Physical-plan regression guards for the superstep join shape.
+
+Round-1's scaling failure was SILENT: `localCheckpoint` under AQE
+recorded UnknownPartitioning, so every superstep re-exchanged the whole
+adjacency and nothing was wrong in the RESULTS — only the plan. These
+tests pin the property the scaling number depends on: a superstep
+against a partition-preserving-checkpointed adjacency moves ONLY the
+state vector and the re-aggregation (2 exchanges), never the edge side.
+PageRank, HITS, and SSSP all compile their inner loops to this shape.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sbm_communitydetection_spark.plans.iterate import (
+    partition_preserving_checkpoint,
+    unpersist_checkpoint,
+)
+from sbm_communitydetection_spark.sources.bucketed import physical_exchange_count
+
+
+@pytest.fixture(scope="module")
+def adj(spark):
+    edges = spark.range(20000).select(
+        (F.xxhash64("id") % 1000).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    a = partition_preserving_checkpoint(edges.repartition("src"), key="src")
+    yield a
+    unpersist_checkpoint(a)
+
+
+def _state(spark):
+    return spark.range(1000).select(F.col("id").alias("src"), F.lit(1.0).alias("rank"))
+
+
+def test_checkpointed_superstep_has_two_exchanges(spark, adj):
+    # PR/HITS/SSSP shape: probe join on src + re-aggregate on dst.
+    # Exchange 1: the state vector to hash(src); exchange 2: the
+    # partial aggregates to hash(dst). The adjacency must NOT move.
+    plan = (
+        adj.join(_state(spark).hint("SHUFFLE_HASH"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("weight")).alias("contrib"))
+    )
+    assert physical_exchange_count(plan) == 2
+
+
+def test_plain_checkpoint_would_add_a_third_exchange(spark, adj):
+    # the failure mode the preserving checkpoint exists to prevent:
+    # an adjacency with UNKNOWN partitioning re-exchanges itself.
+    # (localCheckpoint under AQE reproduces this; an un-checkpointed
+    # repartition-less scan is the stable stand-in here.)
+    raw = spark.range(20000).select(
+        (F.xxhash64("id") % 1000).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 1000).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    plan = (
+        raw.join(_state(spark).hint("SHUFFLE_HASH"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("weight")).alias("contrib"))
+    )
+    assert physical_exchange_count(plan) == 3
+
+
+def test_co_partitioned_state_update_join_is_exchange_free(spark, adj):
+    # the OTHER superstep join: new_state = state ⋈ contribs on id.
+    # Both sides arrive hash(id)-partitioned (state from the previous
+    # checkpoint, contribs from the groupBy(dst)) — zero NEW exchanges
+    # beyond the two counted above.
+    contribs = (
+        adj.join(_state(spark).hint("SHUFFLE_HASH"), "src")
+        .groupBy("dst")
+        .agg(F.sum(F.col("rank") * F.col("weight")).alias("contrib"))
+        .withColumnRenamed("dst", "id")
+    )
+    state = partition_preserving_checkpoint(
+        spark.range(1000).select("id", F.lit(0.001).alias("rank")).repartition("id"),
+        key="id",
+    )
+    try:
+        plan = state.join(contribs.hint("SHUFFLE_HASH"), "id", "left")
+        # exchanges: state->hash(src) probe + partials->hash(dst); the
+        # update join itself adds NONE (both sides already hash-aligned)
+        assert physical_exchange_count(plan) == 2
+    finally:
+        unpersist_checkpoint(state)
