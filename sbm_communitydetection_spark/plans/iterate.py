@@ -45,6 +45,41 @@ from pyspark.sql import DataFrame, SparkSession
 SEVERANCE_EVERY = 8
 
 
+def probe_resources() -> dict:
+    """Current RSS + cumulative CPU of the driver process AND its JVM
+    child — the engine analogue of the reference's per-run Q10 probes
+    (utils/quality_measures.cpp:190-220 reads VmRSS / CPU deltas between
+    algorithm steps). Two /proc scans, ~1 ms; recorded per iteration in
+    the metrics log so memory growth across supersteps is observable,
+    not just the end state. Empty dict off-Linux (no /proc)."""
+    try:
+        me = os.getpid()
+        rss = 0
+        cpu = 0.0
+        tick = os.sysconf("SC_CLK_TCK")
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    parts = f.read().rsplit(")", 1)[1].split()
+                # rsplit removes (comm); fields shift by 2 vs proc(5):
+                # ppid=parts[1], utime=parts[11], stime=parts[12]
+                if int(pid) != me and int(parts[1]) != me:
+                    continue
+                cpu += (int(parts[11]) + int(parts[12])) / tick
+                with open(f"/proc/{pid}/status") as f:
+                    for line in f:
+                        if line.startswith("VmRSS:"):
+                            rss += int(line.split()[1]) * 1024
+                            break
+            except (OSError, ValueError, IndexError):
+                continue
+        return {"rss_bytes": rss, "cpu_sec": round(cpu, 2)}
+    except (OSError, ValueError, AttributeError):
+        return {}
+
+
 # Durable snapshots go through the TableIO seam (SURVEY §7): Parquet
 # directories in this sandbox, Iceberg snapshot-per-iteration when a
 # catalog is configured. Re-exported here for existing importers.
@@ -375,6 +410,7 @@ class IterationDriver:
                 "wall_sec": round(wall, 4),
                 "snapshot": self._iter_path(i) if self.io else "localCheckpoint",
                 "partition_lineage": self._partition_lineage(i),
+                **probe_resources(),  # Q10: per-iteration RSS/CPU
             }
             metrics.append(row)
             self._log_metrics(row)

@@ -37,6 +37,9 @@ def test_parquet_checkpoint_and_metrics(spark, tmp_path):
         pl = x["partition_lineage"]
         assert pl and sum(p["rows"] for p in pl) == 10
         assert all(p["bytes"] > 0 and p["file"].endswith(".parquet") for p in pl)
+    # Q10 resource probes: every iteration row carries RSS + CPU of the
+    # driver-plus-JVM process tree (reference quality_measures.cpp:190-220)
+    assert all(x["rss_bytes"] > 0 and x["cpu_sec"] > 0 for x in lines[1:])
 
 
 def test_resume_from_latest_snapshot(spark, tmp_path):
