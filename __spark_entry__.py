@@ -55,6 +55,8 @@ HITS_ITERS = 4
 AA_PROBE_MOD = 100
 SSSP_SRC_MOD = 100
 SSSP_ROUNDS = 3
+TFIDF_K = 5
+SAMPLE_RATES = {"en": 500, "zh": 250}  # permille kept per lang; rest 1000
 BP_K = 6
 BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
@@ -572,6 +574,16 @@ def _q_token_stats(spark, sf_dir):
     return TA.token_stats(_docs(spark, sf_dir))
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    return TA.tfidf_topk(_docs(spark, sf_dir), k=TFIDF_K)
+
+
+def _q_stratum_counts(spark, sf_dir):
+    """Data-mixing audit: deterministic per-language downsampling
+    (SAMPLE_RATES ‰), per-(lang, source) kept/total counts."""
+    return TA.stratum_counts(_docs(spark, sf_dir), SAMPLE_RATES)
+
+
 def _q_text_quality(spark, sf_dir):
     return TA.text_quality(_docs(spark, sf_dir))
 
@@ -667,6 +679,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "token_stats": _q_token_stats,
+        "tfidf_topk": _q_tfidf_topk,
+        "stratum_counts": _q_stratum_counts,
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -787,6 +801,8 @@ GROUP BY l1.label, l2.label""",
         "ann_ivf_topk": TS.ivf_topk_sql(k=ANN_K),
         # training-data pipeline: text analysis + multimodal plumbing
         "token_stats": TA.token_stats_sql(),
+        "tfidf_topk": TA.tfidf_topk_sql(k=TFIDF_K),
+        "stratum_counts": TA.stratum_counts_sql(SAMPLE_RATES),
         "text_quality": TA.text_quality_sql(),
         "lang_id": TA.lang_id_sql(),
         "doc_fingerprint": TA.doc_fingerprint_sql(),

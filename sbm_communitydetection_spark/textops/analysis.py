@@ -205,3 +205,116 @@ def doc_fingerprint_sql(table: str = "documents", k: int = FINGERPRINT_K, n: int
     )
     SELECT doc_id, rank, h FROM ranked WHERE rank <= {k}
     """
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5, round_to: int = 6) -> DataFrame:
+    """(doc_id, term, tf, score) — top-k TF-IDF terms per document,
+    score = tf · ln(N / df), ties broken by term ascending.
+
+    Two groupBys (term frequency per doc, document frequency per term)
+    and one join keyed on `term` — the df side is corpus-vocabulary
+    sized, broadcastable at any corpus scale. The per-doc top-k window
+    partitions by doc_id, so no global sort. N is a driver scalar.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").cast("long").alias("df"))
+    n = docs.count()
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n)) / F.col("df"))).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("doc_id", "term", "tf", F.round("score", round_to).alias("score"))
+    )
+
+
+def tfidf_topk_sql(table: str = "documents", k: int = 5, round_to: int = 6) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM {table}),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               tf.tf * LN((SELECT n FROM n) / df.df) AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id ORDER BY tf.tf * LN((SELECT n FROM n) / df.df) DESC,
+                   tf.term ASC
+               ) AS rn
+        FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT doc_id, term, tf, ROUND(score, {round_to}) AS score
+    FROM scored WHERE rn <= {k}
+    """
+
+
+# Knuth's multiplicative-hash constant: spreads consecutive doc_ids
+# uniformly over the permille buckets (deterministic, engine-portable —
+# unlike xxhash64/DuckDB hash() which disagree across engines)
+_MIX_KNUTH = 2654435761
+_MIX_BUCKETS = 1000
+
+
+def stratified_sample(
+    docs: DataFrame, rates_permille: dict[str, int], default_permille: int = 1000
+) -> DataFrame:
+    """(doc_id, ...) — deterministic per-language downsampling: keep doc
+    iff (doc_id · KNUTH) mod 1000 < rate‰ for its `lang` stratum. The
+    data-MIXING primitive of a training pipeline (down-weight
+    over-represented languages/sources); one scan, zero shuffles, and
+    the same doc set on every run/engine (no RNG).
+
+    doc_id must stay below ~3.5e9 for the int64 product; shard-local
+    re-keying applies above that."""
+    rate = F.lit(default_permille)
+    for lang, permille in sorted(rates_permille.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(permille)).otherwise(rate)
+    bucket = F.pmod(F.col("doc_id") * _MIX_KNUTH, F.lit(_MIX_BUCKETS))
+    return docs.filter(bucket < rate)
+
+
+def stratum_counts(docs: DataFrame, rates_permille: dict[str, int]) -> DataFrame:
+    """(lang, source, n_total, n_sampled) — audit rollup of
+    stratified_sample: how many docs each stratum keeps."""
+    sampled = stratified_sample(docs, rates_permille).select(
+        "doc_id", F.lit(1).alias("keep")
+    )
+    return (
+        docs.join(sampled.select("doc_id", "keep"), "doc_id", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(F.coalesce("keep", F.lit(0))).cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def stratum_counts_sql(
+    rates_permille: dict[str, int],
+    table: str = "documents",
+    default_permille: int = 1000,
+) -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN {p}" for lang, p in sorted(rates_permille.items())
+    )
+    return f"""
+    SELECT lang, source, COUNT(*)::BIGINT AS n_total,
+           SUM(CASE WHEN (doc_id * {_MIX_KNUTH}) % {_MIX_BUCKETS}
+                    < (CASE {cases} ELSE {default_permille} END)
+               THEN 1 ELSE 0 END)::BIGINT AS n_sampled
+    FROM {table}
+    GROUP BY lang, source
+    """

@@ -262,3 +262,42 @@ def test_ivf_with_trained_kmeans_centroids(embs):
     # determinism: same seed → same centroid table
     again = TS.kmeans_centroids(embs, n_cells=3, iters=10, seed=7, sample_rows=100)
     assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_tfidf_topk_hand_corpus(spark):
+    import math
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "cherry cherry date"),
+        ],
+        "doc_id long, text string",
+    )
+    out = TA.tfidf_topk(corpus, k=2)
+    rows = {(r.doc_id, r.term): (r.tf, r.score) for r in out.collect()}
+    # df: apple 1, banana 2, cherry 2, date 1; N = 3
+    assert rows[(0, "apple")][0] == 2
+    assert abs(rows[(0, "apple")][1] - round(2 * math.log(3 / 1), 6)) < 1e-9
+    assert abs(rows[(1, "cherry")][1] - round(1 * math.log(3 / 2), 6)) < 1e-9
+    # date (df=1) outranks cherry (df=2) in doc 2 despite tf 2 vs 1?
+    # scores: cherry 2*ln(1.5)=0.81, date 1*ln(3)=1.10 -> both in top-2
+    assert (2, "date") in rows and (2, "cherry") in rows
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark):
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+        F.lit("src0").alias("source"),
+        F.lit("x").alias("text"),
+    )
+    rates = {"en": 300, "de": 1000}
+    a = {r.doc_id for r in TA.stratified_sample(docs, rates).collect()}
+    b = {r.doc_id for r in TA.stratified_sample(docs, rates).collect()}
+    assert a == b  # no RNG anywhere
+    counts = {(r.lang): (r.n_total, r.n_sampled) for r in TA.stratum_counts(docs, rates).collect()}
+    assert counts["de"] == (1000, 1000)  # rate 1000 permille keeps all
+    en_total, en_kept = counts["en"]
+    assert en_total == 1000 and 200 <= en_kept <= 400  # ~30% kept
