@@ -174,6 +174,34 @@ def main() -> None:
         timed("lpa", run_lpa)
         if iter_timing and lpa_holder["res"].metrics:
             timings["lpa"] = round(sum(m["wall_sec"] for m in lpa_holder["res"].metrics), 3)
+    if "hits" in which:
+        # optional (not in the headline set, to keep cross-round BENCH
+        # comparability): directed hubs/authorities, same superstep shape
+        def run_hits():
+            from sbm_communitydetection_spark.operators.hits import hits
+
+            hits(
+                spark,
+                edges,
+                tolerance=-1.0,
+                max_iterations=PR_ITERS,
+                broadcast_rows_threshold=broadcast_thr,
+            ).count()
+
+        timed("hits", run_hits)
+    if "sssp" in which:
+        # optional: multi-source shortest paths from 1/1000 of vertices
+        def run_sssp():
+            from sbm_communitydetection_spark.operators.sssp import shortest_paths
+
+            srcs = edges.select(F.col("src").alias("id")).distinct().filter(
+                F.col("id") % 1000 == 0
+            )
+            shortest_paths(
+                spark, edges, srcs, rounds=5, broadcast_rows_threshold=broadcast_thr
+            ).count()
+
+        timed("sssp", run_sssp)
     if "connected_components" in which:
         timed("connected_components", lambda: connected_components(spark, edges).count())
     if "triangle_count" in which:
