@@ -322,6 +322,23 @@ def _q_turn_text(spark, sf_dir):
 # -- graph DML / coarsening -------------------------------------------------
 
 
+def _q_conductance(spark, sf_dir):
+    edges = lineitem_edges(spark, sf_dir)
+    return G.conductance(edges, derived_labels(edges)).select(
+        "label", F.round("conductance", 8).alias("conductance")
+    )
+
+
+def _q_graph_summary(spark, sf_dir):
+    return G.graph_summary(lineitem_edges(spark, sf_dir)).select(
+        "n_vertices",
+        "n_edges",
+        "max_degree",
+        F.round("avg_degree", 8).alias("avg_degree"),
+        F.round("density", 8).alias("density"),
+    )
+
+
 def _q_community_stats(spark, sf_dir):
     edges = lineitem_edges(spark, sf_dir)
     return G.community_stats(edges, derived_labels(edges)).select("label", "e_in", "e_out", "size")
@@ -647,6 +664,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_neighbor_weights": _q_salted_a8,  # A8 via skew path
         # graph DML / coarsening
         "community_stats": _q_community_stats,  # A4/A6
+        "conductance": _q_conductance,
+        "graph_summary": _q_graph_summary,
         "coarsen": _q_coarsen,  # C1
         "sync_communities": _q_sync_communities,  # C2
         "canonical_relabel": _q_canonical_relabel,  # C4
@@ -759,6 +778,31 @@ FROM edges e JOIN labels l ON e.dst = l.id
 GROUP BY e.src, l.label""",
         # graph DML / coarsening
         "community_stats": edges_cte + ",\n" + O.community_stats_sql(N_LABELS),
+        "conductance": edges_cte
+        + ",\n"
+        + O.community_stats_sql(N_LABELS).rsplit("SELECT", 1)[0]
+        + """,
+stats2 AS (
+    SELECT s.label, COALESCE(st.e_in, 0.0) AS e_in, COALESCE(st.e_out, 0.0) AS e_out
+    FROM sizes s LEFT JOIN stats st ON s.label = st.label
+)
+SELECT label,
+       CASE WHEN 2.0 * e_in + e_out > 0
+            THEN ROUND(e_out / (2.0 * e_in + e_out), 8) ELSE 0.0 END AS conductance
+FROM stats2""",
+        "graph_summary": edges_cte
+        + """,
+deg AS (
+    SELECT src, COUNT(*)::BIGINT AS deg
+    FROM (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+    GROUP BY src
+)
+SELECT COUNT(*)::BIGINT AS n_vertices,
+       (SUM(deg) / 2)::BIGINT AS n_edges,
+       MAX(deg)::BIGINT AS max_degree,
+       ROUND(SUM(deg) / CAST(COUNT(*) AS DOUBLE), 8) AS avg_degree,
+       ROUND(SUM(deg)::DOUBLE / (COUNT(*)::DOUBLE * (COUNT(*) - 1)), 8) AS density
+FROM deg""",
         "coarsen": edges_cte + ",\n" + O.coarsen_sql(N_LABELS),
         "sync_communities": edges_cte
         + f""",

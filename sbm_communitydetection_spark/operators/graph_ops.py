@@ -327,3 +327,40 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             )
         ).alias("assortativity")
     )
+
+
+def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(label, conductance) — e_out / (2·e_in + e_out) per community
+    (the cut-quality complement of embeddedness; 0.0 for isolated
+    communities). One groupBy on top of community_stats' bookkeeping."""
+    stats = community_stats(edges, labels)
+    denom = F.lit(2.0) * F.col("e_in") + F.col("e_out")
+    return stats.select(
+        "label",
+        F.when(denom > 0, F.col("e_out") / denom).otherwise(F.lit(0.0)).alias(
+            "conductance"
+        ),
+    )
+
+
+def graph_summary(edges: DataFrame) -> DataFrame:
+    """Single-row card over the SYMMETRIZED edge table: vertex count,
+    undirected edge count, total weight, avg/max distinct-neighbor
+    degree, density. One aggregation plus one degree groupBy."""
+    deg = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .groupBy("src")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    return deg.agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+        F.max("deg").cast("long").alias("max_degree"),
+        (F.sum("deg") / F.count("*")).alias("avg_degree"),
+        (
+            F.sum("deg").cast("double")
+            / (F.count("*").cast("double") * (F.count("*") - 1))
+        ).alias("density"),
+    )

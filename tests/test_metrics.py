@@ -140,3 +140,18 @@ def test_all_metrics_report(spark):
     assert abs(report["edge_classification_accuracy"] - 1.0) < 1e-12
     assert 0.0 <= report["modularity"] <= 1.0
     assert report["log_likelihood"] <= 0.0
+
+
+def test_conductance_two_triangles_with_bridge(spark):
+    from sbm_communitydetection_spark.operators.graph_ops import conductance, symmetrize
+
+    raw = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 1), (3, 4, 1), (4, 5, 1), (3, 5, 1), (2, 3, 1)],
+        "src long, dst long, weight long",
+    )
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 3 else 1) for i in range(6)], "id long, label long"
+    )
+    out = {r.label: r.conductance for r in conductance(symmetrize(raw), labels).collect()}
+    # each triangle: e_in = 3, e_out = 1 (the bridge) -> 1 / (2*3 + 1)
+    assert abs(out[0] - 1 / 7) < 1e-12 and abs(out[1] - 1 / 7) < 1e-12
