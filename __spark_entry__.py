@@ -55,6 +55,7 @@ HITS_ITERS = 4
 AA_PROBE_MOD = 100
 SSSP_SRC_MOD = 100
 SSSP_ROUNDS = 3
+DECAY_HALF_LIFE_MS = 7 * 24 * 3600 * 1000  # one week
 TFIDF_K = 5
 SAMPLE_RATES = {"en": 500, "zh": 250}  # permille kept per lang; rest 1000
 BP_K = 6
@@ -336,6 +337,16 @@ def _q_graph_summary(spark, sf_dir):
         "max_degree",
         F.round("avg_degree", 8).alias("avg_degree"),
         F.round("density", 8).alias("density"),
+    )
+
+
+def _q_decayed_reply_edges(spark, sf_dir):
+    """Recency-decayed reply-link extraction (half-life DECAY_HALF_LIFE_MS)."""
+    from sbm_communitydetection_spark.operators.extract import decayed_reply_edges
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return decayed_reply_edges(
+        events_transcripts(spark, sf_dir), half_life_ms=DECAY_HALF_LIFE_MS
     )
 
 
@@ -655,7 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcript extraction (input_hint pipeline)
         "transcript_reply_edges": _q_transcript_edges,  # extract.py end-to-end
         "transcript_turn_text": _q_turn_text,  # per-turn text equality
-        "conv_stats": _q_conv_stats,  # per-conversation rollup
+        "conv_stats": _q_conv_stats,
+        "decayed_reply_edges": _q_decayed_reply_edges,  # per-conversation rollup
         "role_transitions": _q_role_transitions,  # who-replies-to-whom counts
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
@@ -768,6 +780,7 @@ FROM s""",
         "transcript_reply_edges": ET.reply_edges_oracle_sql(),
         "transcript_turn_text": ET.turn_text_oracle_sql(),
         "conv_stats": ET.conv_stats_oracle_sql(),
+        "decayed_reply_edges": ET.decayed_reply_edges_oracle_sql(DECAY_HALF_LIFE_MS),
         "role_transitions": ET.role_transitions_oracle_sql(),
         # skew path: salted aggregate must equal the PLAIN A8 aggregation
         "salted_neighbor_weights": edges_cte

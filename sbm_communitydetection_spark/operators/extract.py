@@ -144,3 +144,56 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
         .groupBy("role_from", "role_to")
         .agg(F.count("*").cast("long").alias("n"))
     )
+
+
+def decayed_reply_edges(
+    transcripts: DataFrame, half_life_ms: float, round_to: int = 6
+) -> DataFrame:
+    """(src_key, dst_key, weight) — reply links with RECENCY-decayed
+    weights: each link contributes 2^(-(t_max − ts)/half_life), so an
+    edge's weight is dominated by its recent activity (the temporal
+    variant of the flat reply_edges extraction; stale actor pairs fade
+    instead of accumulating forever — what a rolling transcripts
+    warehouse actually wants for "current" community structure).
+
+    t_max is one scalar agg over the corpus; the decay factor is
+    pure JVM column math inside the same conv_id-windowed pass as
+    reply_edges, then the usual one-pass symmetrize-and-aggregate.
+    String actor keys (not hashed ids) so the DuckDB oracle mirrors
+    verbatim."""
+    t_max = transcripts.agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).collect()[0][0]
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    raw = (
+        transcripts.withColumn("prev_role", F.lag("role").over(w))
+        .filter(F.col("prev_role").isNotNull())
+        .select(
+            F.col("role").alias("src_key"),
+            F.col("prev_role").alias("dst_key"),
+            F.pow(
+                F.lit(2.0),
+                -(
+                    (F.lit(t_max) - F.unix_millis(F.col("ts").cast("timestamp")))
+                    / F.lit(float(half_life_ms))
+                ),
+            ).alias("weight"),
+        )
+    )
+    both = raw.select(
+        F.explode(
+            F.array(
+                F.struct("src_key", "dst_key", "weight"),
+                F.struct(
+                    F.col("dst_key").alias("src_key"),
+                    F.col("src_key").alias("dst_key"),
+                    F.col("weight"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src_key", "e.dst_key", "e.weight")
+    return (
+        both.filter(F.col("src_key") != F.col("dst_key"))
+        .groupBy("src_key", "dst_key")
+        .agg(F.round(F.sum("weight"), round_to).alias("weight"))
+    )

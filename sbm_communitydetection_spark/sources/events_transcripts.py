@@ -160,3 +160,34 @@ def role_transitions_oracle_sql() -> str:
     GROUP BY role_from, role_to
     """
     )
+
+
+def decayed_reply_edges_oracle_sql(half_life_ms: float, round_to: int = 6) -> str:
+    """Oracle twin of extract.decayed_reply_edges over the events-derived
+    transcripts (identical expression association: 2^(-((t_max - t)/hl)))."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + f""",
+    tmax AS (SELECT MAX(epoch_ms(ts)) AS t FROM transcripts),
+    lagged AS (
+        SELECT role,
+               LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role,
+               ts
+        FROM transcripts
+    ),
+    raw AS (
+        SELECT role AS src_key, prev_role AS dst_key,
+               POWER(2.0, -(((SELECT t FROM tmax) - epoch_ms(ts)) / {float(half_life_ms)})) AS weight
+        FROM lagged WHERE prev_role IS NOT NULL
+    ),
+    sym AS (
+        SELECT src_key, dst_key, weight FROM raw
+        UNION ALL
+        SELECT dst_key AS src_key, src_key AS dst_key, weight FROM raw
+    )
+    SELECT src_key, dst_key, ROUND(SUM(weight), {round_to}) AS weight
+    FROM sym WHERE src_key <> dst_key
+    GROUP BY src_key, dst_key
+    """
+    )

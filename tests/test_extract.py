@@ -139,3 +139,26 @@ def test_conv_stats_and_role_transitions_semantics(spark):
 
     trans = {(r.role_from, r.role_to): r.n for r in role_transitions(t).collect()}
     assert trans == {("a", "b"): 1, ("b", "a"): 1}  # directed, turn-ordered
+
+
+def test_decayed_reply_edges_halves_per_half_life(spark):
+    from datetime import datetime
+
+    from sbm_communitydetection_spark.operators.extract import decayed_reply_edges
+
+    hl = 3600_000.0  # 1 hour
+    # conv c0: a->b reply at t_max - 1h (one half-life old)
+    # conv c1: a->b reply at t_max (fresh)
+    t = spark.createDataFrame(
+        [
+            ("c0", 0, "b", "x", None, datetime(2026, 1, 1, 10, 0, 0)),
+            ("c0", 1, "a", "x", None, datetime(2026, 1, 1, 11, 0, 0)),
+            ("c1", 0, "b", "x", None, datetime(2026, 1, 1, 11, 0, 0)),
+            ("c1", 1, "a", "x", None, datetime(2026, 1, 1, 12, 0, 0)),
+        ],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {(r.src_key, r.dst_key): r.weight for r in decayed_reply_edges(t, hl).collect()}
+    # fresh link weighs 1.0, the hour-old one 0.5; symmetrized sum = 1.5
+    assert abs(out[("a", "b")] - 1.5) < 1e-9
+    assert out[("a", "b")] == out[("b", "a")]
