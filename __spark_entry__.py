@@ -27,8 +27,19 @@ from sbm_communitydetection_spark.operators.frontier import (  # noqa: E402
 )
 from sbm_communitydetection_spark.operators.linkpred import (  # noqa: E402
     adamic_adar_sql as _aa_sql,
+    jaccard_sql as _jac_sql,
+)
+from sbm_communitydetection_spark.operators.betweenness import (  # noqa: E402
+    betweenness_sql as _betw_sql,
+)
+from sbm_communitydetection_spark.operators.kcore import (  # noqa: E402
+    k_truss_unrolled_sql as _ktruss_sql,
+)
+from sbm_communitydetection_spark.operators.walks import (  # noqa: E402
+    random_walks_sql as _walks_sql,
 )
 from sbm_communitydetection_spark.operators.sssp import (  # noqa: E402
+    harmonic_centrality_sql as _harm_sql,
     shortest_paths_sql as _sssp_sql,
 )
 from sbm_communitydetection_spark.operators import graph_ops as G  # noqa: E402
@@ -50,13 +61,22 @@ LPA_ITERS = 3
 BP_ITERS = 2
 KCORE_K = 3
 KCORE_ROUNDS = 4
+KTRUSS_K = 4
+KTRUSS_ROUNDS = 3
 PPR_SRC_MOD = 100
 HITS_ITERS = 4
 AA_PROBE_MOD = 100
 SSSP_SRC_MOD = 100
 SSSP_ROUNDS = 3
+BETW_SRC_MOD = 200
+BETW_RADIUS = 2
+WALK_START_MOD = 100
+WALKS_PER_VERTEX = 2
+WALK_LENGTH = 4
 DECAY_HALF_LIFE_MS = 7 * 24 * 3600 * 1000  # one week
+SESSION_GAP_MS = 24 * 3600 * 1000  # one day (median inter-turn gap ~7h)
 TFIDF_K = 5
+TOPNGRAM_K = 20
 SAMPLE_RATES = {"en": 500, "zh": 250}  # permille kept per lang; rest 1000
 BP_K = 6
 BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
@@ -185,6 +205,27 @@ def _q_adamic_adar(spark, sf_dir):
     )
 
 
+def _q_jaccard(spark, sf_dir):
+    """Partner-lookup Jaccard link prediction for the same probe set as
+    adamic_adar: cn / (deg_a + deg_b − cn) over non-adjacent pairs."""
+    from sbm_communitydetection_spark.operators.linkpred import jaccard_scores
+
+    scores = jaccard_scores(lineitem_edges(spark, sf_dir), probe_mod=AA_PROBE_MOD)
+    return scores.select("a", "b", "cn_count", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_harmonic_centrality(spark, sf_dir):
+    """Landmark-sample harmonic centrality: Σ_lm 1/d(lm, v) after
+    SSSP_ROUNDS relaxation rounds from landmarks id % SSSP_SRC_MOD == 0."""
+    from sbm_communitydetection_spark.operators.sssp import harmonic_centrality
+
+    edges = lineitem_edges(spark, sf_dir)
+    srcs = edges.select(F.col("src").alias("id")).distinct().filter(
+        F.pmod(F.col("id"), F.lit(SSSP_SRC_MOD)) == 0
+    )
+    return harmonic_centrality(spark, edges, srcs, rounds=SSSP_ROUNDS)
+
+
 def _q_sssp(spark, sf_dir):
     """Fixed-round multi-source shortest paths (landmark distances) from
     the deterministic source set id % SSSP_SRC_MOD == 0."""
@@ -195,6 +236,33 @@ def _q_sssp(spark, sf_dir):
         F.pmod(F.col("id"), F.lit(SSSP_SRC_MOD)) == 0
     )
     return shortest_paths(spark, edges, srcs, rounds=SSSP_ROUNDS)
+
+
+def _q_betweenness(spark, sf_dir):
+    """Radius-truncated Brandes betweenness from the deterministic source
+    sample id % BETW_SRC_MOD == 0 (forward BFS + dependency accumulation,
+    both fixed-round and oracle-unrolled)."""
+    from sbm_communitydetection_spark.operators.betweenness import betweenness_approx
+
+    edges = lineitem_edges(spark, sf_dir)
+    srcs = edges.select(F.col("src").alias("id")).distinct().filter(
+        F.pmod(F.col("id"), F.lit(BETW_SRC_MOD)) == 0
+    )
+    return betweenness_approx(spark, edges, srcs, radius=BETW_RADIUS)
+
+
+def _q_random_walks(spark, sf_dir):
+    """Deterministic weighted random walks (portable-hash sampling) —
+    the node2vec corpus generator, bit-identical to the DuckDB oracle."""
+    from sbm_communitydetection_spark.operators.walks import random_walks
+
+    return random_walks(
+        spark,
+        lineitem_edges(spark, sf_dir),
+        start_mod=WALK_START_MOD,
+        walks_per_vertex=WALKS_PER_VERTEX,
+        length=WALK_LENGTH,
+    )
 
 
 def _q_assortativity(spark, sf_dir):
@@ -247,6 +315,13 @@ def _q_k_core(spark, sf_dir):
     from sbm_communitydetection_spark.operators.kcore import k_core
 
     return k_core(spark, lineitem_edges(spark, sf_dir), k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+def _q_k_truss(spark, sf_dir):
+    """Fixed-round k-truss support peeling (edge-cohesion filter)."""
+    from sbm_communitydetection_spark.operators.kcore import k_truss
+
+    return k_truss(spark, lineitem_edges(spark, sf_dir), k=KTRUSS_K, rounds=KTRUSS_ROUNDS)
 
 
 def _q_triangle_count(spark, sf_dir):
@@ -348,6 +423,40 @@ def _q_decayed_reply_edges(spark, sf_dir):
     return decayed_reply_edges(
         events_transcripts(spark, sf_dir), half_life_ms=DECAY_HALF_LIFE_MS
     )
+
+
+def _q_session_stats(spark, sf_dir):
+    """Time-gap sessionization (gap > SESSION_GAP_MS splits) + per-session
+    rollup — the interaction-log preprocessing step (axis B)."""
+    from sbm_communitydetection_spark.operators.extract import session_stats
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return session_stats(events_transcripts(spark, sf_dir), gap_ms=SESSION_GAP_MS)
+
+
+def _q_user_influence(spark, sf_dir):
+    """Axis-A×B composition: fixed-iteration PageRank over the extracted
+    transcript link graph (string actor keys) — 'who matters in the reply
+    graph', the full extract→graph→algorithm pipeline in one query."""
+    from sbm_communitydetection_spark.operators.extract import extract_edges, extract_vertices
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    t = events_transcripts(spark, sf_dir)
+    edges, verts = extract_edges(t), extract_vertices(t)
+    keyed = (
+        edges.join(
+            F.broadcast(verts.select(F.col("id").alias("src"), F.col("actor_key").alias("sk"))),
+            "src",
+        )
+        .join(
+            F.broadcast(verts.select(F.col("id").alias("dst"), F.col("actor_key").alias("dk"))),
+            "dst",
+        )
+        .select(F.col("sk").alias("src"), F.col("dk").alias("dst"), "weight")
+    )
+    ranks = pagerank(spark, keyed, damping=0.85, tolerance=-1.0, max_iterations=PR_ITERS)
+    return ranks.select("id", F.round("rank", 8).alias("rank"))
 
 
 def _q_community_stats(spark, sf_dir):
@@ -511,6 +620,13 @@ def _q_log_likelihood(spark, sf_dir):
     return log_likelihood_df(edges, pred)
 
 
+def _q_nmi(spark, sf_dir):
+    from sbm_communitydetection_spark.functions.metrics import nmi_df
+
+    _, pred, truth = _metric_partitions(spark, sf_dir)
+    return nmi_df(pred, truth)
+
+
 def _q_modularity_density(spark, sf_dir):
     from sbm_communitydetection_spark.functions.metrics import modularity_variants
 
@@ -602,6 +718,10 @@ def _q_token_stats(spark, sf_dir):
     return TA.token_stats(_docs(spark, sf_dir))
 
 
+def _q_top_ngrams(spark, sf_dir):
+    return TA.top_ngrams(_docs(spark, sf_dir), k=TOPNGRAM_K)
+
+
 def _q_tfidf_topk(spark, sf_dir):
     return TA.tfidf_topk(_docs(spark, sf_dir), k=TFIDF_K)
 
@@ -654,12 +774,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_fixed_iters": _q_hits,
         "local_clustering": _q_local_clustering,
         "adamic_adar": _q_adamic_adar,
+        "jaccard_linkpred": _q_jaccard,
         "sssp_multi_source": _q_sssp,
+        "harmonic_centrality": _q_harmonic_centrality,
+        "betweenness_approx": _q_betweenness,
+        "random_walks": _q_random_walks,
         "degree_assortativity": _q_assortativity,
         "label_propagation_fixed_iters": _q_lpa,
         "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
         "connected_components": _q_components,
         "k_core": _q_k_core,  # fixed-round peel (gate parity mode)
+        "k_truss": _q_k_truss,  # fixed-round edge-support peel
         "triangle_count": _q_triangle_count,
         "triangles_per_vertex": _q_triangles_per_vertex,
         "r_hop_neighborhood": _q_r_hop,  # T6 radius-bounded BFS
@@ -669,6 +794,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_stats": _q_conv_stats,
         "decayed_reply_edges": _q_decayed_reply_edges,  # per-conversation rollup
         "role_transitions": _q_role_transitions,  # who-replies-to-whom counts
+        "user_influence": _q_user_influence,  # extract→graph→PageRank composition
+        "session_stats": _q_session_stats,  # time-gap sessionization rollup
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
         "fm_refine_pair": _q_fm_refine,  # D3 (rows-only check)
@@ -691,6 +818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddedness": _q_embeddedness,  # Q5
         "edge_classification_accuracy": _q_edge_cls_acc,  # Q8
         "log_likelihood": _q_log_likelihood,  # Q4
+        "nmi": _q_nmi,  # normalized mutual information
         "modularity_density": _q_modularity_density,  # A5
         "main_community": _q_main_community,  # T3
         # training-data pipeline: dedup
@@ -710,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "token_stats": _q_token_stats,
+        "top_ngrams": _q_top_ngrams,
         "tfidf_topk": _q_tfidf_topk,
         "stratum_counts": _q_stratum_counts,
         "text_quality": _q_text_quality,
@@ -746,9 +875,19 @@ FROM deg GROUP BY bucket""",
         + O.hits_unrolled_sql(HITS_ITERS),
         "local_clustering": edges_cte + ",\n" + O.local_clustering_sql(),
         "adamic_adar": edges_cte + ",\n" + _aa_sql(AA_PROBE_MOD),
+        "jaccard_linkpred": edges_cte + ",\n" + _jac_sql(AA_PROBE_MOD),
         "sssp_multi_source": edges_cte
         + ",\n"
         + _sssp_sql(SSSP_ROUNDS, SSSP_SRC_MOD),
+        "harmonic_centrality": edges_cte
+        + ",\n"
+        + _harm_sql(SSSP_ROUNDS, SSSP_SRC_MOD),
+        "betweenness_approx": edges_cte
+        + ",\n"
+        + _betw_sql(BETW_RADIUS, BETW_SRC_MOD),
+        "random_walks": edges_cte
+        + ",\n"
+        + _walks_sql(WALK_START_MOD, WALKS_PER_VERTEX, WALK_LENGTH),
         "degree_assortativity": edges_cte
         + """,
 nbrs AS (SELECT src, dst FROM edges WHERE src <> dst),
@@ -773,6 +912,7 @@ FROM s""",
         + ",\n"
         + O.components_recursive_sql(),
         "k_core": edges_cte + ",\n" + O.k_core_unrolled_sql(KCORE_K, KCORE_ROUNDS),
+        "k_truss": edges_cte + ",\n" + _ktruss_sql(KTRUSS_K, KTRUSS_ROUNDS),
         "triangle_count": edges_cte + ",\n" + O.triangle_count_sql(),
         "triangles_per_vertex": edges_cte + ",\n" + O.triangle_per_vertex_sql(),
         "r_hop_neighborhood": edges_cte + ",\n" + _frontier_sql(2),
@@ -782,6 +922,11 @@ FROM s""",
         "conv_stats": ET.conv_stats_oracle_sql(),
         "decayed_reply_edges": ET.decayed_reply_edges_oracle_sql(DECAY_HALF_LIFE_MS),
         "role_transitions": ET.role_transitions_oracle_sql(),
+        "user_influence": "WITH "
+        + ET.actor_edges_cte_sql()
+        + ",\n"
+        + O.pagerank_unrolled_sql(PR_ITERS),
+        "session_stats": ET.session_stats_oracle_sql(SESSION_GAP_MS),
         # skew path: salted aggregate must equal the PLAIN A8 aggregation
         "salted_neighbor_weights": edges_cte
         + f""",
@@ -835,6 +980,7 @@ GROUP BY l1.label, l2.label""",
         "embeddedness": edges_cte + ",\n" + O.embeddedness_sql(N_LABELS),
         "edge_classification_accuracy": edges_cte + ",\n" + O.edge_cls_acc_sql(N_LABELS, N_TRUTH),
         "log_likelihood": edges_cte + ",\n" + O.log_likelihood_sql(N_LABELS),
+        "nmi": edges_cte + ",\n" + O.nmi_sql(N_LABELS, N_TRUTH),
         "modularity_density": edges_cte + ",\n" + O.modularity_density_sql(N_LABELS),
         "main_community": edges_cte + ",\n" + O.main_community_sql(N_LABELS),
         # training-data pipeline: dedup
@@ -858,6 +1004,7 @@ GROUP BY l1.label, l2.label""",
         "ann_ivf_topk": TS.ivf_topk_sql(k=ANN_K),
         # training-data pipeline: text analysis + multimodal plumbing
         "token_stats": TA.token_stats_sql(),
+        "top_ngrams": TA.top_ngrams_sql(k=TOPNGRAM_K),
         "tfidf_topk": TA.tfidf_topk_sql(k=TFIDF_K),
         "stratum_counts": TA.stratum_counts_sql(SAMPLE_RATES),
         "text_quality": TA.text_quality_sql(),

@@ -237,6 +237,50 @@ def pairwise_f1_df(pred: DataFrame, truth: DataFrame) -> DataFrame:
     )
 
 
+def nmi_df(pred: DataFrame, truth: DataFrame) -> DataFrame:
+    """Normalized mutual information between two partitions (standard
+    community-detection report metric; companion to the reference's Q2-Q9
+    card — no reference analogue, scope extension like §2.13).
+
+        I   = Σ_ij (n_ij/n) · ln(n_ij·n / (a_i·b_j))
+        H_p = −Σ_i (a_i/n) · ln(a_i/n),  H_t likewise
+        NMI = 2·I / (H_p + H_t)          (0 when both entropies are 0)
+
+    Everything runs on the k×k contingency table — three tiny aggregates
+    after the one id-keyed join; no driver-side loops."""
+    ct = contingency(pred, truth)
+    n_df = ct.agg(F.sum("cnt").cast("double").alias("n"))
+    pa = ct.groupBy("p_label").agg(F.sum("cnt").alias("a"))
+    tb = ct.groupBy("t_label").agg(F.sum("cnt").alias("b"))
+    mi = (
+        ct.join(pa, "p_label")
+        .join(tb, "t_label")
+        .crossJoin(F.broadcast(n_df))
+        .agg(
+            F.sum(
+                (F.col("cnt") / F.col("n"))
+                * F.log((F.col("cnt") * F.col("n")) / (F.col("a") * F.col("b")))
+            ).alias("mi")
+        )
+    )
+    hp = pa.crossJoin(F.broadcast(n_df)).agg(
+        (-F.sum((F.col("a") / F.col("n")) * F.log(F.col("a") / F.col("n")))).alias("hp")
+    )
+    ht = tb.crossJoin(F.broadcast(n_df)).agg(
+        (-F.sum((F.col("b") / F.col("n")) * F.log(F.col("b") / F.col("n")))).alias("ht")
+    )
+    denom = F.col("hp") + F.col("ht")
+    return (
+        mi.crossJoin(hp)
+        .crossJoin(ht)
+        .select(
+            F.round(
+                F.when(denom > 0, 2 * F.col("mi") / denom).otherwise(F.lit(0.0)), 8
+            ).alias("nmi")
+        )
+    )
+
+
 def log_likelihood_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
     """Q4 as a single-row DataFrame (log_likelihood) — declarative form of
     log_likelihood (SBM Bernoulli MLE plug-in, unweighted edge counts)."""

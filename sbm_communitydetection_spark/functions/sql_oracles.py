@@ -199,6 +199,32 @@ FROM tp, sp, st"""
     )
 
 
+def nmi_sql(n_pred: int, n_truth: int) -> str:
+    """Normalized mutual information between the derived pred/truth
+    partitions (mirror of functions/metrics.nmi_df, same association
+    order term by term)."""
+    return (
+        labels_pair_cte_sql(n_pred, n_truth)
+        + """,
+ct AS (
+    SELECT t.label AS t_label, p.label AS p_label, COUNT(*) AS cnt
+    FROM truth t JOIN pred p ON t.id = p.id GROUP BY 1, 2
+),
+nn AS (SELECT SUM(cnt)::DOUBLE AS n FROM ct),
+pa AS (SELECT p_label, SUM(cnt) AS a FROM ct GROUP BY p_label),
+tb AS (SELECT t_label, SUM(cnt) AS b FROM ct GROUP BY t_label),
+mi AS (
+    SELECT SUM((ct.cnt / nn.n) * LN((ct.cnt * nn.n) / (pa.a * tb.b))) AS mi
+    FROM ct JOIN pa ON ct.p_label = pa.p_label
+            JOIN tb ON ct.t_label = tb.t_label, nn
+),
+hp AS (SELECT -SUM((a / nn.n) * LN(a / nn.n)) AS hp FROM pa, nn),
+ht AS (SELECT -SUM((b / nn.n) * LN(b / nn.n)) AS ht FROM tb, nn)
+SELECT ROUND(CASE WHEN hp + ht > 0 THEN 2 * mi / (hp + ht) ELSE 0.0 END, 8) AS nmi
+FROM mi, hp, ht"""
+    )
+
+
 def embeddedness_sql(n_labels: int) -> str:
     """Q5: Σ_v intra-neighbor-entries / total-neighbor-entries."""
     return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),

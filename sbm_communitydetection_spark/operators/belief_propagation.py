@@ -196,6 +196,15 @@ def belief_propagation(
     # Per-iteration join inputs, partitioned once by the superstep's
     # grouping key so every superstep reuses the same shuffle layout
     # (partition-preserving, see plans/iterate.py).
+    # NOTE: BP stays on the raw-row checkpoint (not cache_partitioned):
+    # its superstep joins the edge table against applyInPandas message
+    # state on (src, dst), and a cached plan's recorded hash(dst)
+    # partitioning combined with the state checkpoint's recorded claim
+    # lets the grouped-map exchange be elided on a layout that does not
+    # actually satisfy it (measured: duplicate per-dst groups in the
+    # kernel impl). The Catalyst 'agg' impl is value-identical either
+    # way, but the cross-check invariant agg == kernel matters more here
+    # than the cached scan's bandwidth saving.
     ew = partition_preserving_checkpoint(
         edges.select("src", "dst", "weight").repartition("dst")
     )

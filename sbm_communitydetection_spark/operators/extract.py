@@ -146,6 +146,57 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def sessionize(transcripts: DataFrame, gap_ms: int) -> DataFrame:
+    """(conv_id, turn_idx, session_idx) — split each conversation into
+    sessions wherever the inter-turn gap exceeds ``gap_ms`` (the classic
+    sessionization op every interaction-log pipeline runs before
+    per-session stats / training-example assembly).
+
+    One conv_id-keyed window pass: boundary flag from lag(ts), running
+    SUM of boundaries = 0-based session ordinal. Same exchange as the
+    turn-ordering window, so stacked on the extraction pipeline it is
+    free (conv_id partitioning reused)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    boundary = F.when(
+        prev_ms.isNotNull() & ((ms - prev_ms) > gap_ms), 1
+    ).otherwise(0)
+    return transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.sum(boundary)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_idx"),
+    )
+
+
+def session_stats(transcripts: DataFrame, gap_ms: int) -> DataFrame:
+    """(conv_id, session_idx, n_turns, duration_ms) — the per-session
+    rollup: same window pass as sessionize with ts carried through, then
+    one conv_id-clustered aggregate (no join, the window exchange serves
+    both)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev_ms = F.lag(ms).over(w)
+    boundary = F.when(
+        prev_ms.isNotNull() & ((ms - prev_ms) > gap_ms), 1
+    ).otherwise(0)
+    withsess = transcripts.select(
+        "conv_id",
+        ms.alias("ms"),
+        F.sum(boundary)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long")
+        .alias("session_idx"),
+    )
+    return withsess.groupBy("conv_id", "session_idx").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        (F.max("ms") - F.min("ms")).cast("long").alias("duration_ms"),
+    )
+
+
 def decayed_reply_edges(
     transcripts: DataFrame, half_life_ms: float, round_to: int = 6
 ) -> DataFrame:

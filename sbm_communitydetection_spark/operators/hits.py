@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from ..plans.iterate import (
     IterationDriver,
-    partition_preserving_checkpoint,
+    cache_partitioned,
     unpersist_checkpoint,
 )
 
@@ -64,14 +64,14 @@ def hits(
     verts = verts.localCheckpoint(eager=True)
     n = verts.count()
 
-    # two partition-preserving copies of the edge table: the auth push
-    # probes on src, the hub pull probes on dst — each join then runs
-    # with ZERO exchange on the edge side every superstep (see
-    # plans/iterate.partition_preserving_checkpoint for why a plain
-    # localCheckpoint under AQE loses the recorded partitioning)
+    # two partitioned columnar-cache copies of the edge table: the auth
+    # push probes on src, the hub pull probes on dst — each join then
+    # runs with ZERO exchange on the edge side every superstep (see
+    # plans/iterate.cache_partitioned for why static tables cache
+    # columnar instead of checkpointing raw rows)
     e3 = edges.select("src", "dst", "weight")
-    adj_src = partition_preserving_checkpoint(e3.repartition("src"), key="src")
-    adj_dst = partition_preserving_checkpoint(e3.repartition("dst"), key="dst")
+    adj_src = cache_partitioned(e3.repartition("src"))
+    adj_dst = cache_partitioned(e3.repartition("dst"))
 
     fixed_iters = tolerance < 0
     use_broadcast = n <= broadcast_rows_threshold

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from ..plans.iterate import (
     IterationDriver,
-    partition_preserving_checkpoint,
+    cache_partitioned,
     unpersist_checkpoint,
 )
 
@@ -49,7 +49,7 @@ def k_core(
     synchronous peel rounds (gate parity mode)."""
     driver = driver or IterationDriver(spark, run_id=f"kcore{k}")
     sym = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
-    pairs = partition_preserving_checkpoint(
+    pairs = cache_partitioned(
         sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .repartition("src")
@@ -92,3 +92,84 @@ def k_core(
     )
     unpersist_checkpoint(pairs)
     return result.state
+
+
+def k_truss(
+    spark: SparkSession,
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+) -> DataFrame:
+    """(a, b, support) — oriented (a < b) edges surviving ``rounds`` of
+    k-truss support peeling: each round drops every edge in fewer than
+    k−2 triangles WITHIN the surviving subgraph. The edge-cohesion
+    analogue of k_core (triangle-dense subgraph mining — the standard
+    "strong ties only" filter before community detection).
+
+    Per round: one wedge self-join on the center (the triangles.py
+    shape) + a semi-join back onto the surviving edge set to keep only
+    closed wedges, then the support threshold — all against a per-round
+    checkpointed oriented edge table (the peel SHRINKS the table, so
+    unlike PR the superstep input must be re-materialized each round;
+    each checkpoint is released as soon as its successor exists).
+    Fixed-round semantics mirror the unrolled DuckDB oracle
+    (k_truss_unrolled_sql); convergence on the gate graph is asserted in
+    tests so the unroll equals the fixpoint there."""
+    cur = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        ab = cur.select("a", "b")  # drop the previous round's support col
+        sym = ab.select(F.col("a").alias("c"), F.col("b").alias("x")).unionByName(
+            ab.select(F.col("b").alias("c"), F.col("a").alias("x"))
+        )
+        wedges = (
+            sym.select("c", F.col("x").alias("a"))
+            .join(sym.select("c", F.col("x").alias("b")), "c")
+            .filter(F.col("a") < F.col("b"))
+        )
+        closed = wedges.join(ab, ["a", "b"], "left_semi")
+        support = closed.groupBy("a", "b").agg(F.count("*").cast("long").alias("support"))
+        nxt = (
+            ab.join(support, ["a", "b"], "left")
+            .select("a", "b", F.coalesce("support", F.lit(0).cast("long")).alias("support"))
+            .filter(F.col("support") >= k - 2)
+        ).localCheckpoint(eager=True)
+        unpersist_checkpoint(cur)
+        cur = nxt
+    return cur
+
+
+def k_truss_unrolled_sql(k: int, rounds: int) -> str:
+    """DuckDB twin of k_truss over the `edges` CTE (same peel, unrolled)."""
+    parts = [
+        """e0 AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+)"""
+    ]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""sym{p} AS (
+    SELECT a AS c, b AS x FROM e{p} UNION ALL SELECT b AS c, a AS x FROM e{p}
+),
+sup{i} AS (
+    SELECT w.a, w.b, COUNT(*)::BIGINT AS support
+    FROM (
+        SELECT l.c, l.x AS a, r.x AS b
+        FROM sym{p} l JOIN sym{p} r ON l.c = r.c AND l.x < r.x
+    ) w JOIN e{p} e ON w.a = e.a AND w.b = e.b
+    GROUP BY w.a, w.b
+),
+e{i} AS (
+    SELECT e.a, e.b, COALESCE(s.support, 0)::BIGINT AS support
+    FROM e{p} e LEFT JOIN sup{i} s ON e.a = s.a AND e.b = s.b
+    WHERE COALESCE(s.support, 0) >= {k - 2}
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT a, b, support FROM e{rounds}"

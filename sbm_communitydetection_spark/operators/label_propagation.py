@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..plans.iterate import (
     IterationDriver,
     IterationResult,
+    cache_partitioned,
     partition_preserving_checkpoint,
     unpersist_checkpoint,
 )
@@ -179,7 +180,7 @@ def label_propagation(
     # skipped and the big side never moves across restarts.
     owns_edges = not edges_partitioned_by_dst
     if owns_edges:
-        edges = partition_preserving_checkpoint(edges.repartition("dst"))
+        edges = cache_partitioned(edges.repartition("dst"))
     fixed_iters = tolerance < 0
     if initial_labels is not None:
         labels = initial_labels.select("id", "label")

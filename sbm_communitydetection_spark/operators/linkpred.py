@@ -71,6 +71,82 @@ def adamic_adar(
     return scores.join(existing, ["a", "b"], "left_anti")
 
 
+def jaccard_scores(
+    edges: DataFrame,
+    probe_mod: int | None = None,
+    degree_cap: int | None = None,
+) -> DataFrame:
+    """(a, b, cn_count, jaccard) for non-adjacent unordered pairs a < b:
+
+        jaccard(a, b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+                      = cn / (deg(a) + deg(b) − cn)
+
+    Same wedge self-join as adamic_adar (one shuffle on the center, one
+    on the pair), plus two broadcast-or-shuffle joins against the degree
+    table to resolve the union size — no second pass over the edge
+    table. ``probe_mod``/``degree_cap`` as in adamic_adar."""
+    nbrs = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    deg = nbrs.groupBy(F.col("src").alias("c")).agg(
+        F.count("*").cast("long").alias("deg_c")
+    )
+    centers = deg if degree_cap is None else deg.filter(F.col("deg_c") <= degree_cap)
+
+    left = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    if probe_mod is not None:
+        left = left.filter(F.pmod(F.col("a"), F.lit(probe_mod)) == 0)
+    right = nbrs.select(F.col("src").alias("c"), F.col("dst").alias("b"))
+
+    wedges = left.join(right, "c").filter(F.col("a") < F.col("b"))
+    if degree_cap is not None:
+        wedges = wedges.join(centers.select("c"), "c", "left_semi")
+    cn = wedges.groupBy("a", "b").agg(F.count("*").cast("long").alias("cn_count"))
+    deg_a = deg.select(F.col("c").alias("a"), F.col("deg_c").alias("deg_a"))
+    deg_b = deg.select(F.col("c").alias("b"), F.col("deg_c").alias("deg_b"))
+    scored = cn.join(deg_a, "a").join(deg_b, "b").select(
+        "a",
+        "b",
+        "cn_count",
+        (
+            F.col("cn_count")
+            / (F.col("deg_a") + F.col("deg_b") - F.col("cn_count"))
+        ).alias("jaccard"),
+    )
+    existing = nbrs.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    return scored.join(existing, ["a", "b"], "left_anti")
+
+
+def jaccard_sql(probe_mod: int | None = None, round_to: int = 6) -> str:
+    """DuckDB twin of jaccard_scores over the `edges` CTE (same
+    association order: cn / (deg_a + deg_b - cn))."""
+    probe = f"AND l.dst % {probe_mod} = 0" if probe_mod is not None else ""
+    return f"""nbrs AS (
+    SELECT DISTINCT src, dst FROM edges WHERE src <> dst
+),
+deg AS (SELECT src AS c, COUNT(*)::BIGINT AS deg_c FROM nbrs GROUP BY src),
+cn AS (
+    SELECT l.dst AS a, r.dst AS b, COUNT(*)::BIGINT AS cn_count
+    FROM nbrs l JOIN nbrs r ON l.src = r.src AND l.dst < r.dst {probe}
+    GROUP BY l.dst, r.dst
+),
+scored AS (
+    SELECT cn.a, cn.b, cn.cn_count,
+           cn.cn_count / CAST(da.deg_c + db.deg_c - cn.cn_count AS DOUBLE) AS jaccard
+    FROM cn JOIN deg da ON cn.a = da.c JOIN deg db ON cn.b = db.c
+),
+existing AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM nbrs
+)
+SELECT s.a, s.b, s.cn_count, ROUND(s.jaccard, {round_to}) AS jaccard
+FROM scored s LEFT JOIN existing e ON s.a = e.a AND s.b = e.b
+WHERE e.a IS NULL"""
+
+
 def adamic_adar_sql(
     probe_mod: int | None = None, round_to: int = 6
 ) -> str:

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from ..plans.iterate import (
     LineageTruncator,
+    cache_partitioned,
     partition_preserving_checkpoint,
     unpersist_checkpoint,
 )
@@ -224,7 +225,7 @@ def louvain(
     the singleton init — the warm-start path used by the streaming driver
     and label_propagation(variant='gain')."""
     truncate = LineageTruncator(spark, prefix="louvain")
-    edges = partition_preserving_checkpoint(edges.repartition("dst"))
+    edges = cache_partitioned(edges.repartition("dst"))
     verts = (
         vertices.select("id")
         if vertices is not None

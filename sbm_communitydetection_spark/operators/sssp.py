@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..plans.iterate import (
     IterationDriver,
-    partition_preserving_checkpoint,
+    cache_partitioned,
     unpersist_checkpoint,
 )
 
@@ -47,11 +47,10 @@ def shortest_paths(
     """
     driver = driver or IterationDriver(spark, run_id="sssp")
 
-    adj = partition_preserving_checkpoint(
+    adj = cache_partitioned(
         edges.select("src", "dst", F.col("weight").cast("double").alias("w")).repartition(
             "src"
-        ),
-        key="src",
+        )
     )
     state0 = (
         sources.select("id").distinct().select("id", F.lit(0.0).alias("dist"))
@@ -105,6 +104,111 @@ def shortest_paths(
         collect_metrics.extend(result.metrics)
     unpersist_checkpoint(adj)
     return result.state
+
+
+def landmark_distances(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    driver: IterationDriver | None = None,
+) -> DataFrame:
+    """(lm, id, dist) — per-landmark shortest distances, i.e. shortest_paths
+    WITHOUT collapsing over the source set. State is keyed (id, lm); the
+    adjacency is checkpointed hash(src) exactly like shortest_paths, so the
+    relaxation join still never moves the edge table — only the
+    frontier×landmark state shuffles. |state| ≤ |V|·|landmarks|, so keep
+    the landmark set small (the landmark-embedding pattern: 16-64
+    landmarks even at 10^9 vertices)."""
+    driver = driver or IterationDriver(spark, run_id="landmark_dist")
+
+    adj = cache_partitioned(
+        edges.select("src", "dst", F.col("weight").cast("double").alias("w")).repartition(
+            "src"
+        )
+    )
+    state0 = (
+        sources.select("id").distinct()
+        .select(F.col("id").alias("lm"), "id", F.lit(0.0).alias("dist"))
+    ).repartition("id")
+
+    def step(state: DataFrame, i: int):
+        relax = (
+            adj.join(state.withColumnRenamed("id", "src").hint("SHUFFLE_HASH"), "src")
+            .groupBy("dst", "lm")
+            .agg(F.min(F.col("dist") + F.col("w")).alias("relaxed"))
+            .withColumnRenamed("dst", "id")
+        )
+        new = (
+            state.join(relax.hint("SHUFFLE_HASH"), ["id", "lm"], "full")
+            .select("lm", "id", F.least("dist", "relaxed").alias("dist"))
+        )
+        return new, float("inf")
+
+    result = driver.run(
+        state0,
+        step,
+        max_iterations=rounds,
+        tolerance=-1.0,
+        metric_name="relaxed",
+        log_rows=False,
+    )
+    unpersist_checkpoint(adj)
+    return result.state
+
+
+def harmonic_centrality(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    driver: IterationDriver | None = None,
+) -> DataFrame:
+    """(id, harmonic) — landmark-sample harmonic centrality
+    hc(v) = Σ_lm 1/d(lm, v) over the reached landmarks (d > 0). The
+    standard sampled estimator for closeness-style centrality at scale:
+    exact per-pair distances only to a small landmark set, one aggregate
+    on top of landmark_distances."""
+    dists = landmark_distances(spark, edges, sources, rounds, driver=driver)
+    return (
+        dists.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(F.round(F.sum(F.lit(1.0) / F.col("dist")), 8).alias("harmonic"))
+    )
+
+
+def landmark_distances_sql(rounds: int, src_mod: int) -> str:
+    """DuckDB twin of landmark_distances over the `edges` CTE:
+    landmarks = {id : id % src_mod = 0}; returns (lm, id, dist)."""
+    parts = [
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        f"d0 AS (SELECT id AS lm, id, 0.0 AS dist FROM verts WHERE id % {src_mod} = 0)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""d{i} AS (
+    SELECT lm, id, MIN(dist) AS dist FROM (
+        SELECT lm, id, dist FROM d{i - 1}
+        UNION ALL
+        SELECT s.lm, e.dst AS id, s.dist + e.weight AS dist
+        FROM edges e JOIN d{i - 1} s ON e.src = s.id
+    ) GROUP BY lm, id
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT lm, id, dist FROM d{rounds}"
+
+
+def harmonic_centrality_sql(rounds: int, src_mod: int) -> str:
+    """DuckDB twin of harmonic_centrality (same association order:
+    SUM(1.0 / dist) over dist > 0)."""
+    body = landmark_distances_sql(rounds, src_mod)
+    ctes, _ = body.rsplit("\nSELECT", 1)
+    return (
+        ctes
+        + f"""
+SELECT id, ROUND(SUM(1.0 / dist), 8) AS harmonic
+FROM d{rounds} WHERE dist > 0 GROUP BY id"""
+    )
 
 
 def shortest_paths_sql(rounds: int, src_mod: int) -> str:

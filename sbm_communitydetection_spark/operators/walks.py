@@ -1,0 +1,154 @@
+"""Deterministic weighted random walks — the node2vec/DeepWalk corpus
+generator for graph-embedding training pipelines.
+
+Each walk step samples the next neighbor proportionally to edge weight
+using a PORTABLE deterministic hash instead of an RNG (textops/portable:
+60-bit md5, identical in Spark and DuckDB), so the whole operator is
+reproducible run-to-run, partitioning-independent, and oracle-checkable:
+
+    pick(walk, step)   = md5_60(start ':' walk_idx ':' step)  mod  W(cur)
+    next neighbor      = the unique dst whose cumulative-weight interval
+                         [lo, hi) contains pick  (neighbors ordered by dst)
+
+Scale shape: the interval-annotated adjacency (src, dst, lo, hi, total_w)
+is built once — one (src,dst) aggregate + one src-keyed window — and
+checkpointed hash(src)-partitioned; each step joins the walk frontier
+(one row per live walk) against it on src, exchange-free on the edge
+side, exactly the PR/LPA discipline. Walk count = |starts|·walks_per_
+vertex rows per step; hub intervals cost nothing extra (the interval
+filter selects ONE neighbor row per walk after the equi-join — at a
+10^7-degree hub the probe fan-out is the hub's adjacency, the same bound
+as every other per-edge join here, and the degree-cap/salting levers in
+skew.py apply unchanged).
+
+No reference analogue (training-pipeline scope extension); gated by the
+unrolled DuckDB oracle (random_walks_sql).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..plans.iterate import cache_partitioned, unpersist_checkpoint
+from ..textops.portable import md5_long, md5_long_sql
+
+
+def random_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    start_mod: int,
+    walks_per_vertex: int,
+    length: int,
+) -> DataFrame:
+    """(start_id, walk_idx, step, vertex) — walk paths of ``length`` steps
+    from every vertex with id % start_mod == 0, ``walks_per_vertex``
+    walks each. Step 0 is the start vertex; a walk that reaches an
+    isolated vertex simply ends (no padding rows)."""
+    nbrs = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    win = Window.partitionBy("src").orderBy("dst")
+    iv = nbrs.select(
+        "src", "dst", "w", F.sum("w").over(win).cast("long").alias("hi")
+    ).select("src", "dst", (F.col("hi") - F.col("w")).alias("lo"), "hi")
+    tot = iv.groupBy("src").agg(F.max("hi").alias("total_w"))
+    adj = cache_partitioned(iv.join(tot, "src").repartition("src"))
+
+    starts = (
+        edges.select(F.col("src").alias("start_id"))
+        .distinct()
+        .filter(F.pmod(F.col("start_id"), F.lit(start_mod)) == 0)
+    )
+    state = starts.select(
+        "start_id",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("wi"),
+    ).select(
+        "start_id",
+        F.col("wi").cast("long").alias("walk_idx"),  # match DuckDB range() BIGINT
+        F.col("start_id").alias("cur"),
+    )
+    state = state.localCheckpoint(eager=True)
+
+    outputs = [
+        state.select(
+            "start_id", "walk_idx", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+        )
+    ]
+    owned = [adj, state]
+    for s in range(1, length + 1):
+        pick_src = F.concat_ws(
+            ":",
+            F.col("start_id").cast("string"),
+            F.col("walk_idx").cast("string"),
+            F.lit(str(s)),
+        )
+        nxt = (
+            state.withColumnRenamed("cur", "src")
+            .join(adj.hint("SHUFFLE_HASH"), "src")
+            .filter(
+                (md5_long(pick_src) % F.col("total_w") >= F.col("lo"))
+                & (md5_long(pick_src) % F.col("total_w") < F.col("hi"))
+            )
+            .select("start_id", "walk_idx", F.col("dst").alias("cur"))
+        ).localCheckpoint(eager=True)
+        owned.append(nxt)
+        outputs.append(
+            nxt.select(
+                "start_id", "walk_idx", F.lit(s).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+        state = nxt
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.unionByName(o)
+    result = out.localCheckpoint(eager=True)
+    for df in owned:
+        unpersist_checkpoint(df)
+    return result
+
+
+def random_walks_sql(start_mod: int, walks_per_vertex: int, length: int) -> str:
+    """DuckDB twin over the `edges` CTE (same hash, same intervals)."""
+    pick = md5_long_sql("s.start_id || ':' || s.walk_idx || ':' || '{step}'")
+    parts = [
+        """nbrs AS (
+    SELECT src, dst, SUM(weight)::BIGINT AS w
+    FROM edges WHERE src <> dst GROUP BY src, dst
+)""",
+        """iv AS (
+    SELECT src, dst,
+           SUM(w) OVER (PARTITION BY src ORDER BY dst
+                        ROWS UNBOUNDED PRECEDING)::BIGINT - w AS lo,
+           SUM(w) OVER (PARTITION BY src ORDER BY dst
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS hi
+    FROM nbrs
+)""",
+        """adj AS (
+    SELECT iv.src, iv.dst, iv.lo, iv.hi, t.total_w
+    FROM iv JOIN (SELECT src, MAX(hi) AS total_w FROM iv GROUP BY src) t
+    ON iv.src = t.src
+)""",
+        f"""w0 AS (
+    SELECT v.src AS start_id, wdx.walk_idx, v.src AS cur
+    FROM (SELECT DISTINCT src FROM edges WHERE src % {start_mod} = 0) v,
+         (SELECT UNNEST(range({walks_per_vertex})) AS walk_idx) wdx
+)""",
+    ]
+    for s in range(1, length + 1):
+        h = pick.format(step=s)
+        parts.append(
+            f"""w{s} AS (
+    SELECT s.start_id, s.walk_idx, a.dst AS cur
+    FROM w{s - 1} s JOIN adj a ON s.cur = a.src
+    WHERE {h} % a.total_w >= a.lo AND {h} % a.total_w < a.hi
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT start_id, walk_idx, {s} AS step, cur AS vertex FROM w{s}"
+        for s in range(0, length + 1)
+    )
+    return ",\n".join(parts) + f"\n{unions}"

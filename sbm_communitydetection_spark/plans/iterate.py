@@ -92,10 +92,43 @@ __all__ = [
     "IterationDriver",
     "IterationResult",
     "LineageTruncator",
+    "cache_partitioned",
     "parquet_partition_lineage",
     "partition_preserving_checkpoint",
     "unpersist_checkpoint",
 ]
+
+
+def cache_partitioned(df: DataFrame) -> DataFrame:
+    """Materialize a STATIC table (adjacency / transition / reset vector)
+    as a compressed columnar cache instead of raw checkpoint blocks.
+
+    Why not partition_preserving_checkpoint for these: checkpoint blocks
+    are raw UnsafeRows, so every superstep's probe-side scan streams
+    ~29 B/edge over the memory bus; InMemoryRelation stores compressed
+    columnar batches (~2-3x smaller for (long, long, double) adjacency),
+    trading a little per-scan decompression CPU for bus traffic. Measured
+    on the 19.2M-edge PR superstep: steady per-iteration 3.10s -> 2.78s at
+    local[8], 1.37 -> 1.32s at local[32], and 2->8 scaling efficiency
+    0.81 -> 0.93 (the shared memory bus is the scaling ceiling here —
+    BENCH/BASELINE.md's bandwidth probe: 4x processes get only 1.36x
+    copy bandwidth). Same reasoning holds on real clusters, where the
+    exchange-free probe side being columnar also halves block-manager
+    memory.
+
+    Partitioning: Spark 4's AQE reads InMemoryTableScan's output
+    partitioning from the cached plan (verified: the PR superstep join
+    compiles with NO exchange above the cache scan), so the checkpoint
+    plan-surgery workaround is unnecessary here. Lineage is kept (the
+    upstream is a real source, eviction just recomputes), so this is for
+    STATIC inputs only — iteration state still needs the lineage-severing
+    checkpoint. Release with unpersist_checkpoint (handles both forms).
+    """
+    from pyspark import StorageLevel
+
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()  # eager, like the checkpoint path
+    return out
 
 
 def partition_preserving_checkpoint(df: DataFrame, key: str | None = None) -> DataFrame:
@@ -194,7 +227,8 @@ def unpersist_checkpoint(df: DataFrame) -> None:
     JVM but 47s after a 10-iteration PageRank in the same session — the
     superseded rank vectors + transition table keep ~2GB of blocks live
     and ParallelGC full-collections at 32 threads eat the difference.
-    No-op for non-checkpoint DataFrames (parquet reads etc.).
+    Also releases cache_partitioned tables (storage-level persist).
+    No-op for other non-checkpoint DataFrames (parquet reads etc.).
 
     CAUTION: a localCheckpoint has no lineage to recompute from —
     unpersist only state that nothing will read again.
@@ -203,8 +237,13 @@ def unpersist_checkpoint(df: DataFrame) -> None:
         lp = df._jdf.queryExecution().logical()
         if lp.getClass().getName() == "org.apache.spark.sql.execution.LogicalRDD":
             # blocking: deterministic release (async unpersist may lag the
-            # next iteration's allocation spike, which is the whole point)
+            # next iteration's allocation spike, which is the whole point).
+            # NOTE: must be checked BEFORE storageLevel — a checkpointed
+            # frame reports its RDD's storage level, but Dataset.unpersist
+            # only clears CacheManager entries and would no-op on it.
             lp.rdd().unpersist(True)
+        elif df.storageLevel.useMemory or df.storageLevel.useDisk:
+            df.unpersist(True)  # cache_partitioned table
     except Exception:  # pragma: no cover — internal-API drift safety net
         pass
 

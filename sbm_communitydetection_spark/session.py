@@ -78,6 +78,17 @@ def get_spark(
         # on fat executors want the same on a real cluster
         # (spark.executor.extraJavaOptions there).
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # Local mode has exactly one executor, so delaying task launch for
+        # data locality can never pay off — it only staggers the wave
+        # starts of every stage (measured: ~0.1s/superstep at local[8]).
+        # On a real cluster keep the default (or 1-2s for HDFS locality).
+        .config("spark.locality.wait", "0")
+        # Constraint propagation is O(plan size²) analysis work the driver
+        # redoes for EVERY superstep's plan; iterative workloads gain
+        # nothing from it (all hot-loop joins are explicitly hinted and
+        # null-safe by construction). Known iterative-workload lever —
+        # e.g. SPARK-19846 reports exponential planning blowups.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         # Iterative supersteps retire one shuffle dependency per iteration;
         # ContextCleaner only deletes a retired shuffle's files after a JVM
         # GC collects the dependency object, and the default periodicGC

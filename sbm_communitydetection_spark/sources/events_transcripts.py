@@ -83,13 +83,13 @@ def transcripts_cte_sql() -> str:
     """
 
 
-def reply_edges_oracle_sql() -> str:
-    """Full extraction oracle: transcript reply + tool links, symmetrized
-    on STRING actor keys (mirrors extract.extract_edges exactly; the
-    engine's xxhash64 ids are joined back to keys on the Spark side)."""
+def actor_edges_cte_sql() -> str:
+    """The extracted transcript link graph as a CTE chain ending in
+    `edges(src, dst, weight)` over STRING actor keys — the composition
+    point for graph algorithms over the transcript graph (mirrors
+    extract.extract_edges exactly)."""
     return (
-        "WITH "
-        + transcripts_cte_sql()
+        transcripts_cte_sql()
         + """,
     lagged AS (
         SELECT role,
@@ -108,12 +108,25 @@ def reply_edges_oracle_sql() -> str:
         SELECT src_key, dst_key, weight FROM raw
         UNION ALL
         SELECT dst_key AS src_key, src_key AS dst_key, weight FROM raw
+    ),
+    edges AS (
+        SELECT src_key AS src, dst_key AS dst, SUM(weight)::BIGINT AS weight
+        FROM sym WHERE src_key <> dst_key
+        GROUP BY src_key, dst_key
+        HAVING SUM(weight) <> 0
     )
-    SELECT src_key, dst_key, SUM(weight)::BIGINT AS weight
-    FROM sym WHERE src_key <> dst_key
-    GROUP BY src_key, dst_key
-    HAVING SUM(weight) <> 0
     """
+    )
+
+
+def reply_edges_oracle_sql() -> str:
+    """Full extraction oracle: transcript reply + tool links, symmetrized
+    on STRING actor keys (the engine's xxhash64 ids are joined back to
+    keys on the Spark side)."""
+    return (
+        "WITH "
+        + actor_edges_cte_sql()
+        + "SELECT src AS src_key, dst AS dst_key, weight FROM edges"
     )
 
 
@@ -158,6 +171,33 @@ def role_transitions_oracle_sql() -> str:
     SELECT role_from, role_to, COUNT(*)::BIGINT AS n
     FROM lagged WHERE role_from IS NOT NULL
     GROUP BY role_from, role_to
+    """
+    )
+
+
+def session_stats_oracle_sql(gap_ms: int) -> str:
+    """Mirror of operators/extract.session_stats: running-sum-of-boundaries
+    sessionization + per-session rollup."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + f""",
+    lagged AS (
+        SELECT conv_id, turn_idx, epoch_ms(ts) AS ms,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ms
+        FROM transcripts
+    ),
+    flagged AS (
+        SELECT conv_id, ms,
+               SUM(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > {gap_ms}
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        FROM lagged
+    )
+    SELECT conv_id, session_idx, COUNT(*)::BIGINT AS n_turns,
+           (MAX(ms) - MIN(ms))::BIGINT AS duration_ms
+    FROM flagged GROUP BY conv_id, session_idx
     """
     )
 

@@ -236,6 +236,45 @@ def tfidf_topk(docs: DataFrame, k: int = 5, round_to: int = 6) -> DataFrame:
     )
 
 
+def top_ngrams(docs: DataFrame, k: int = 20) -> DataFrame:
+    """(ngram, n) — the corpus-wide top-k token bigrams by count, ties
+    broken by ngram ascending (binary string order in both engines).
+
+    One explode + one hash aggregate; the top-k is orderBy+limit, which
+    Spark executes as TakeOrdered (per-partition partial top-k, no global
+    sort of the ngram vocabulary). The standard corpus-statistics probe a
+    training pipeline runs before building filter rules."""
+    toks = F.split(F.col("text"), " ")
+    sz = F.size(toks)
+    grams = F.zip_with(
+        F.slice(toks, F.lit(1), sz - 1),
+        F.slice(toks, F.lit(2), sz - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return (
+        docs.filter(sz >= 2)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count("*").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("ngram"))
+        .limit(k)
+    )
+
+
+def top_ngrams_sql(table: str = "documents", k: int = 20) -> str:
+    """DuckDB twin of top_ngrams (1-based list indexing; same tie-break)."""
+    return f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM {table}),
+    grams AS (
+        SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1]))
+               AS ngram
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT ngram, COUNT(*)::BIGINT AS n FROM grams GROUP BY ngram
+    ORDER BY n DESC, ngram ASC LIMIT {k}
+    """
+
+
 def tfidf_topk_sql(table: str = "documents", k: int = 5, round_to: int = 6) -> str:
     return f"""
     WITH toks AS (

@@ -1,0 +1,246 @@
+"""Round-2 additions: Jaccard link prediction, NMI, landmark/harmonic
+centrality, top-ngrams, PageRank over string actor keys."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from sbm_communitydetection_spark.functions.metrics import nmi_df
+from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+from sbm_communitydetection_spark.operators.linkpred import jaccard_scores
+from sbm_communitydetection_spark.operators.pagerank import pagerank
+from sbm_communitydetection_spark.operators.sssp import (
+    harmonic_centrality,
+    landmark_distances,
+)
+from sbm_communitydetection_spark.textops.analysis import top_ngrams
+
+
+def _edges(spark, pairs):
+    return symmetrize(
+        spark.createDataFrame([(s, d, 1) for s, d in pairs], "src long, dst long, weight long")
+    )
+
+
+def _labels_df(spark, d):
+    return spark.createDataFrame(list(d.items()), "id long, label long")
+
+
+# -- Jaccard link prediction --------------------------------------------------
+
+
+def test_jaccard_path_graph(spark):
+    # path 0-1-2-3: non-adjacent wedge pairs (0,2) and (1,3)
+    rows = {
+        (r.a, r.b): (r.cn_count, r.jaccard)
+        for r in jaccard_scores(_edges(spark, [(0, 1), (1, 2), (2, 3)])).collect()
+    }
+    # deg: 0->1, 1->2, 2->2, 3->1
+    assert rows == {
+        (0, 2): (1, pytest.approx(1 / (1 + 2 - 1))),
+        (1, 3): (1, pytest.approx(1 / (2 + 1 - 1))),
+    }
+
+
+def test_jaccard_excludes_existing_and_probe(spark):
+    # triangle + pendant: 0-1, 1-2, 2-0, 2-3
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3)])
+    got = {(r.a, r.b) for r in jaccard_scores(e).collect()}
+    # (0,1),(1,2),(2,0) are edges -> excluded; candidates: (0,3),(1,3) via 2
+    assert got == {(0, 3), (1, 3)}
+    probe = {(r.a, r.b) for r in jaccard_scores(e, probe_mod=3).collect()}
+    assert probe == {(0, 3)}  # left endpoint a=0 only (a % 3 == 0)
+
+
+# -- NMI ----------------------------------------------------------------------
+
+
+def test_nmi_identical_partitions_is_one(spark):
+    labels = _labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 1})
+    assert nmi_df(labels, labels).collect()[0][0] == pytest.approx(1.0)
+
+
+def test_nmi_single_community_pred_is_zero(spark):
+    pred = _labels_df(spark, {0: 0, 1: 0, 2: 0, 3: 0})
+    truth = _labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 1})
+    assert nmi_df(pred, truth).collect()[0][0] == 0.0
+
+
+def test_nmi_hand_value(spark):
+    # 2x2 contingency [[2,1],[0,1]]: n=4
+    pred = _labels_df(spark, {0: 0, 1: 0, 2: 1, 3: 1})
+    truth = _labels_df(spark, {0: 0, 1: 0, 2: 0, 3: 1})
+    n = 4.0
+    inter = {(0, 0): 2, (0, 1): 1, (1, 1): 1}
+    a = {0: 2, 1: 2}  # pred sizes
+    b = {0: 3, 1: 1}  # truth sizes
+    mi = sum(
+        (c / n) * math.log(c * n / (a[p] * b[t])) for (t, p), c in inter.items()
+    )
+    hp = -sum((x / n) * math.log(x / n) for x in a.values())
+    ht = -sum((x / n) * math.log(x / n) for x in b.values())
+    expect = 2 * mi / (hp + ht)
+    assert nmi_df(pred, truth).collect()[0][0] == pytest.approx(expect, abs=1e-8)
+
+
+# -- landmark distances / harmonic centrality ---------------------------------
+
+
+def test_landmark_distances_path(spark):
+    # path 0-1-2-3, landmarks {0, 3}; 3 rounds reach everything
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    srcs = spark.createDataFrame([(0,), (3,)], "id long")
+    got = {
+        (r.lm, r.id): r.dist
+        for r in landmark_distances(spark, e, srcs, rounds=3).collect()
+    }
+    assert got[(0, 0)] == 0.0 and got[(0, 3)] == 3.0 and got[(3, 1)] == 2.0
+    assert len(got) == 8  # 2 landmarks x 4 vertices
+
+    hc = {r.id: r.harmonic for r in harmonic_centrality(spark, e, srcs, rounds=3).collect()}
+    # v=1: 1/1 (from 0) + 1/2 (from 3); v=0: only from 3 -> 1/3
+    assert hc[1] == pytest.approx(1.0 + 0.5)
+    assert hc[0] == pytest.approx(1 / 3)
+
+
+# -- betweenness ----------------------------------------------------------------
+
+
+def test_betweenness_path_single_source(spark):
+    # path 0-1-2-3-4, source {0}: Brandes deltas 1->3, 2->2, 3->1
+    from sbm_communitydetection_spark.operators.betweenness import betweenness_approx
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 4)])
+    srcs = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.bc for r in betweenness_approx(spark, e, srcs, radius=4).collect()}
+    assert got == {1: pytest.approx(3.0), 2: pytest.approx(2.0), 3: pytest.approx(1.0)}
+
+
+def test_betweenness_star_and_truncation(spark):
+    # star: 0 center, leaves 1..3; source {1}: only the center carries load
+    from sbm_communitydetection_spark.operators.betweenness import betweenness_approx
+
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    srcs = spark.createDataFrame([(1,)], "id long")
+    got = {r.id: r.bc for r in betweenness_approx(spark, e, srcs, radius=2).collect()}
+    assert got == {0: pytest.approx(2.0)}
+    # radius 1 truncates before the leaves are reached -> no dependency at all
+    got1 = {r.id: r.bc for r in betweenness_approx(spark, e, srcs, radius=1).collect()}
+    assert got1 == {}
+
+
+# -- k-truss --------------------------------------------------------------------
+
+
+def test_k_truss_k4_with_pendant(spark):
+    from sbm_communitydetection_spark.operators.kcore import k_truss
+
+    # K4 (every edge in 2 triangles) + pendant edge (4,0)
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    e = _edges(spark, k4 + [(4, 0)])
+    got = {(r.a, r.b): r.support for r in k_truss(spark, e, k=4, rounds=3).collect()}
+    assert got == {(a, b): 2 for a, b in k4}
+    # k=5 needs support >= 3: nothing survives
+    assert k_truss(spark, e, k=5, rounds=2).count() == 0
+
+
+def test_k_truss_peeling_cascades(spark):
+    from sbm_communitydetection_spark.operators.kcore import k_truss
+
+    # triangle 0-1-2 plus a second triangle 2-3-4 sharing vertex 2 only:
+    # k=3 keeps both triangles, drops nothing else; bridge edge (2,5)
+    # has no triangle -> dropped
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 2), (2, 5)])
+    got = {(r.a, r.b) for r in k_truss(spark, e, k=3, rounds=2).collect()}
+    assert got == {(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (2, 4)}
+
+
+# -- sessionization ---------------------------------------------------------------
+
+
+def test_session_stats_gap_split(spark):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import session_stats, sessionize
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "u", None, None, base),
+        ("c1", 1, "a", None, None, base + dt.timedelta(minutes=5)),
+        ("c1", 2, "u", None, None, base + dt.timedelta(hours=10)),  # gap > 1h
+        ("c2", 0, "u", None, None, base),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    sess = {(r.conv_id, r.turn_idx): r.session_idx for r in sessionize(t, 3600_000).collect()}
+    assert sess == {("c1", 0): 0, ("c1", 1): 0, ("c1", 2): 1, ("c2", 0): 0}
+    stats = {
+        (r.conv_id, r.session_idx): (r.n_turns, r.duration_ms)
+        for r in session_stats(t, 3600_000).collect()
+    }
+    assert stats == {
+        ("c1", 0): (2, 300_000),
+        ("c1", 1): (1, 0),
+        ("c2", 0): (1, 0),
+    }
+
+
+# -- top ngrams ----------------------------------------------------------------
+
+
+def test_top_ngrams(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b"), (3, "x"), (4, "b c a b")],
+        "doc_id long, text string",
+    )
+    got = [(r.ngram, r.n) for r in top_ngrams(docs, k=2).collect()]
+    # counts: "a b"->3, "b c"->2, "c a"->1; single-token doc contributes none
+    assert got == [("a b", 3), ("b c", 2)]
+
+
+# -- deterministic random walks ---------------------------------------------------
+
+
+def test_random_walks_shape_and_validity(spark):
+    from sbm_communitydetection_spark.operators.walks import random_walks
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0), (0, 2)])
+    got = random_walks(spark, e, start_mod=2, walks_per_vertex=2, length=3).collect()
+    # starts: {0, 2}; 2 walks each; steps 0..3 -> 16 rows (no dead ends)
+    assert len(got) == 16
+    by_walk: dict = {}
+    for r in got:
+        by_walk.setdefault((r.start_id, r.walk_idx), {})[r.step] = r.vertex
+    nbr = {0: {1, 2, 3}, 1: {0, 2}, 2: {0, 1, 3}, 3: {0, 2}}
+    for (s, _), path in by_walk.items():
+        assert path[0] == s and len(path) == 4
+        for step in range(1, 4):
+            assert path[step] in nbr[path[step - 1]]  # every hop follows an edge
+
+
+def test_random_walks_deterministic(spark):
+    from sbm_communitydetection_spark.operators.walks import random_walks
+
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    a = sorted(map(tuple, random_walks(spark, e, 1, 2, 3).collect()))
+    b = sorted(map(tuple, random_walks(spark, e, 1, 2, 3).collect()))
+    assert a == b
+
+
+# -- PageRank over string vertex ids -------------------------------------------
+
+
+def test_pagerank_string_ids(spark):
+    e = spark.createDataFrame(
+        [("u", "v", 1), ("v", "u", 1), ("v", "w", 1), ("w", "v", 1)],
+        "src string, dst string, weight long",
+    )
+    ranks = pagerank(spark, e, tolerance=-1.0, max_iterations=5).collect()
+    total = sum(r.rank for r in ranks)
+    assert total == pytest.approx(1.0, abs=1e-9)
+    by_id = {r.id: r.rank for r in ranks}
+    assert by_id["v"] > by_id["u"] and by_id["v"] > by_id["w"]
