@@ -54,6 +54,7 @@ from sbm_communitydetection_spark.sources import events_transcripts as ET  # noq
 from sbm_communitydetection_spark.textops import analysis as TA  # noqa: E402
 from sbm_communitydetection_spark.textops import dedup as TD  # noqa: E402
 from sbm_communitydetection_spark.textops import multimodal as TM  # noqa: E402
+from sbm_communitydetection_spark.textops import pipeline as TP  # noqa: E402
 from sbm_communitydetection_spark.textops import similarity as TS  # noqa: E402
 
 PR_ITERS = 5
@@ -83,6 +84,7 @@ BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
 COS_DUP_THRESHOLD = 0.35
 ANN_K = 5
+QUALITY_MIN = 0.3
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -422,6 +424,39 @@ def _q_decayed_reply_edges(spark, sf_dir):
 
     return decayed_reply_edges(
         events_transcripts(spark, sf_dir), half_life_ms=DECAY_HALF_LIFE_MS
+    )
+
+
+def _q_actor_communities(spark, sf_dir):
+    """Axis-A×B composition: exact connected components over the extracted
+    transcript actor graph (string keys end-to-end)."""
+    from sbm_communitydetection_spark.operators.components import connected_components
+    from sbm_communitydetection_spark.operators.extract import extract_edges, extract_vertices
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    t = events_transcripts(spark, sf_dir)
+    edges, verts = extract_edges(t), extract_vertices(t)
+    keyed = (
+        edges.join(
+            F.broadcast(verts.select(F.col("id").alias("src"), F.col("actor_key").alias("sk"))),
+            "src",
+        )
+        .join(
+            F.broadcast(verts.select(F.col("id").alias("dst"), F.col("actor_key").alias("dk"))),
+            "dst",
+        )
+        .select(F.col("sk").alias("src"), F.col("dk").alias("dst"), "weight")
+    )
+    return connected_components(spark, keyed).select("id", "component")
+
+
+def _q_curation_keep_list(spark, sf_dir):
+    """End-to-end curation decision: quality filter × near-dup
+    survivorship × stratified sampling, with per-stage audit flags."""
+    from sbm_communitydetection_spark.textops.pipeline import curation_keep_list
+
+    return curation_keep_list(
+        spark, _docs(spark, sf_dir), quality_min=QUALITY_MIN, rates_permille=SAMPLE_RATES
     )
 
 
@@ -796,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,  # who-replies-to-whom counts
         "user_influence": _q_user_influence,  # extract→graph→PageRank composition
         "session_stats": _q_session_stats,  # time-gap sessionization rollup
+        "actor_communities": _q_actor_communities,  # extract→graph→CC composition
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
         "fm_refine_pair": _q_fm_refine,  # D3 (rows-only check)
@@ -827,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_dup_pairs": _q_minhash_lsh,
         "near_dup_clusters": _q_near_dup_clusters,  # LSH pairs → CC → canonical survivor
+        "curation_keep_list": _q_curation_keep_list,  # quality × dedup × sampling decision
         "stream_dedup_pairs": _q_stream_dedup,  # incremental LSH == batch LSH
         "simhash": _q_simhash,
         "simhash_dup_pairs": _q_simhash_pairs,
@@ -927,6 +964,10 @@ FROM s""",
         + ",\n"
         + O.pagerank_unrolled_sql(PR_ITERS),
         "session_stats": ET.session_stats_oracle_sql(SESSION_GAP_MS),
+        "actor_communities": "WITH RECURSIVE "
+        + ET.actor_edges_cte_sql()
+        + ",\n"
+        + O.components_recursive_sql(),
         # skew path: salted aggregate must equal the PLAIN A8 aggregation
         "salted_neighbor_weights": edges_cte
         + f""",
@@ -989,6 +1030,9 @@ GROUP BY l1.label, l2.label""",
         "minhash_signatures": TD.minhash_signatures_sql(),
         "minhash_lsh_dup_pairs": TD.minhash_lsh_dup_pairs_sql(),
         "near_dup_clusters": TD.near_dup_clusters_sql(),
+        "curation_keep_list": TP.curation_keep_list_sql(
+            quality_min=QUALITY_MIN, rates_permille=SAMPLE_RATES
+        ),
         "stream_dedup_pairs": TD.minhash_lsh_dup_pairs_sql(),
         "simhash": TD.simhash_sql(),
         "simhash_dup_pairs": TD.simhash_dup_pairs_sql(),

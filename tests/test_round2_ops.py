@@ -231,6 +231,36 @@ def test_random_walks_deterministic(spark):
     assert a == b
 
 
+# -- curation keep-list -----------------------------------------------------------
+
+
+def test_curation_keep_list_flags(spark):
+    from sbm_communitydetection_spark.textops.analysis import _MIX_BUCKETS, _MIX_KNUTH
+    from sbm_communitydetection_spark.textops.pipeline import curation_keep_list
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog sat too", "en", "web", 42),
+            (2, "the cat sat on the mat and the dog sat too", "en", "web", 42),  # dup of 1
+            (3, "1234 5678 9999 0000 1111 2222 3333 4444", "en", "web", 39),  # low quality
+            (4, "ein kleiner text ohne besondere merkmale hier", "de", "web", 45),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {
+        r.doc_id: (r.pass_quality, r.pass_dedup, r.pass_sample, r.keep)
+        for r in curation_keep_list(
+            spark, docs, quality_min=0.3, rates_permille={"en": 1000}, dup_threshold=0.4
+        ).collect()
+    }
+    assert out[3][0] == 0 and out[3][3] == 0  # digit soup fails quality
+    assert out[1][1] == 1 and out[2][1] == 0  # exact dup: min doc_id survives
+    for doc_id, flags in out.items():
+        expected_sample = int((doc_id * _MIX_KNUTH) % _MIX_BUCKETS < 1000)
+        assert flags[2] == expected_sample
+        assert flags[3] == flags[0] * flags[1] * flags[2]
+
+
 # -- PageRank over string vertex ids -------------------------------------------
 
 
