@@ -85,6 +85,12 @@ N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
 COS_DUP_THRESHOLD = 0.35
 ANN_K = 5
 QUALITY_MIN = 0.3
+# events-derived conversations are random flows over 5 roles × 7 tools, so
+# genuine templates don't exist in the synthetic data; a low threshold with
+# fine banding (2 rows/band → 16 bands: high recall at low similarity) keeps
+# the gate result non-empty (LSH-band collisions verified by exact Jaccard)
+STRUCT_DUP_THRESHOLD = 0.12
+STRUCT_DUP_ROWS_PER_BAND = 2
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -460,6 +466,44 @@ def _q_curation_keep_list(spark, sf_dir):
     )
 
 
+def _q_transcript_structural_dups(spark, sf_dir):
+    """Axis-B transcript curation: templated-conversation detection —
+    MinHash-LSH near-dup over each conversation's STRUCTURAL fingerprint
+    (turn-ordered role[:tool] token sequence), so scripted flows are
+    caught before sampling even when per-turn text differs."""
+    from sbm_communitydetection_spark.operators.extract import conv_structure_docs
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    docs = conv_structure_docs(events_transcripts(spark, sf_dir))
+    return TD.minhash_lsh_dup_pairs(
+        docs, threshold=STRUCT_DUP_THRESHOLD, rows_per_band=STRUCT_DUP_ROWS_PER_BAND
+    )
+
+
+def _q_reply_reciprocity(spark, sf_dir):
+    """Weighted reciprocity of the directed reply graph — is the traffic
+    mutual (dialogue) or broadcast-shaped? One scalar over the
+    role-transition aggregate."""
+    from sbm_communitydetection_spark.operators.extract import reply_reciprocity
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return reply_reciprocity(events_transcripts(spark, sf_dir))
+
+
+def _q_transcript_token_stats(spark, sf_dir):
+    """Token counting over the transcripts payload itself (per turn) —
+    the tokenizer-budget estimate a training pipeline runs before
+    example assembly; doc_id = conv_id#turn_idx."""
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    t = events_transcripts(spark, sf_dir)
+    docs = t.select(
+        F.concat("conv_id", F.lit("#"), F.col("turn_idx").cast("string")).alias("doc_id"),
+        "text",
+    )
+    return TA.token_stats(docs)
+
+
 def _q_session_stats(spark, sf_dir):
     """Time-gap sessionization (gap > SESSION_GAP_MS splits) + per-session
     rollup — the interaction-log preprocessing step (axis B)."""
@@ -831,6 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "role_transitions": _q_role_transitions,  # who-replies-to-whom counts
         "user_influence": _q_user_influence,  # extract→graph→PageRank composition
         "session_stats": _q_session_stats,  # time-gap sessionization rollup
+        "transcript_structural_dups": _q_transcript_structural_dups,  # templated convs
+        "reply_reciprocity": _q_reply_reciprocity,  # mutual-vs-broadcast scalar
+        "transcript_token_stats": _q_transcript_token_stats,  # per-turn token budget
         "actor_communities": _q_actor_communities,  # extract→graph→CC composition
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
@@ -964,6 +1011,22 @@ FROM s""",
         + ",\n"
         + O.pagerank_unrolled_sql(PR_ITERS),
         "session_stats": ET.session_stats_oracle_sql(SESSION_GAP_MS),
+        "transcript_structural_dups": "WITH "
+        + ET.transcripts_cte_sql()
+        + ",\n"
+        + ET.conv_structure_docs_cte_sql()
+        + ",\n"
+        + TD.lsh_dup_pairs_over_cte_sql(
+            "conv_docs",
+            threshold=STRUCT_DUP_THRESHOLD,
+            rows_per_band=STRUCT_DUP_ROWS_PER_BAND,
+        ),
+        "reply_reciprocity": ET.reply_reciprocity_oracle_sql(),
+        "transcript_token_stats": "WITH "
+        + ET.transcripts_cte_sql()
+        + ",\nturn_docs AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,"
+        " text FROM transcripts)\n"
+        + TA.token_stats_sql("turn_docs"),
         "actor_communities": "WITH RECURSIVE "
         + ET.actor_edges_cte_sql()
         + ",\n"

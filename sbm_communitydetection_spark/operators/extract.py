@@ -146,6 +146,55 @@ def role_transitions(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def reply_reciprocity(transcripts: DataFrame) -> DataFrame:
+    """One row (reciprocity) — WEIGHTED reciprocity of the directed
+    reply graph (Squartini et al. 2013): Σ min(w_ab, w_ba) / Σ w_ab
+    over ordered actor pairs a≠b. 1.0 = every reply flow is fully
+    mutual; 0.0 = purely one-directional (broadcast-shaped) traffic.
+    Built on the role_transitions aggregate (tiny — O(|roles|²) rows),
+    so the heavy lifting is the same single window + groupBy pass."""
+    t = role_transitions(transcripts).filter(F.col("role_from") != F.col("role_to"))
+    rev = t.select(
+        F.col("role_to").alias("role_from"),
+        F.col("role_from").alias("role_to"),
+        F.col("n").alias("n_rev"),
+    )
+    j = t.join(rev, ["role_from", "role_to"], "left").select(
+        "n", F.coalesce("n_rev", F.lit(0)).alias("n_rev")
+    )
+    return j.agg(
+        F.round(F.sum(F.least("n", "n_rev")) / F.sum("n"), 6).alias("reciprocity")
+    )
+
+
+def conv_structure_docs(transcripts: DataFrame) -> DataFrame:
+    """(doc_id, text) — each conversation rendered as its STRUCTURAL
+    fingerprint document: the turn-ordered sequence of `role[:tool]`
+    tokens, space-joined. Feeding this into the textops dedup family
+    detects templated / boilerplate conversations (same interaction
+    shape regardless of per-turn text) — the transcript-curation twin
+    of content near-dup, run before sampling so one scripted flow
+    cannot dominate a training mix.
+
+    One hash aggregate keyed on conv_id (collect_list + array_sort —
+    turn order restored inside the group, so no window exchange); the
+    output is one short row per conversation, ~|turns| bytes each.
+    """
+    token = F.concat(
+        F.col("role"),
+        F.coalesce(F.concat(F.lit(":"), F.col("tool")), F.lit("")),
+    )
+    return transcripts.groupBy(F.col("conv_id").alias("doc_id")).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", token.alias("token")))),
+                lambda s: s["token"],
+            ),
+        ).alias("text")
+    )
+
+
 def sessionize(transcripts: DataFrame, gap_ms: int) -> DataFrame:
     """(conv_id, turn_idx, session_idx) — split each conversation into
     sessions wherever the inter-turn gap exceeds ``gap_ms`` (the classic

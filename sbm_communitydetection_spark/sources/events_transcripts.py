@@ -119,6 +119,21 @@ def actor_edges_cte_sql() -> str:
     )
 
 
+def conv_structure_docs_cte_sql(name: str = "conv_docs") -> str:
+    """CTE twin of operators/extract.conv_structure_docs: each
+    conversation as its turn-ordered `role[:tool]` token sequence,
+    shaped (doc_id, text) so the textops dedup SQL builders can run on
+    it verbatim (pass table=<name>)."""
+    return f"""
+    {name} AS (
+        SELECT conv_id AS doc_id,
+               string_agg(role || COALESCE(':' || tool, ''), ' ' ORDER BY turn_idx)
+                   AS text
+        FROM transcripts GROUP BY conv_id
+    )
+    """
+
+
 def reply_edges_oracle_sql() -> str:
     """Full extraction oracle: transcript reply + tool links, symmetrized
     on STRING actor keys (the engine's xxhash64 ids are joined back to
@@ -171,6 +186,30 @@ def role_transitions_oracle_sql() -> str:
     SELECT role_from, role_to, COUNT(*)::BIGINT AS n
     FROM lagged WHERE role_from IS NOT NULL
     GROUP BY role_from, role_to
+    """
+    )
+
+
+def reply_reciprocity_oracle_sql() -> str:
+    """Mirror of operators/extract.reply_reciprocity (weighted
+    reciprocity over the directed role-transition aggregate)."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + """,
+    lagged AS (
+        SELECT LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_from,
+               role AS role_to
+        FROM transcripts
+    ),
+    t AS (
+        SELECT role_from, role_to, COUNT(*)::BIGINT AS n
+        FROM lagged WHERE role_from IS NOT NULL AND role_from <> role_to
+        GROUP BY role_from, role_to
+    )
+    SELECT ROUND(SUM(LEAST(a.n, COALESCE(b.n, 0))) / CAST(SUM(a.n) AS DOUBLE), 6)
+               AS reciprocity
+    FROM t a LEFT JOIN t b ON a.role_from = b.role_to AND a.role_to = b.role_from
     """
     )
 

@@ -217,9 +217,9 @@ def _lsh_ctes_sql(
     and the clustering query."""
     return f"""{_signature_cte_sql(table, num_hashes, n)},
     bands AS (
-        SELECT doc_id, CAST(hash_id / {rows_per_band} AS INT) AS band,
+        SELECT doc_id, CAST(hash_id // {rows_per_band} AS INT) AS band,
                string_agg(CAST(min_h AS VARCHAR), '_' ORDER BY hash_id) AS band_key
-        FROM sig GROUP BY doc_id, CAST(hash_id / {rows_per_band} AS INT)
+        FROM sig GROUP BY doc_id, CAST(hash_id // {rows_per_band} AS INT)
     ),
     cands AS (
         SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
@@ -290,6 +290,22 @@ def near_dup_clusters(
             F.coalesce("component", "doc_id").alias("cluster_id"),
             (F.coalesce("component", "doc_id") == F.col("doc_id")).cast("int").alias("keep"),
         )
+    )
+
+
+def lsh_dup_pairs_over_cte_sql(
+    table: str,
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    n: int = NGRAM_N,
+) -> str:
+    """The MinHash-LSH dup-pair CTE chain + final SELECT, WITHOUT the
+    leading WITH — for composing over a caller-provided (doc_id, text)
+    CTE (e.g. the conversation structural-fingerprint docs)."""
+    return (
+        _lsh_ctes_sql(table, threshold, num_hashes, rows_per_band, n)
+        + "\nSELECT a, b, jaccard FROM dup"
     )
 
 

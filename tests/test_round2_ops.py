@@ -274,3 +274,50 @@ def test_pagerank_string_ids(spark):
     assert total == pytest.approx(1.0, abs=1e-9)
     by_id = {r.id: r.rank for r in ranks}
     assert by_id["v"] > by_id["u"] and by_id["v"] > by_id["w"]
+
+
+# -- conversation structural near-dup -------------------------------------------
+
+
+def test_conv_structure_docs_and_dups(spark):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import conv_structure_docs
+    from sbm_communitydetection_spark.textops.dedup import minhash_lsh_dup_pairs
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # c1 and c2: identical role[:tool] structure (different text); c3 disjoint
+    script = [("user", None), ("agent", "search"), ("user", None), ("agent", "code"),
+              ("user", None), ("agent", None), ("user", None), ("agent", "search")]
+    for conv, texts in (("c1", "aaaa"), ("c2", "bbbb")):
+        for i, (role, tool) in enumerate(script):
+            rows.append((conv, i, role, texts * (i + 1), tool, t0))
+    other = [("sys", None), ("sys", None), ("sys", None), ("sys", None),
+             ("sys", None), ("sys", None), ("sys", None), ("sys", None)]
+    for i, (role, tool) in enumerate(other):
+        rows.append(("c3", i, role, "x", tool, t0))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    docs = conv_structure_docs(t)
+    by_id = {r.doc_id: r.text for r in docs.collect()}
+    assert by_id["c1"] == by_id["c2"] == (
+        "user agent:search user agent:code user agent user agent:search"
+    )
+    pairs = minhash_lsh_dup_pairs(docs, threshold=0.4).collect()
+    assert [(p.a, p.b, p.jaccard) for p in pairs] == [("c1", "c2", 1.0)]
+
+
+def test_reply_reciprocity(spark):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import reply_reciprocity
+
+    t0 = dt.datetime(2026, 1, 1)
+    # transitions: a->b, b->a, a->c  =>  sum min(w_ab, w_ba) = 2, sum w = 3
+    rows = [("c", i, r, "x", None, t0) for i, r in enumerate(["a", "b", "a", "c"])]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    assert reply_reciprocity(t).collect()[0].reciprocity == 0.666667

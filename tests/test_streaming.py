@@ -129,3 +129,64 @@ def test_locality_radius_stream_matches_planted(spark):
         locality_radius=2,
     )
     assert res.metrics[-1]["edge_cls_acc"] > 0.9, res.metrics[-1]
+
+
+def test_windowed_turn_rates_drop_late_data(spark, tmp_path):
+    """Watermarked windowed agg: finalized windows are emitted once, and a
+    row arriving later than the watermark horizon is DROPPED."""
+    import datetime as dt
+
+    from sbm_communitydetection_spark.streaming.windowed import start_turn_rate_sink
+
+    feed = str(tmp_path / "turns")
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "rates")
+    ckpt = str(tmp_path / "wckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(c, i, r, "x", None, ts) for c, i, r, ts in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    # batch 1: three turns in the 12:00 window, one in 12:05
+    b1 = turns([
+        ("c1", 0, "user", t0),
+        ("c1", 1, "agent", t0 + dt.timedelta(minutes=1)),
+        ("c2", 0, "user", t0 + dt.timedelta(minutes=2)),
+        ("c2", 1, "user", t0 + dt.timedelta(minutes=6)),
+    ])
+    _land_file(b1, staging, feed, "b1")
+    start_turn_rate_sink(spark, feed, out, ckpt).awaitTermination()
+
+    # batch 2: event time jumps to 12:40 — the ENACTED watermark lags one
+    # trigger (it is computed from the PREVIOUS batch's max event time), so
+    # this batch advances it to 12:30 for the next one
+    b2 = turns([("c3", 0, "user", t0 + dt.timedelta(minutes=40))])
+    _land_file(b2, staging, feed, "b2")
+    start_turn_rate_sink(spark, feed, out, ckpt).awaitTermination()
+
+    # batch 3: one LATE row for the 12:00 window — behind the 12:30
+    # watermark, must be dropped; the 13:00 row advances the watermark on
+    # this batch closes both early windows (their counts exclude the late row)
+    b3 = turns([
+        ("c1", 2, "user", t0 + dt.timedelta(seconds=30)),  # late — dropped
+        ("c4", 0, "user", t0 + dt.timedelta(minutes=60)),
+    ])
+    _land_file(b3, staging, feed, "b3")
+    start_turn_rate_sink(spark, feed, out, ckpt).awaitTermination()
+
+    # batch 4: advance the enacted watermark past 12:45 → 12:40 finalizes
+    b4 = turns([("c5", 0, "user", t0 + dt.timedelta(minutes=90))])
+    _land_file(b4, staging, feed, "b4")
+    start_turn_rate_sink(spark, feed, out, ckpt).awaitTermination()
+
+    got = {
+        (r.window_start.minute, r.role): r.n_turns
+        for r in spark.read.parquet(out).collect()
+    }
+    # 12:00 window finalized from batch 1 data ONLY (late row dropped)
+    assert got[(0, "user")] == 2 and got[(0, "agent")] == 1
+    assert got[(5, "user")] == 1
+    assert got[(40, "user")] == 1
