@@ -504,6 +504,53 @@ def _q_transcript_token_stats(spark, sf_dir):
     return TA.token_stats(docs)
 
 
+def _q_actor_scc(spark, sf_dir):
+    """Strongly connected components over the DIRECTED role-transition
+    graph — mutual-reply cores (who is in a genuine dialogue loop with
+    whom), vs. actor_communities' undirected reachability."""
+    from sbm_communitydetection_spark.operators.components import (
+        strongly_connected_components,
+    )
+    from sbm_communitydetection_spark.operators.extract import role_transitions
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    d = role_transitions(events_transcripts(spark, sf_dir)).select(
+        F.col("role_from").alias("src"), F.col("role_to").alias("dst")
+    )
+    return strongly_connected_components(spark, d)
+
+
+def _q_reply_latency_stats(spark, sf_dir):
+    """Reply-latency profile per directed role pair — same window pass
+    as role_transitions with the inter-turn gap carried through."""
+    from sbm_communitydetection_spark.operators.extract import reply_latency_stats
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return reply_latency_stats(events_transcripts(spark, sf_dir))
+
+
+def _q_tool_cooccurrence(spark, sf_dir):
+    """Tool-affinity edge table: conversations invoking both tools, per
+    unordered tool pair (keyed self-join — quadratic only within one
+    conversation's distinct tool set)."""
+    from sbm_communitydetection_spark.operators.extract import tool_cooccurrence
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return tool_cooccurrence(events_transcripts(spark, sf_dir))
+
+
+def _q_conv_influence(spark, sf_dir):
+    """Axis-A×B composition #3: influence-weighted conversation scoring —
+    actor PageRank over the extracted link graph, broadcast back onto the
+    turn table, summed per conversation (the ranking half of an
+    influence-aware training-mix keep rule)."""
+    from sbm_communitydetection_spark.operators.extract import conv_influence
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    ranks = _q_user_influence(spark, sf_dir)
+    return conv_influence(events_transcripts(spark, sf_dir), ranks)
+
+
 def _q_session_stats(spark, sf_dir):
     """Time-gap sessionization (gap > SESSION_GAP_MS splits) + per-session
     rollup — the interaction-log preprocessing step (axis B)."""
@@ -725,6 +772,43 @@ def _q_exact_dedup(spark, sf_dir):
     return TD.exact_dedup(_docs(spark, sf_dir))
 
 
+BENCH_DOC_MOD = 20  # every 20th doc plays the "eval benchmark" corpus
+
+
+def _q_decontamination(spark, sf_dir):
+    """Eval-set decontamination: flag training docs sharing any word
+    n-gram with the benchmark corpus (broadcast benchmark shingle set,
+    inverted-index probe on the training side)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % BENCH_DOC_MOD == 0)
+    train = docs.filter(F.col("doc_id") % BENCH_DOC_MOD != 0)
+    return TD.decontamination_flags(train, bench)
+
+
+def _q_pii_scrub(spark, sf_dir):
+    """Redaction pass with audit counts. The synthetic corpus carries no
+    PII, so deterministic email/number spans are injected into every
+    third doc first — the injection is part of the query (mirrored in
+    the oracle), the operator itself is generic."""
+    sid = F.col("doc_id").cast("string")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                "text",
+                F.lit(" reach me at user"),
+                sid,
+                F.lit("@example.com or 55512"),
+                sid,
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return TA.pii_scrub(injected)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     return TD.ngram_jaccard_pairs(_docs(spark, sf_dir))
 
@@ -878,6 +962,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_structural_dups": _q_transcript_structural_dups,  # templated convs
         "reply_reciprocity": _q_reply_reciprocity,  # mutual-vs-broadcast scalar
         "transcript_token_stats": _q_transcript_token_stats,  # per-turn token budget
+        "reply_latency_stats": _q_reply_latency_stats,  # per-pair reply latency
+        "tool_cooccurrence": _q_tool_cooccurrence,  # tool-affinity edge table
+        "conv_influence": _q_conv_influence,  # PR-weighted conversation scoring
+        "actor_scc": _q_actor_scc,  # directed mutual-reply cores
         "actor_communities": _q_actor_communities,  # extract→graph→CC composition
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
@@ -917,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_banded_dup_pairs": _q_simhash_banded_pairs,
         "embedding_cosine_dup_pairs": _q_cos_dup_pairs,
         "cosine_bucketed_dup_pairs": _q_cos_bucketed_dup_pairs,
+        "decontamination_flags": _q_decontamination,  # eval-set n-gram hygiene
+        "pii_scrub": _q_pii_scrub,  # redaction pass + audit counts
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ivf_topk,
@@ -1022,6 +1112,41 @@ FROM s""",
             rows_per_band=STRUCT_DUP_ROWS_PER_BAND,
         ),
         "reply_reciprocity": ET.reply_reciprocity_oracle_sql(),
+        "reply_latency_stats": ET.reply_latency_stats_oracle_sql(),
+        "actor_scc": "WITH RECURSIVE "
+        + ET.transcripts_cte_sql()
+        + """,
+    lagged AS (
+        SELECT LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src,
+               role AS dst
+        FROM transcripts
+    ),
+    dedges AS (
+        SELECT DISTINCT src, dst FROM lagged
+        WHERE src IS NOT NULL AND src <> dst
+    ),
+    verts AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+    reach(src, dst) AS (
+        SELECT src, dst FROM dedges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src
+    ),
+    mutual AS (
+        SELECT a.src AS u, a.dst AS v
+        FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+    )
+    SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
+    FROM verts v LEFT JOIN mutual m ON m.u = v.id
+    GROUP BY v.id""",
+        "tool_cooccurrence": ET.tool_cooccurrence_oracle_sql(),
+        "conv_influence": "WITH "
+        + ET.actor_edges_cte_sql()
+        + ",\n"
+        + O.pagerank_unrolled_sql(PR_ITERS, final_cte="ranks")
+        + """
+SELECT t.conv_id, ROUND(SUM(r.rank), 6) AS influence
+FROM transcripts t JOIN ranks r ON t.role = r.id
+GROUP BY t.conv_id""",
         "transcript_token_stats": "WITH "
         + ET.transcripts_cte_sql()
         + ",\nturn_docs AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,"
@@ -1106,6 +1231,20 @@ GROUP BY l1.label, l2.label""",
         "cosine_bucketed_dup_pairs": TD.embedding_cosine_dup_pairs_sql(
             threshold=COS_DUP_THRESHOLD
         ),
+        "decontamination_flags": TD.decontamination_flags_sql(
+            bench_pred=f"doc_id % {BENCH_DOC_MOD} = 0"
+        ),
+        "pii_scrub": """
+WITH injected AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0
+                THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR)
+                     || '@example.com or 55512' || CAST(doc_id AS VARCHAR)
+                ELSE text END AS text
+    FROM documents
+)
+"""
+        + TA.pii_scrub_sql("injected"),
         # training-data pipeline: similarity search
         "ann_cosine_topk": TS.cosine_topk_sql(k=ANN_K),
         "ann_ivf_topk": TS.ivf_topk_sql(k=ANN_K),

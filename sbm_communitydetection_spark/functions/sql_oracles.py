@@ -19,8 +19,16 @@ term is exactly zero.
 from __future__ import annotations
 
 
-def pagerank_unrolled_sql(n_iterations: int, damping: float = 0.85, round_to: int = 8) -> str:
-    """Fixed-iteration PageRank over the `edges` CTE; returns (id, rank)."""
+def pagerank_unrolled_sql(
+    n_iterations: int,
+    damping: float = 0.85,
+    round_to: int = 8,
+    final_cte: str | None = None,
+) -> str:
+    """Fixed-iteration PageRank over the `edges` CTE; returns (id, rank).
+
+    With ``final_cte`` set, the final SELECT is wrapped as one more CTE of
+    that name (no trailing SELECT) so callers can keep composing."""
     parts = [
         "verts AS (SELECT DISTINCT src AS id FROM edges)",
         "nv AS (SELECT COUNT(*)::DOUBLE AS n FROM verts)",
@@ -42,10 +50,10 @@ def pagerank_unrolled_sql(n_iterations: int, damping: float = 0.85, round_to: in
     ) s ON v.id = s.id
 )"""
         )
-    return (
-        ",\n".join(parts)
-        + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{n_iterations}"
-    )
+    final = f"SELECT id, ROUND(rank, {round_to}) AS rank FROM r{n_iterations}"
+    if final_cte:
+        return ",\n".join(parts) + f",\n{final_cte} AS ({final})"
+    return ",\n".join(parts) + "\n" + final
 
 
 def lpa_unrolled_sql(n_iterations: int) -> str:

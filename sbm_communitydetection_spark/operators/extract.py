@@ -195,6 +195,70 @@ def conv_structure_docs(transcripts: DataFrame) -> DataFrame:
     )
 
 
+def reply_latency_stats(transcripts: DataFrame) -> DataFrame:
+    """(role_from, role_to, n, avg_gap_ms, max_gap_ms) — reply-latency
+    profile per directed actor pair: how long each actor takes to answer
+    each other actor. Same single conv_id window pass as
+    role_transitions (lag on both role and ts), then one hash aggregate;
+    the avg is an exact integer-sum / count division, so the DuckDB
+    oracle mirrors it bit-for-bit."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    lagged = transcripts.select(
+        F.lag("role").over(w).alias("role_from"),
+        F.col("role").alias("role_to"),
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    ).filter(F.col("role_from").isNotNull())
+    return lagged.groupBy("role_from", "role_to").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("gap_ms"), 6).alias("avg_gap_ms"),
+        F.max("gap_ms").cast("long").alias("max_gap_ms"),
+    )
+
+
+def tool_cooccurrence(transcripts: DataFrame) -> DataFrame:
+    """(tool_a, tool_b, n_convs) — tool-affinity graph: how many
+    conversations invoke BOTH tools. The derived graph behind
+    tool-bundling / capability-cluster analysis (feed it to louvain/cc
+    like any edge table, weight = n_convs).
+
+    distinct (conv_id, tool) first, then a self-equi-join on conv_id:
+    the join is keyed (one shuffle) and quadratic only WITHIN a
+    conversation's distinct tool set — bounded by the tool vocabulary,
+    not the turn count, so it holds at 10^12 turns."""
+    ct = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("conv_id", "tool")
+        .distinct()
+    )
+    a, b = ct.alias("a"), ct.alias("b")
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("a.tool") < F.col("b.tool"))
+        .groupBy(F.col("a.tool").alias("tool_a"), F.col("b.tool").alias("tool_b"))
+        .agg(F.count("*").cast("long").alias("n_convs"))
+    )
+
+
+def conv_influence(transcripts: DataFrame, actor_ranks: DataFrame) -> DataFrame:
+    """(conv_id, influence) — conversation curation score: the sum over
+    turns of the turn actor's PageRank in the extracted link graph, i.e.
+    conversations dominated by influential actors score high. The
+    ranking half of an influence-weighted training-mix decision (pair
+    with a top-k / threshold keep rule).
+
+    ``actor_ranks`` is (id=actor_key, rank) — e.g. the user_influence
+    output. The actor domain is tiny relative to the turn table, so the
+    rank side broadcasts and the score is one conv_id hash aggregate
+    over the turn table (no extra shuffle beyond the aggregate)."""
+    r = F.broadcast(actor_ranks.select(F.col("id").alias("role"), "rank"))
+    return (
+        transcripts.join(r, "role")
+        .groupBy("conv_id")
+        .agg(F.round(F.sum("rank"), 6).alias("influence"))
+    )
+
+
 def sessionize(transcripts: DataFrame, gap_ms: int) -> DataFrame:
     """(conv_id, turn_idx, session_idx) — split each conversation into
     sessions wherever the inter-turn gap exceeds ``gap_ms`` (the classic

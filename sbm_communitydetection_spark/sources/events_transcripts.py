@@ -190,6 +190,44 @@ def role_transitions_oracle_sql() -> str:
     )
 
 
+def reply_latency_stats_oracle_sql() -> str:
+    """Mirror of operators/extract.reply_latency_stats (per directed
+    role pair: reply count + exact-integer-sum average / max gap)."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + """,
+    lagged AS (
+        SELECT LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS role_from,
+               role AS role_to,
+               epoch_ms(ts) - LAG(epoch_ms(ts))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_ms
+        FROM transcripts
+    )
+    SELECT role_from, role_to, COUNT(*)::BIGINT AS n,
+           ROUND(SUM(gap_ms) / CAST(COUNT(*) AS DOUBLE), 6) AS avg_gap_ms,
+           MAX(gap_ms)::BIGINT AS max_gap_ms
+    FROM lagged WHERE role_from IS NOT NULL
+    GROUP BY role_from, role_to
+    """
+    )
+
+
+def tool_cooccurrence_oracle_sql() -> str:
+    """Mirror of operators/extract.tool_cooccurrence (conversations
+    invoking both tools, per unordered tool pair)."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + """,
+    ct AS (SELECT DISTINCT conv_id, tool FROM transcripts WHERE tool IS NOT NULL)
+    SELECT a.tool AS tool_a, b.tool AS tool_b, COUNT(*)::BIGINT AS n_convs
+    FROM ct a JOIN ct b ON a.conv_id = b.conv_id AND a.tool < b.tool
+    GROUP BY a.tool, b.tool
+    """
+    )
+
+
 def reply_reciprocity_oracle_sql() -> str:
     """Mirror of operators/extract.reply_reciprocity (weighted
     reciprocity over the directed role-transition aggregate)."""

@@ -293,6 +293,62 @@ def near_dup_clusters(
     )
 
 
+def decontamination_flags(
+    docs: DataFrame, benchmark: DataFrame, n: int = NGRAM_N
+) -> DataFrame:
+    """(doc_id, n_hit_shingles, contaminated) — eval-set decontamination:
+    flag every training doc sharing ANY word n-gram with the benchmark
+    corpus (the standard pre-training hygiene pass; n-gram overlap is the
+    Brown et al. / GPT-3-style contamination criterion).
+
+    Scale shape: the benchmark shingle set is small (eval suites are
+    thousands of docs, not billions) → DISTINCT then broadcast; the
+    training side is the usual inverted-index explode, so the probe is a
+    map-side hash semi-join — no shuffle of the corpus beyond the per-doc
+    count aggregate. n_hit_shingles counts DISTINCT overlapping shingles
+    (the audit number a removal decision is reviewed against)."""
+    bs = (
+        benchmark.select(F.explode(shingles_col(F.col("text"), n)).alias("shingle"))
+        .distinct()
+    )
+    hits = (
+        _doc_shingles(docs, n)
+        .join(F.broadcast(bs), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hit_shingles"))
+    )
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias("n_hit_shingles"),
+        (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def decontamination_flags_sql(
+    table: str = "documents", bench_pred: str = "doc_id % 20 = 0", n: int = NGRAM_N
+) -> str:
+    """Mirror of decontamination_flags with benchmark = rows of ``table``
+    satisfying ``bench_pred`` and training = the remainder."""
+    return f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({shingles_sql("text", n)}) AS shingle
+        FROM {table} WHERE {bench_pred}
+    ),
+    train AS (SELECT doc_id, text FROM {table} WHERE NOT ({bench_pred})),
+    sh AS (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({shingles_sql("text", n)}) AS shingle FROM train)
+    ),
+    hits AS (
+        SELECT sh.doc_id, COUNT(*)::BIGINT AS n_hit_shingles
+        FROM sh JOIN bench USING (shingle) GROUP BY sh.doc_id
+    )
+    SELECT t.doc_id, COALESCE(h.n_hit_shingles, 0)::BIGINT AS n_hit_shingles,
+           COALESCE(h.n_hit_shingles, 0) > 0 AS contaminated
+    FROM train t LEFT JOIN hits h ON t.doc_id = h.doc_id
+    """
+
+
 def lsh_dup_pairs_over_cte_sql(
     table: str,
     threshold: float = 0.4,

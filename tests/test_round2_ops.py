@@ -321,3 +321,122 @@ def test_reply_reciprocity(spark):
         rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     )
     assert reply_reciprocity(t).collect()[0].reciprocity == 0.666667
+
+
+# -- reply latency / tool co-occurrence / conversation influence ----------------
+
+
+def _transcript_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+def test_reply_latency_stats(spark):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import reply_latency_stats
+
+    t0 = dt.datetime(2026, 1, 1)
+    # a->b replies after 1s then 3s (avg 2000ms, max 3000); b->a after 2s
+    rows = [
+        ("c1", 0, "a", "x", None, t0),
+        ("c1", 1, "b", "x", None, t0 + dt.timedelta(seconds=1)),
+        ("c1", 2, "a", "x", None, t0 + dt.timedelta(seconds=3)),
+        ("c1", 3, "b", "x", None, t0 + dt.timedelta(seconds=6)),
+    ]
+    got = {
+        (r.role_from, r.role_to): (r.n, r.avg_gap_ms, r.max_gap_ms)
+        for r in reply_latency_stats(_transcript_df(spark, rows)).collect()
+    }
+    assert got[("a", "b")] == (2, 2000.0, 3000)
+    assert got[("b", "a")] == (1, 2000.0, 2000)
+
+
+def test_tool_cooccurrence(spark):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import tool_cooccurrence
+
+    t0 = dt.datetime(2026, 1, 1)
+    # c1 uses {t1, t2} (t1 twice — distinct collapses), c2 uses {t1, t2, t3}
+    rows = [
+        ("c1", 0, "a", "x", "t1", t0),
+        ("c1", 1, "a", "x", "t2", t0),
+        ("c1", 2, "a", "x", "t1", t0),
+        ("c2", 0, "a", "x", "t1", t0),
+        ("c2", 1, "a", "x", "t2", t0),
+        ("c2", 2, "a", "x", "t3", t0),
+        ("c3", 0, "a", "x", None, t0),
+    ]
+    got = {
+        (r.tool_a, r.tool_b): r.n_convs
+        for r in tool_cooccurrence(_transcript_df(spark, rows)).collect()
+    }
+    assert got == {("t1", "t2"): 2, ("t1", "t3"): 1, ("t2", "t3"): 1}
+
+
+def test_conv_influence(spark):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import conv_influence
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "a", "x", None, t0),
+        ("c1", 1, "b", "x", None, t0),
+        ("c2", 0, "b", "x", None, t0),
+    ]
+    ranks = spark.createDataFrame([("a", 0.75), ("b", 0.25)], "id string, rank double")
+    got = {
+        r.conv_id: r.influence
+        for r in conv_influence(_transcript_df(spark, rows), ranks).collect()
+    }
+    assert got == {"c1": 1.0, "c2": 0.25}
+
+
+# -- strongly connected components ----------------------------------------------
+
+
+def _directed(spark, pairs):
+    return spark.createDataFrame([(s, d) for s, d in pairs], "src long, dst long")
+
+
+def test_scc_cycle_vs_path(spark):
+    from sbm_communitydetection_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    # cycle 1->2->3->1 is one SCC; 3->4->5 hangs off it one-way
+    got = {
+        r.id: r.scc
+        for r in strongly_connected_components(
+            spark, _directed(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)])
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+
+
+def test_scc_two_cycles_one_way_bridge(spark):
+    from sbm_communitydetection_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    # two 2-cycles bridged one-way: {1,2} and {3,4} stay separate SCCs
+    got = {
+        r.id: r.scc
+        for r in strongly_connected_components(
+            spark, _directed(spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)])
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_scc_string_keys_and_empty(spark):
+    from sbm_communitydetection_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame([("b", "a"), ("a", "b"), ("b", "c")], "src string, dst string")
+    got = {r.id: r.scc for r in strongly_connected_components(spark, e).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c"}

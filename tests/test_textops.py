@@ -301,3 +301,37 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark):
     assert counts["de"] == (1000, 1000)  # rate 1000 permille keeps all
     en_total, en_kept = counts["en"]
     assert en_total == 1000 and 200 <= en_kept <= 400  # ~30% kept
+
+
+# -- decontamination / PII scrub -------------------------------------------------
+
+
+def test_decontamination_flags(spark):
+    bench = spark.createDataFrame([(100, BASE)], "doc_id long, text string")
+    train = spark.createDataFrame(
+        [(0, BASE), (1, NEAR), (2, FAR)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_hit_shingles, r.contaminated)
+        for r in TD.decontamination_flags(train, bench).collect()
+    }
+    assert got[0][1] and got[0][0] > 0  # identical text: fully contaminated
+    assert got[1][1]  # near dup shares most shingles
+    assert got[2] == (0, False)  # disjoint text is clean
+    assert got[0][0] > got[1][0]
+
+
+def test_pii_scrub(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "mail bob.smith+x@corp.example.org and call 12345678 now"),
+            (1, "short 12345 stays but email-less"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in TA.pii_scrub(docs).collect()}
+    assert got[0].n_emails == 1 and got[0].n_long_numbers == 1
+    assert got[0].text_scrubbed == "mail <EMAIL> and call <NUM> now"
+    # 5-digit run is below the threshold; no email
+    assert got[1].n_emails == 0 and got[1].n_long_numbers == 0
+    assert got[1].text_scrubbed == "short 12345 stays but email-less"

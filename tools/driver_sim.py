@@ -1,6 +1,6 @@
 """Simulates the round driver: entry() smoke + queries() vs oracle_sql() via DuckDB.
 
-Usage: python tools/driver_sim.py [sf_dir]
+Usage: python tools/driver_sim.py [sf_dir] [--only name1,name2]
 Compares row count, sorted-column schema, and an order-insensitive
 value hash (rows sorted, columns sorted by name, floats rounded).
 """
@@ -33,18 +33,19 @@ def value_hash(rows, cols):
     return hashlib.sha256("\n".join(canon).encode()).hexdigest()[:16]
 
 
-def main(sf_dir: str = "/root/testdata/sf0.01"):
+def main(sf_dir: str = "/root/testdata/sf0.01", only: str | None = None):
     import __spark_entry__ as e
     from sbm_communitydetection_spark.session import get_spark
 
     spark = get_spark(app_name="driver_sim", cores=8, shuffle_partitions=8)
 
-    res = e.entry(spark)
-    rows = res.collect()
-    print(f"entry(): {len(rows)} rows, schema={[f.name for f in res.schema.fields]}")
-    assert len(rows) >= 0
-    for r in rows[:5]:
-        print("   ", tuple(r))
+    if only is None:
+        res = e.entry(spark)
+        rows = res.collect()
+        print(f"entry(): {len(rows)} rows, schema={[f.name for f in res.schema.fields]}")
+        assert len(rows) >= 0
+        for r in rows[:5]:
+            print("   ", tuple(r))
 
     con = duckdb.connect()
     for t in TABLES:
@@ -53,6 +54,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if only:
+        wanted = {n.strip() for n in only.split(",")}
+        unknown = wanted - set(qs)
+        if unknown:
+            sys.exit(f"--only: unknown queries {sorted(unknown)}")
+        qs = {n: f for n, f in qs.items() if n in wanted}
     failures = 0
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
@@ -86,4 +93,10 @@ def main(sf_dir: str = "/root/testdata/sf0.01"):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    argv = sys.argv[1:]
+    kw = {}
+    if "--only" in argv:
+        i = argv.index("--only")
+        kw["only"] = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    main(*argv, **kw)
