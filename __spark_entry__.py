@@ -520,6 +520,20 @@ def _q_actor_scc(spark, sf_dir):
     return strongly_connected_components(spark, d)
 
 
+def _q_triad_census(spark, sf_dir):
+    """Directed triad motifs of the role-transition digraph: cyclic
+    (conversational loop) vs transitive (broadcast hierarchy) closed
+    triples."""
+    from sbm_communitydetection_spark.operators.extract import role_transitions
+    from sbm_communitydetection_spark.operators.triangles import directed_triad_census
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    d = role_transitions(events_transcripts(spark, sf_dir)).select(
+        F.col("role_from").alias("src"), F.col("role_to").alias("dst")
+    )
+    return directed_triad_census(d)
+
+
 def _q_reply_latency_stats(spark, sf_dir):
     """Reply-latency profile per directed role pair — same window pass
     as role_transitions with the inter-turn gap carried through."""
@@ -560,17 +574,15 @@ def _q_session_stats(spark, sf_dir):
     return session_stats(events_transcripts(spark, sf_dir), gap_ms=SESSION_GAP_MS)
 
 
-def _q_user_influence(spark, sf_dir):
-    """Axis-A×B composition: fixed-iteration PageRank over the extracted
-    transcript link graph (string actor keys) — 'who matters in the reply
-    graph', the full extract→graph→algorithm pipeline in one query."""
+def _actor_keyed_edges(spark, sf_dir):
+    """Extracted, symmetrized transcript link graph on STRING actor keys
+    (hashed ids joined back to keys so the DuckDB oracle mirrors)."""
     from sbm_communitydetection_spark.operators.extract import extract_edges, extract_vertices
-    from sbm_communitydetection_spark.operators.pagerank import pagerank
     from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
 
     t = events_transcripts(spark, sf_dir)
     edges, verts = extract_edges(t), extract_vertices(t)
-    keyed = (
+    return (
         edges.join(
             F.broadcast(verts.select(F.col("id").alias("src"), F.col("actor_key").alias("sk"))),
             "src",
@@ -581,8 +593,33 @@ def _q_user_influence(spark, sf_dir):
         )
         .select(F.col("sk").alias("src"), F.col("dk").alias("dst"), "weight")
     )
+
+
+def _q_user_influence(spark, sf_dir):
+    """Axis-A×B composition: fixed-iteration PageRank over the extracted
+    transcript link graph (string actor keys) — 'who matters in the reply
+    graph', the full extract→graph→algorithm pipeline in one query."""
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+
+    keyed = _actor_keyed_edges(spark, sf_dir)
     ranks = pagerank(spark, keyed, damping=0.85, tolerance=-1.0, max_iterations=PR_ITERS)
     return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_actor_lpa(spark, sf_dir):
+    """Axis-A×B composition: synchronous weight-voting LPA over the
+    extracted transcript actor graph (string keys, string labels —
+    min-label tie-break is lexicographic in BOTH engines)."""
+    from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+
+    res = label_propagation(
+        spark,
+        _actor_keyed_edges(spark, sf_dir),
+        max_iterations=LPA_ITERS,
+        variant="plain",
+        tolerance=-1.0,
+    )
+    return res.state.select("id", "label")
 
 
 def _q_community_stats(spark, sf_dir):
@@ -966,6 +1003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_cooccurrence": _q_tool_cooccurrence,  # tool-affinity edge table
         "conv_influence": _q_conv_influence,  # PR-weighted conversation scoring
         "actor_scc": _q_actor_scc,  # directed mutual-reply cores
+        "actor_lpa": _q_actor_lpa,  # extract→graph→LPA composition
+        "triad_census": _q_triad_census,  # cyclic vs feed-forward motifs
         "actor_communities": _q_actor_communities,  # extract→graph→CC composition
         # composite drivers + skew path
         "louvain_communities": _q_louvain,  # D1 (rows-only check)
@@ -1100,6 +1139,10 @@ FROM s""",
         + ET.actor_edges_cte_sql()
         + ",\n"
         + O.pagerank_unrolled_sql(PR_ITERS),
+        "actor_lpa": "WITH "
+        + ET.actor_edges_cte_sql()
+        + ",\n"
+        + O.lpa_unrolled_sql(LPA_ITERS),
         "session_stats": ET.session_stats_oracle_sql(SESSION_GAP_MS),
         "transcript_structural_dups": "WITH "
         + ET.transcripts_cte_sql()
@@ -1113,6 +1156,29 @@ FROM s""",
         ),
         "reply_reciprocity": ET.reply_reciprocity_oracle_sql(),
         "reply_latency_stats": ET.reply_latency_stats_oracle_sql(),
+        "triad_census": "WITH "
+        + ET.transcripts_cte_sql()
+        + """,
+    lagged AS (
+        SELECT LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS src,
+               role AS dst
+        FROM transcripts
+    ),
+    dedges AS (
+        SELECT DISTINCT src, dst FROM lagged
+        WHERE src IS NOT NULL AND src <> dst
+    ),
+    wedges AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM dedges e1 JOIN dedges e2 ON e1.dst = e2.src
+        WHERE e1.src <> e2.dst
+    )
+    SELECT
+        (SELECT COUNT(*)::BIGINT FROM wedges w
+         JOIN dedges e ON e.src = w.c AND e.dst = w.a
+         WHERE w.a < w.b AND w.a < w.c) AS n_cyclic,
+        (SELECT COUNT(*)::BIGINT FROM wedges w
+         JOIN dedges e ON e.src = w.a AND e.dst = w.c) AS n_transitive""",
         "actor_scc": "WITH RECURSIVE "
         + ET.transcripts_cte_sql()
         + """,

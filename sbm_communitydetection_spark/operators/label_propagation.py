@@ -79,10 +79,14 @@ def lpa_superstep(
         .agg(F.sum("weight").alias("score"))
     )
     if variant == "plain":
+        # argmax score, min-label tie-break, as ONE min(struct): negate the
+        # score, not the label, so string labels work too
         best = scores.groupBy("src").agg(
-            F.max(F.struct(F.col("score"), (-F.col("nbr_label")).alias("neg_label"))).alias("m")
+            F.min(
+                F.struct((-F.col("score")).alias("neg_score"), F.col("nbr_label").alias("lbl"))
+            ).alias("m")
         )
-        best = best.select(F.col("src").alias("id"), (-F.col("m.neg_label")).alias("best_label"))
+        best = best.select(F.col("src").alias("id"), F.col("m.lbl").alias("best_label"))
         return labels.join(best.hint("SHUFFLE_HASH"), "id", "left").select(
             "id", F.coalesce("best_label", "label").alias("label")
         )
@@ -92,13 +96,15 @@ def lpa_superstep(
         scores.join(cur, "src")
         .groupBy("src")
         .agg(
-            F.max(F.struct(F.col("score"), (-F.col("nbr_label")).alias("neg_label"))).alias("m"),
+            F.min(
+                F.struct((-F.col("score")).alias("neg_score"), F.col("nbr_label").alias("lbl"))
+            ).alias("m"),
             F.max(F.when(F.col("nbr_label") == F.col("cur_label"), F.col("score"))).alias("own_score"),
         )
         .select(
             F.col("src").alias("id"),
-            (-F.col("m.neg_label")).alias("best_label"),
-            F.col("m.score").alias("best_score"),
+            F.col("m.lbl").alias("best_label"),
+            (-F.col("m.neg_score")).alias("best_score"),
             "own_score",
         )
     )
@@ -215,11 +221,14 @@ def label_propagation(
                 scores.repartition("src")
                 .groupBy("src")
                 .agg(
-                    F.max(
-                        F.struct(F.col("score"), (-F.col("nbr_label")).alias("neg_label"))
+                    F.min(
+                        F.struct(
+                            (-F.col("score")).alias("neg_score"),
+                            F.col("nbr_label").alias("lbl"),
+                        )
                     ).alias("m")
                 )
-                .select(F.col("src").alias("id"), (-F.col("m.neg_label")).alias("best_label"))
+                .select(F.col("src").alias("id"), F.col("m.lbl").alias("best_label"))
             )
             new = state.join(best.hint("SHUFFLE_HASH"), "id", "left").select(
                 "id", F.coalesce("best_label", "label").alias("label")

@@ -97,3 +97,47 @@ def triangle_counts_per_vertex(edges: DataFrame, vertices: DataFrame | None = No
     return ids.join(counts, "id", "left").select(
         "id", F.coalesce("tri_count", F.lit(0)).cast("long").alias("tri_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# directed triad motifs (cyclic vs transitive closed triples)
+# ---------------------------------------------------------------------------
+
+
+def directed_triad_census(edges: DataFrame) -> DataFrame:
+    """One row (n_cyclic, n_transitive) — closed directed triple counts
+    over the simple digraph (distinct src→dst, self-loops dropped):
+
+    * cyclic: a→b→c→a; each 3-cycle has 3 rotations, counted once by
+      pinning a = min of the triple.
+    * transitive (feed-forward): a→b, b→c, a→c with a,b,c distinct; the
+      (source, middle, sink) roles make each instance unique already.
+
+    The cyclic:transitive ratio is the classic reciprocity-of-flow motif
+    signature of a reply digraph (feed-forward-heavy = broadcast
+    hierarchies; cycle-heavy = conversational loops).
+
+    Two keyed self-joins on the distinct edge list — the digraph
+    analogue of the wedge formulation in triangle_list. Degree-ordered
+    orientation does not apply to directed motifs, so hub wedges are the
+    cost driver; at 100 TB pre-filter hubs by out-degree cap (the
+    linkpred.py guard) or census a uniform edge sample."""
+    d = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    e1 = d.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = d.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e_ca = d.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    wedges = e1.join(e2, "b").filter(F.col("a") != F.col("c"))
+    cyc = (
+        wedges.join(e_ca, ["c", "a"])
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    e_ac = d.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tra = wedges.join(e_ac, ["a", "c"]).agg(F.count("*").cast("long").alias("n"))
+    return cyc.select(F.col("n").alias("n_cyclic")).crossJoin(
+        tra.select(F.col("n").alias("n_transitive"))
+    )

@@ -440,3 +440,26 @@ def test_scc_string_keys_and_empty(spark):
     e = spark.createDataFrame([("b", "a"), ("a", "b"), ("b", "c")], "src string, dst string")
     got = {r.id: r.scc for r in strongly_connected_components(spark, e).collect()}
     assert got == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_directed_triad_census(spark):
+    from sbm_communitydetection_spark.operators.triangles import directed_triad_census
+
+    # one 3-cycle (1,2,3), one feed-forward triangle (4->5, 5->6, 4->6),
+    # and a reciprocal pair (7<->8) that closes nothing
+    e = _directed(
+        spark,
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (4, 6), (7, 8), (8, 7)],
+    )
+    row = directed_triad_census(e).collect()[0]
+    assert (row.n_cyclic, row.n_transitive) == (1, 1)
+
+
+def test_directed_triad_census_reciprocal_triangle(spark):
+    from sbm_communitydetection_spark.operators.triangles import directed_triad_census
+
+    # fully reciprocal triangle: every orientation present ->
+    # 2 directed 3-cycles and 6 transitive triples
+    pairs = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
+    row = directed_triad_census(_directed(spark, pairs)).collect()[0]
+    assert (row.n_cyclic, row.n_transitive) == (2, 6)
