@@ -36,9 +36,11 @@ from sbm_communitydetection_spark.operators.kcore import (  # noqa: E402
     k_truss_unrolled_sql as _ktruss_sql,
 )
 from sbm_communitydetection_spark.operators.walks import (  # noqa: E402
+    neighbor_sample_sql as _nbrsample_sql,
     random_walks_sql as _walks_sql,
 )
 from sbm_communitydetection_spark.operators.sssp import (  # noqa: E402
+    distance_profile_sql as _distprof_sql,
     harmonic_centrality_sql as _harm_sql,
     shortest_paths_sql as _sssp_sql,
 )
@@ -271,6 +273,30 @@ def _q_random_walks(spark, sf_dir):
         walks_per_vertex=WALKS_PER_VERTEX,
         length=WALK_LENGTH,
     )
+
+
+NEIGHBOR_FANOUT = 3
+
+
+def _q_neighbor_sample(spark, sf_dir):
+    """Deterministic GraphSAGE-style fanout sampling: every vertex keeps
+    NEIGHBOR_FANOUT neighbors by portable-hash priority — bounded
+    minibatch adjacency for GNN training."""
+    from sbm_communitydetection_spark.operators.walks import neighbor_sample
+
+    return neighbor_sample(lineitem_edges(spark, sf_dir), fanout=NEIGHBOR_FANOUT)
+
+
+def _q_distance_profile(spark, sf_dir):
+    """Sampled reachability profile (effective-diameter read-off) from
+    the SSSP landmark set."""
+    from sbm_communitydetection_spark.operators.sssp import distance_profile
+
+    edges = lineitem_edges(spark, sf_dir)
+    srcs = edges.select(F.col("src").alias("id")).distinct().filter(
+        F.pmod(F.col("id"), F.lit(SSSP_SRC_MOD)) == 0
+    )
+    return distance_profile(spark, edges, srcs, rounds=SSSP_ROUNDS)
 
 
 def _q_assortativity(spark, sf_dir):
@@ -979,6 +1005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harmonic_centrality": _q_harmonic_centrality,
         "betweenness_approx": _q_betweenness,
         "random_walks": _q_random_walks,
+        "neighbor_sample": _q_neighbor_sample,  # GNN fanout sampling
+        "distance_profile": _q_distance_profile,  # effective-diameter profile
         "degree_assortativity": _q_assortativity,
         "label_propagation_fixed_iters": _q_lpa,
         "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
@@ -1101,6 +1129,8 @@ FROM deg GROUP BY bucket""",
         "random_walks": edges_cte
         + ",\n"
         + _walks_sql(WALK_START_MOD, WALKS_PER_VERTEX, WALK_LENGTH),
+        "neighbor_sample": edges_cte + ",\n" + _nbrsample_sql(NEIGHBOR_FANOUT),
+        "distance_profile": edges_cte + ",\n" + _distprof_sql(SSSP_ROUNDS, SSSP_SRC_MOD),
         "degree_assortativity": edges_cte
         + """,
 nbrs AS (SELECT src, dst FROM edges WHERE src <> dst),

@@ -20,7 +20,7 @@ unrolled DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.iterate import (
@@ -229,3 +229,51 @@ def shortest_paths_sql(rounds: int, src_mod: int) -> str:
 )"""
         )
     return ",\n".join(parts) + f"\nSELECT id, dist FROM s{rounds}"
+
+
+def distance_profile(
+    spark: SparkSession,
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    driver: IterationDriver | None = None,
+) -> DataFrame:
+    """(dist, n_pairs, cum_frac) — hop/weight-distance distribution over
+    the sampled landmark×vertex pairs, with the cumulative fraction.
+    The sampled EFFECTIVE DIAMETER d_q reads off directly (smallest
+    dist with cum_frac >= q, classically q=0.9) — the reachability
+    profile behind "how many supersteps does a frontier algorithm
+    need" capacity planning.
+
+    All the work is landmark_distances; the profile itself is one tiny
+    aggregate (|distinct distances| ≤ rounds·max_weight rows) and a
+    single-partition cumulative window over it."""
+    d = landmark_distances(spark, edges, sources, rounds, driver=driver)
+    hist = d.groupBy("dist").agg(F.count("*").cast("long").alias("n_pairs"))
+    cum = Window.orderBy("dist").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "dist",
+        "n_pairs",
+        F.round(F.sum("n_pairs").over(cum) / F.sum("n_pairs").over(tot), 6).alias(
+            "cum_frac"
+        ),
+    )
+
+
+def distance_profile_sql(rounds: int, src_mod: int) -> str:
+    """DuckDB twin of distance_profile over the `edges` CTE."""
+    body = landmark_distances_sql(rounds, src_mod)
+    ctes, _ = body.rsplit("\nSELECT", 1)
+    return (
+        ctes
+        + f""",
+    hist AS (SELECT dist, COUNT(*)::BIGINT AS n_pairs FROM d{rounds} GROUP BY dist)
+SELECT dist, n_pairs,
+       ROUND(CAST(SUM(n_pairs) OVER (ORDER BY dist
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(n_pairs) OVER () AS DOUBLE), 6) AS cum_frac
+FROM hist"""
+    )

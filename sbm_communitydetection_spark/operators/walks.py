@@ -152,3 +152,55 @@ def random_walks_sql(start_mod: int, walks_per_vertex: int, length: int) -> str:
         for s in range(0, length + 1)
     )
     return ",\n".join(parts) + f"\n{unions}"
+
+
+# ---------------------------------------------------------------------------
+# deterministic neighbor sampling (minibatch-GNN fanout)
+# ---------------------------------------------------------------------------
+
+
+def neighbor_sample(edges: DataFrame, fanout: int, seed: int = 0) -> DataFrame:
+    """(src, dst, sample_rank) — GraphSAGE-style per-vertex neighbor
+    sampling: every vertex keeps ``fanout`` neighbors chosen by a
+    portable hash priority md5_60(seed:src:dst) — a uniform sample
+    without replacement that is reproducible, partition-independent,
+    and bit-identical in the DuckDB oracle (same trick as the walk
+    sampler above). The sampled adjacency is O(V·fanout) rows — the
+    bounded minibatch input GNN training needs regardless of hub
+    degrees; re-seed per epoch for fresh samples.
+
+    One (src,dst) distinct + one src-keyed window top-k (rank, not a
+    global sort); rides the same hash(src) exchange as every other
+    per-vertex op here."""
+    nbrs = (
+        edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    pri = md5_long(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+        )
+    )
+    win = Window.partitionBy("src").orderBy(pri.asc(), F.col("dst").asc())
+    return (
+        nbrs.withColumn("sample_rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("sample_rank") <= fanout)
+    )
+
+
+def neighbor_sample_sql(fanout: int, seed: int = 0) -> str:
+    """DuckDB twin of neighbor_sample over the `edges` CTE."""
+    pri = md5_long_sql(
+        f"'{seed}' || ':' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+    )
+    return f"""
+    nbrs AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    ranked AS (
+        SELECT src, dst,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY {pri} ASC, dst ASC) AS rn
+        FROM nbrs
+    )
+    SELECT src, dst, rn::INT AS sample_rank FROM ranked WHERE rn <= {fanout}
+    """

