@@ -89,3 +89,48 @@ def test_co_partitioned_state_update_join_is_exchange_free(spark, adj):
         assert physical_exchange_count(plan) == 2
     finally:
         unpersist_checkpoint(state)
+
+
+def test_conv_influence_broadcasts_rank_side(spark):
+    """The actor-rank side of conv_influence must broadcast: the turn
+    table is the 10^12-row side and may only be touched by scan +
+    hash-aggregate."""
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import conv_influence
+
+    t0 = dt.datetime(2026, 1, 1)
+    t = spark.createDataFrame(
+        [("c1", 0, "a", "x", None, t0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    ranks = spark.createDataFrame([("a", 1.0)], "id string, rank double")
+    plan = conv_influence(t, ranks)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_decontamination_probe_is_broadcast(spark):
+    """The benchmark shingle set must broadcast — the training-side
+    inverted index may never shuffle on the shingle."""
+    from sbm_communitydetection_spark.textops.dedup import decontamination_flags
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "g h i j k l")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    plan = (
+        decontamination_flags(docs, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_is_exchange_free(spark):
+    """pii_scrub is a pure per-row map: zero exchanges, rides the scan."""
+    from sbm_communitydetection_spark.textops.analysis import pii_scrub
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    assert physical_exchange_count(pii_scrub(docs)) == 0
