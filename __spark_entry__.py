@@ -937,6 +937,18 @@ def _q_ivf_topk(spark, sf_dir):
     return TS.ivf_topk(_embs(spark, sf_dir), ANN_K)
 
 
+def _q_quantize_embeddings(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding store
+    (4x compression for the ANN path) with the reconstruction audit.
+    Codes are pos-exploded for the gate (the value hash stringifies
+    array cells engine-dependently); the operator itself returns the
+    array column."""
+    q = TS.quantize_embeddings(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id", "scale", "max_abs_err", F.posexplode("codes").alias("pos", "code")
+    )
+
+
 # -- training-data pipeline: text analysis ----------------------------------
 
 
@@ -1076,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,  # redaction pass + audit counts
         # training-data pipeline: similarity search
         "ann_cosine_topk": _q_ann_topk,
+        "embedding_quantize": _q_quantize_embeddings,  # int8 vector compression
         "ann_ivf_topk": _q_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "token_stats": _q_token_stats,
@@ -1343,6 +1356,11 @@ WITH injected AS (
         + TA.pii_scrub_sql("injected"),
         # training-data pipeline: similarity search
         "ann_cosine_topk": TS.cosine_topk_sql(k=ANN_K),
+        "embedding_quantize": "SELECT vec_id, scale, max_abs_err,"
+        " CAST(generate_subscripts(codes, 1) - 1 AS INT) AS pos,"
+        " unnest(codes) AS code FROM ("
+        + TS.quantize_embeddings_sql()
+        + ") qq",
         "ann_ivf_topk": TS.ivf_topk_sql(k=ANN_K),
         # training-data pipeline: text analysis + multimodal plumbing
         "token_stats": TA.token_stats_sql(),

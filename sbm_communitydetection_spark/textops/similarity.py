@@ -241,3 +241,62 @@ def ivf_topk_sql(table: str = "embeddings", k: int = 5, dim: int = IVF_DIM) -> s
     )
     SELECT vec_id, neighbor_id, rank, cos FROM ranked WHERE rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (vector compression for the 100 TB embedding store)
+# ---------------------------------------------------------------------------
+
+
+def quantize_embeddings(embs: DataFrame, round_to: int = 6) -> DataFrame:
+    """(vec_id, scale, codes, max_abs_err) — symmetric per-vector int8
+    quantization: scale = max|x| / 127, code_i = floor(x_i/scale + 0.5)
+    (round-half-up spelled as floor so Spark and DuckDB agree exactly;
+    all arithmetic forced to double for bit-identical boundaries).
+    4x storage reduction for the ANN store; max_abs_err is the per-vector
+    reconstruction audit (≤ scale/2 by construction).
+
+    Pure per-row JVM array math (higher-order functions, no Python, no
+    shuffle) — rides the scan like the other textops maps."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.aggregate(
+        vec, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = max_abs / F.lit(127.0)
+    codes = F.when(scale > 0, F.transform(
+        vec, lambda x: F.floor(x / scale + F.lit(0.5)).cast("int")
+    )).otherwise(F.transform(vec, lambda x: F.lit(0)))
+    err = F.when(scale > 0, F.aggregate(
+        F.zip_with(vec, codes, lambda x, c: F.abs(x - c.cast("double") * scale)),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )).otherwise(F.lit(0.0))
+    return embs.select(
+        "vec_id",
+        F.round(scale, round_to).alias("scale"),
+        codes.alias("codes"),
+        F.round(err, round_to).alias("max_abs_err"),
+    )
+
+
+def quantize_embeddings_sql(table: str = "embeddings", round_to: int = 6) -> str:
+    """DuckDB twin of quantize_embeddings (same double-forced math)."""
+    vec = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    max_abs = f"list_max(list_transform({vec}, x -> abs(x)))"
+    return f"""
+    WITH q AS (
+        SELECT vec_id, {vec} AS v, {max_abs} / 127.0 AS scale
+        FROM {table}
+    )
+    SELECT vec_id,
+           ROUND(scale, {round_to}) AS scale,
+           CASE WHEN scale > 0
+                THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+                ELSE list_transform(v, x -> 0) END AS codes,
+           CASE WHEN scale > 0
+                THEN ROUND(list_max(list_transform(v,
+                         x -> abs(x - CAST(floor(x / scale + 0.5) AS DOUBLE) * scale))),
+                     {round_to})
+                ELSE 0.0 END AS max_abs_err
+    FROM q
+    """

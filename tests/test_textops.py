@@ -335,3 +335,17 @@ def test_pii_scrub(spark):
     # 5-digit run is below the threshold; no email
     assert got[1].n_emails == 0 and got[1].n_long_numbers == 0
     assert got[1].text_scrubbed == "short 12345 stays but email-less"
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    embs = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.0, 0.254]), (1, [0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r for r in TS.quantize_embeddings(embs).collect()}
+    r0 = got[0]
+    assert r0.scale == pytest.approx(1.0 / 127, abs=1e-6)
+    assert r0.codes == [127, -63, 0, 32]  # -0.5/s = -63.5 -> floor(-63.0) after +0.5
+    assert r0.max_abs_err <= r0.scale / 2 + 1e-9
+    # all-zero vector: scale 0, zero codes, zero error
+    assert got[1].scale == 0.0 and got[1].codes == [0, 0] and got[1].max_abs_err == 0.0
