@@ -591,6 +591,21 @@ def _q_conv_influence(spark, sf_dir):
     return conv_influence(events_transcripts(spark, sf_dir), ranks)
 
 
+TOPK_CONVS = 25
+
+
+def _q_conv_keep_topk(spark, sf_dir):
+    """The keep DECISION on top of conv_influence: top-K conversations by
+    influence (deterministic conv_id tie-break). orderBy+limit compiles
+    to TakeOrdered — per-partition top-K then a K-row driver merge, no
+    global sort at any scale."""
+    return (
+        _q_conv_influence(spark, sf_dir)
+        .orderBy(F.desc("influence"), "conv_id")
+        .limit(TOPK_CONVS)
+    )
+
+
 def _q_session_stats(spark, sf_dir):
     """Time-gap sessionization (gap > SESSION_GAP_MS splits) + per-session
     rollup — the interaction-log preprocessing step (axis B)."""
@@ -1042,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reply_latency_stats": _q_reply_latency_stats,  # per-pair reply latency
         "tool_cooccurrence": _q_tool_cooccurrence,  # tool-affinity edge table
         "conv_influence": _q_conv_influence,  # PR-weighted conversation scoring
+        "conv_keep_topk": _q_conv_keep_topk,  # influence keep decision (top-K)
         "actor_scc": _q_actor_scc,  # directed mutual-reply cores
         "actor_lpa": _q_actor_lpa,  # extract→graph→LPA composition
         "triad_census": _q_triad_census,  # cyclic vs feed-forward motifs
@@ -1256,6 +1272,16 @@ FROM s""",
 SELECT t.conv_id, ROUND(SUM(r.rank), 6) AS influence
 FROM transcripts t JOIN ranks r ON t.role = r.id
 GROUP BY t.conv_id""",
+        "conv_keep_topk": "WITH "
+        + ET.actor_edges_cte_sql()
+        + ",\n"
+        + O.pagerank_unrolled_sql(PR_ITERS, final_cte="ranks")
+        + """
+SELECT t.conv_id, ROUND(SUM(r.rank), 6) AS influence
+FROM transcripts t JOIN ranks r ON t.role = r.id
+GROUP BY t.conv_id
+ORDER BY influence DESC, conv_id LIMIT """
+        + str(TOPK_CONVS),
         "transcript_token_stats": "WITH "
         + ET.transcripts_cte_sql()
         + ",\nturn_docs AS (SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) AS doc_id,"
