@@ -663,6 +663,16 @@ def _q_actor_lpa(spark, sf_dir):
     return res.state.select("id", "label")
 
 
+COMM_REPS_K = 3
+
+
+def _q_community_reps(spark, sf_dir):
+    """Community summarization: top-K members per community by weighted
+    degree (label-partitioned window rank, no global sort)."""
+    edges = lineitem_edges(spark, sf_dir)
+    return G.community_representatives(edges, derived_labels(edges), k=COMM_REPS_K)
+
+
 def _q_community_stats(spark, sf_dir):
     edges = lineitem_edges(spark, sf_dir)
     return G.community_stats(edges, derived_labels(edges)).select("label", "e_in", "e_out", "size")
@@ -1069,6 +1079,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_neighbor_weights": _q_salted_a8,  # A8 via skew path
         # graph DML / coarsening
         "community_stats": _q_community_stats,  # A4/A6
+        "community_representatives": _q_community_reps,  # top-K per community
         "conductance": _q_conductance,
         "graph_summary": _q_graph_summary,
         "coarsen": _q_coarsen,  # C1
@@ -1300,6 +1311,20 @@ FROM edges e JOIN labels l ON e.dst = l.id
 GROUP BY e.src, l.label""",
         # graph DML / coarsening
         "community_stats": edges_cte + ",\n" + O.community_stats_sql(N_LABELS),
+        "community_representatives": edges_cte
+        + f""",
+labels AS (
+    SELECT src AS id, CAST(src % {N_LABELS} AS BIGINT) AS label
+    FROM (SELECT DISTINCT src FROM edges)
+),
+deg AS (SELECT src AS id, SUM(weight)::BIGINT AS degree FROM edges GROUP BY src),
+ranked AS (
+    SELECT l.label, l.id, d.degree,
+           ROW_NUMBER() OVER (PARTITION BY l.label
+                              ORDER BY d.degree DESC, l.id ASC) AS rn
+    FROM labels l JOIN deg d ON l.id = d.id
+)
+SELECT label, id, degree, rn::INT AS rank FROM ranked WHERE rn <= {COMM_REPS_K}""",
         "conductance": edges_cte
         + ",\n"
         + O.community_stats_sql(N_LABELS).rsplit("SELECT", 1)[0]

@@ -364,3 +364,26 @@ def graph_summary(edges: DataFrame) -> DataFrame:
             / (F.count("*").cast("double") * (F.count("*") - 1))
         ).alias("density"),
     )
+
+
+def community_representatives(
+    edges: DataFrame, labels: DataFrame, k: int
+) -> DataFrame:
+    """(label, id, degree, rank) — the top-k members of every community
+    by weighted degree (deterministic id tie-break): the community
+    SUMMARIZATION step (representative actors per detected community)
+    that reporting/downstream sampling runs after any detection pass.
+
+    One id-keyed join + one label-partitioned window top-k — the window
+    ranks within hash(label) partitions, no global sort; output is
+    O(k·|communities|) rows."""
+    from pyspark.sql import Window
+
+    deg = weighted_degree(edges)
+    win = Window.partitionBy("label").orderBy(F.desc("degree"), F.col("id").asc())
+    return (
+        labels.join(deg, "id")
+        .withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("label", "id", "degree", "rank")
+    )

@@ -492,3 +492,20 @@ def test_distance_profile_path_graph(spark):
     srcs = spark.createDataFrame([(0,)], "id long")
     rows = {r.dist: (r.n_pairs, r.cum_frac) for r in distance_profile(spark, e, srcs, rounds=3).collect()}
     assert rows == {0.0: (1, 0.25), 1.0: (1, 0.5), 2.0: (1, 0.75), 3.0: (1, 1.0)}
+
+
+def test_community_representatives(spark):
+    from sbm_communitydetection_spark.operators.graph_ops import (
+        community_representatives,
+    )
+
+    # community 0 = {1,2,3} (3 is the hub), community 1 = {4,5}
+    e = _edges(spark, [(1, 3), (2, 3), (3, 4), (4, 5)])
+    labels = _labels_df(spark, {1: 0, 2: 0, 3: 0, 4: 1, 5: 1})
+    got = [
+        (r.label, r.id, r.rank)
+        for r in community_representatives(e, labels, k=2)
+        .orderBy("label", "rank")
+        .collect()
+    ]
+    assert got == [(0, 3, 1), (0, 1, 2), (1, 4, 1), (1, 5, 2)]
