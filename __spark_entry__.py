@@ -664,6 +664,15 @@ def _q_actor_lpa(spark, sf_dir):
 
 
 COMM_REPS_K = 3
+EDGE_SAMPLE_PERMILLE = 200
+
+
+def _q_edge_sample(spark, sf_dir):
+    """Deterministic uniform edge sampling (the documented lever for
+    heavy motif queries) — portable-hash permille filter, no shuffle."""
+    return G.sample_edges(
+        lineitem_edges(spark, sf_dir), permille=EDGE_SAMPLE_PERMILLE
+    ).select("src", "dst", "weight")
 
 
 def _q_community_reps(spark, sf_dir):
@@ -1080,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph DML / coarsening
         "community_stats": _q_community_stats,  # A4/A6
         "community_representatives": _q_community_reps,  # top-K per community
+        "edge_sample": _q_edge_sample,  # deterministic uniform edge sample
         "conductance": _q_conductance,
         "graph_summary": _q_graph_summary,
         "coarsen": _q_coarsen,  # C1
@@ -1311,6 +1321,11 @@ FROM edges e JOIN labels l ON e.dst = l.id
 GROUP BY e.src, l.label""",
         # graph DML / coarsening
         "community_stats": edges_cte + ",\n" + O.community_stats_sql(N_LABELS),
+        "edge_sample": edges_cte
+        + f"""
+SELECT src, dst, weight FROM edges
+WHERE CAST(concat('0x', substr(md5('0' || ':' || CAST(src AS VARCHAR) || ':'
+      || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < {EDGE_SAMPLE_PERMILLE}""",
         "community_representatives": edges_cte
         + f""",
 labels AS (

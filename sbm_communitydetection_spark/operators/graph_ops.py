@@ -387,3 +387,23 @@ def community_representatives(
         .filter(F.col("rank") <= k)
         .select("label", "id", "degree", "rank")
     )
+
+
+def sample_edges(edges: DataFrame, permille: int, seed: int = 0) -> DataFrame:
+    """Deterministic uniform edge sample: keep an edge iff
+    md5_60(seed:src:dst) % 1000 < permille — RNG-free, reproducible,
+    partition-independent (the same portable-hash trick as the walk /
+    neighbor samplers), so sampled-estimator queries (triad census,
+    wedge counts) are oracle-checkable and stable run-to-run.
+    Pure per-row filter on the scan — no shuffle."""
+    from ..textops.portable import md5_long
+
+    pri = md5_long(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.col("src").cast("string"),
+            F.col("dst").cast("string"),
+        )
+    )
+    return edges.filter(F.pmod(pri, F.lit(1000)) < permille)
