@@ -736,42 +736,72 @@ def _q_edge_lookup(spark, sf_dir):
     return G.edge_weight_lookup(edges, probes).select("src", "dst", "weight")
 
 
-# -- composite algorithm drivers (D1/D3; driver-side control flow, no SQL
-# oracle — the driver records the weaker rows-only check for these) ---------
+# -- composite algorithm drivers (D1/D3/§2.10) gated on exact recovery ------
+# The drivers themselves are not SQL-expressible, but on a strongly-
+# separated planted-partition graph they recover the planted blocks
+# EXACTLY, and after canonical relabel (C4) the truth is closed-form
+# (sources/planted.py) — so the gate compares against a real DuckDB
+# oracle instead of the r1/r2 rows-only check.  Workload-scale coverage
+# of the same drivers lives in pytest (test_louvain, test_fm_refinement,
+# test_streaming) and the bench.
+
+from sbm_communitydetection_spark.sources.planted import (  # noqa: E402
+    planted_truth_sql as _planted_sql,
+)
+
+PLANTED_N = 60
+PLANTED_K = 3
+PLANTED_P_IN_PM = 900
+PLANTED_P_OUT_PM = 40
+FM_N = 40
+# BALANCED flip set (two nodes each direction): the FM kernel exchanges
+# one node per side per swap, so side sizes are invariant — an unbalanced
+# flip set would make the planted 20/20 partition unreachable.
+FM_FLIPS = (3, 8, 15, 20)
 
 
 def _q_louvain(spark, sf_dir):
-    """DCD/Louvain multi-level modularity optimization (D1)."""
+    """DCD/Louvain multi-level modularity optimization (D1): exact planted
+    recovery on the strong-separation config (scripts/overall_run.cpp:24-43
+    semantics)."""
     from sbm_communitydetection_spark.operators.louvain import louvain
+    from sbm_communitydetection_spark.sources.planted import planted_partition
 
-    res = louvain(spark, lineitem_edges(spark, sf_dir), max_levels=2, max_sweeps=6)
+    _, edges = planted_partition(spark, PLANTED_N, PLANTED_K, PLANTED_P_IN_PM, PLANTED_P_OUT_PM)
+    res = louvain(spark, edges, max_levels=3, max_sweeps=12)
     return res.labels.select("id", "label")
 
 
 def _q_fm_refine(spark, sf_dir):
-    """ACD 2-way FM refinement (D3) of the derived 2-community partition."""
+    """ACD 2-way FM refinement (D3): starting from the planted 2-partition
+    with a deterministic set of flipped nodes, one FM pass must move
+    exactly the flipped nodes back (strong separation ⇒ the best move
+    prefix is the flip set)."""
     from sbm_communitydetection_spark.operators.fm_refinement import fm_refine
+    from sbm_communitydetection_spark.sources.planted import planted_partition
 
-    edges = lineitem_edges(spark, sf_dir)
-    labels = derived_labels(edges, 2)
+    verts, edges = planted_partition(spark, FM_N, 2, PLANTED_P_IN_PM, PLANTED_P_OUT_PM)
+    start = verts.select(
+        "id",
+        F.when(F.col("id").isin(*FM_FLIPS), 1 - F.col("label"))
+        .otherwise(F.col("label"))
+        .cast("long")
+        .alias("label"),
+    )
     pairs = spark.createDataFrame([(0, 1)], "label_a long, label_b long")
-    return fm_refine(spark, edges, labels, pairs).select("id", "label")
+    return fm_refine(spark, edges, start, pairs).select("id", "label")
 
 
 def _q_stream_lpa(spark, sf_dir):
-    """Batched edge-stream community tracking (§2.10) over an ordered
-    lineitem-derived stream; returns the final partition."""
+    """Batched edge-stream community tracking (§2.10): the final partition
+    after consuming the planted graph's edge stream equals the planted
+    partition (canonical relabel C4)."""
+    from sbm_communitydetection_spark.sources.planted import planted_edge_stream
     from sbm_communitydetection_spark.streaming.stream_driver import stream_community_detection
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    stream = li.select(
-        F.pmod(F.col("l_orderkey"), F.lit(1000)).cast("long").alias("src"),
-        F.pmod(F.col("l_partkey"), F.lit(1000)).cast("long").alias("dst"),
-        F.lit(1).cast("long").alias("weight"),
-        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias("edge_seq"),
-    ).filter(F.col("src") != F.col("dst"))
-    res = stream_community_detection(spark, stream, n_batches=2, supersteps_per_batch=3)
-    return res.labels.select("id", "label")
+    stream = planted_edge_stream(spark, PLANTED_N, PLANTED_K, PLANTED_P_IN_PM, PLANTED_P_OUT_PM)
+    res = stream_community_detection(spark, stream, n_batches=2, supersteps_per_batch=10)
+    return G.canonical_relabel(res.labels).select("id", "label")
 
 
 # -- skew path (salted join/aggregate — oracle = the PLAIN aggregation) -----
@@ -1034,62 +1064,22 @@ def _q_multimodal_features(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.13 plus
-    the training-data pipeline ops (textops/)."""
+    the training-data pipeline ops (textops/).
+
+    ORDERING CONTRACT (VERDICT r2 #1): the round driver records oracle
+    rows for only the FIRST 50 entries, so entries are ordered by
+    evidence need — (a) queries whose oracle/gate is NEW this round,
+    (b) queries never yet driver-checked (r2 positions 51-95), (c) two
+    headline perf canaries touched by this round's optimization work,
+    then (d) the long-green remainder (driver-verified in r1/r2).
+    Rotate per round as coverage shifts."""
     return {
-        # graph core + north-star algorithms
-        "edge_extract_symmetrize": _q_edges,  # G2/G3
-        "weighted_degree": _q_degree,  # A1
-        "degree_histogram": _q_degree_histogram,  # skew probe
-        "total_edges": _q_total_edges,  # G10/A2
-        "pagerank_fixed_iters": _q_pagerank,
-        "personalized_pagerank": _q_personalized_pagerank,
-        "hits_fixed_iters": _q_hits,
-        "local_clustering": _q_local_clustering,
-        "adamic_adar": _q_adamic_adar,
-        "jaccard_linkpred": _q_jaccard,
-        "sssp_multi_source": _q_sssp,
-        "harmonic_centrality": _q_harmonic_centrality,
-        "betweenness_approx": _q_betweenness,
-        "random_walks": _q_random_walks,
-        "neighbor_sample": _q_neighbor_sample,  # GNN fanout sampling
-        "distance_profile": _q_distance_profile,  # effective-diameter profile
-        "degree_assortativity": _q_assortativity,
-        "label_propagation_fixed_iters": _q_lpa,
-        "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
-        "connected_components": _q_components,
-        "k_core": _q_k_core,  # fixed-round peel (gate parity mode)
-        "k_truss": _q_k_truss,  # fixed-round edge-support peel
-        "triangle_count": _q_triangle_count,
-        "triangles_per_vertex": _q_triangles_per_vertex,
-        "r_hop_neighborhood": _q_r_hop,  # T6 radius-bounded BFS
-        # transcript extraction (input_hint pipeline)
-        "transcript_reply_edges": _q_transcript_edges,  # extract.py end-to-end
-        "transcript_turn_text": _q_turn_text,  # per-turn text equality
-        "conv_stats": _q_conv_stats,
-        "decayed_reply_edges": _q_decayed_reply_edges,  # per-conversation rollup
-        "role_transitions": _q_role_transitions,  # who-replies-to-whom counts
-        "user_influence": _q_user_influence,  # extract→graph→PageRank composition
-        "session_stats": _q_session_stats,  # time-gap sessionization rollup
-        "transcript_structural_dups": _q_transcript_structural_dups,  # templated convs
-        "reply_reciprocity": _q_reply_reciprocity,  # mutual-vs-broadcast scalar
-        "transcript_token_stats": _q_transcript_token_stats,  # per-turn token budget
-        "reply_latency_stats": _q_reply_latency_stats,  # per-pair reply latency
-        "tool_cooccurrence": _q_tool_cooccurrence,  # tool-affinity edge table
-        "conv_influence": _q_conv_influence,  # PR-weighted conversation scoring
-        "conv_keep_topk": _q_conv_keep_topk,  # influence keep decision (top-K)
-        "actor_scc": _q_actor_scc,  # directed mutual-reply cores
-        "actor_lpa": _q_actor_lpa,  # extract→graph→LPA composition
-        "triad_census": _q_triad_census,  # cyclic vs feed-forward motifs
-        "actor_communities": _q_actor_communities,  # extract→graph→CC composition
-        # composite drivers + skew path
-        "louvain_communities": _q_louvain,  # D1 (rows-only check)
-        "fm_refine_pair": _q_fm_refine,  # D3 (rows-only check)
-        "stream_lpa": _q_stream_lpa,  # §2.10 (rows-only check)
-        "salted_neighbor_weights": _q_salted_a8,  # A8 via skew path
-        # graph DML / coarsening
-        "community_stats": _q_community_stats,  # A4/A6
-        "community_representatives": _q_community_reps,  # top-K per community
-        "edge_sample": _q_edge_sample,  # deterministic uniform edge sample
+        # (a) new-this-round oracles: planted exact-recovery gates replace
+        # the rows-only checks for the composite drivers
+        "louvain_communities": _q_louvain,  # D1
+        "fm_refine_pair": _q_fm_refine,  # D3
+        "stream_lpa": _q_stream_lpa,  # §2.10
+        # (b) never driver-checked (r2 CORRECTNESS window ended at 50)
         "conductance": _q_conductance,
         "graph_summary": _q_graph_summary,
         "coarsen": _q_coarsen,  # C1
@@ -1139,6 +1129,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize_meta": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
+        # (c) headline perf canaries — CC contraction + PR crossover work
+        # lands this round; keep their correctness under the hard signal
+        "connected_components": _q_components,
+        "pagerank_fixed_iters": _q_pagerank,
+        # ---------------- driver window (50) ends here ----------------
+        # (d) long-green remainder: driver-verified in r1/r2
+        "edge_extract_symmetrize": _q_edges,  # G2/G3
+        "weighted_degree": _q_degree,  # A1
+        "degree_histogram": _q_degree_histogram,  # skew probe
+        "total_edges": _q_total_edges,  # G10/A2
+        "personalized_pagerank": _q_personalized_pagerank,
+        "hits_fixed_iters": _q_hits,
+        "local_clustering": _q_local_clustering,
+        "adamic_adar": _q_adamic_adar,
+        "jaccard_linkpred": _q_jaccard,
+        "sssp_multi_source": _q_sssp,
+        "harmonic_centrality": _q_harmonic_centrality,
+        "betweenness_approx": _q_betweenness,
+        "random_walks": _q_random_walks,
+        "neighbor_sample": _q_neighbor_sample,  # GNN fanout sampling
+        "distance_profile": _q_distance_profile,  # effective-diameter profile
+        "degree_assortativity": _q_assortativity,
+        "label_propagation_fixed_iters": _q_lpa,
+        "belief_propagation_fixed_iters": _q_bp,  # D2/A9/A10
+        "k_core": _q_k_core,  # fixed-round peel (gate parity mode)
+        "k_truss": _q_k_truss,  # fixed-round edge-support peel
+        "triangle_count": _q_triangle_count,
+        "triangles_per_vertex": _q_triangles_per_vertex,
+        "r_hop_neighborhood": _q_r_hop,  # T6 radius-bounded BFS
+        # transcript extraction (input_hint pipeline)
+        "transcript_reply_edges": _q_transcript_edges,  # extract.py end-to-end
+        "transcript_turn_text": _q_turn_text,  # per-turn text equality
+        "conv_stats": _q_conv_stats,
+        "decayed_reply_edges": _q_decayed_reply_edges,  # per-conversation rollup
+        "role_transitions": _q_role_transitions,  # who-replies-to-whom counts
+        "user_influence": _q_user_influence,  # extract→graph→PageRank composition
+        "session_stats": _q_session_stats,  # time-gap sessionization rollup
+        "transcript_structural_dups": _q_transcript_structural_dups,  # templated convs
+        "reply_reciprocity": _q_reply_reciprocity,  # mutual-vs-broadcast scalar
+        "transcript_token_stats": _q_transcript_token_stats,  # per-turn token budget
+        "reply_latency_stats": _q_reply_latency_stats,  # per-pair reply latency
+        "tool_cooccurrence": _q_tool_cooccurrence,  # tool-affinity edge table
+        "conv_influence": _q_conv_influence,  # PR-weighted conversation scoring
+        "conv_keep_topk": _q_conv_keep_topk,  # influence keep decision (top-K)
+        "actor_scc": _q_actor_scc,  # directed mutual-reply cores
+        "actor_lpa": _q_actor_lpa,  # extract→graph→LPA composition
+        "triad_census": _q_triad_census,  # cyclic vs feed-forward motifs
+        "actor_communities": _q_actor_communities,  # extract→graph→CC composition
+        "salted_neighbor_weights": _q_salted_a8,  # A8 via skew path
+        "community_stats": _q_community_stats,  # A4/A6
+        "community_representatives": _q_community_reps,  # top-K per community
+        "edge_sample": _q_edge_sample,  # deterministic uniform edge sample
     }
 
 
@@ -1290,16 +1332,16 @@ FROM s""",
         + ",\n"
         + O.pagerank_unrolled_sql(PR_ITERS, final_cte="ranks")
         + """
-SELECT t.conv_id, ROUND(SUM(r.rank), 6) AS influence
-FROM transcripts t JOIN ranks r ON t.role = r.id
+SELECT t.conv_id, ROUND(SUM(COALESCE(r.rank, 0)), 6) AS influence
+FROM transcripts t LEFT JOIN ranks r ON t.role = r.id
 GROUP BY t.conv_id""",
         "conv_keep_topk": "WITH "
         + ET.actor_edges_cte_sql()
         + ",\n"
         + O.pagerank_unrolled_sql(PR_ITERS, final_cte="ranks")
         + """
-SELECT t.conv_id, ROUND(SUM(r.rank), 6) AS influence
-FROM transcripts t JOIN ranks r ON t.role = r.id
+SELECT t.conv_id, ROUND(SUM(COALESCE(r.rank, 0)), 6) AS influence
+FROM transcripts t LEFT JOIN ranks r ON t.role = r.id
 GROUP BY t.conv_id
 ORDER BY influence DESC, conv_id LIMIT """
         + str(TOPK_CONVS),
@@ -1312,6 +1354,11 @@ ORDER BY influence DESC, conv_id LIMIT """
         + ET.actor_edges_cte_sql()
         + ",\n"
         + O.components_recursive_sql(),
+        # composite drivers (D1/D3/§2.10): exact planted-partition recovery —
+        # after canonical relabel the truth is closed-form (sources/planted.py)
+        "louvain_communities": _planted_sql(PLANTED_N, PLANTED_K),
+        "fm_refine_pair": _planted_sql(FM_N, 2),
+        "stream_lpa": _planted_sql(PLANTED_N, PLANTED_K),
         # skew path: salted aggregate must equal the PLAIN A8 aggregation
         "salted_neighbor_weights": edges_cte
         + f""",

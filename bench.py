@@ -84,7 +84,7 @@ def main() -> None:
     which = set(
         os.environ.get(
             "SPARK_GRAFT_BENCH_QUERIES",
-            "transcript_extract,pagerank,lpa,connected_components,triangle_count,degree_topk",
+            "transcript_extract,pagerank,lpa,connected_components,triangle_count,degree_topk,near_dup_clusters",
         ).split(",")
     )
     # broadcast=0 forces the pure shuffle join path — the configuration a
@@ -204,6 +204,20 @@ def main() -> None:
         timed("sssp", run_sssp)
     if "connected_components" in which:
         timed("connected_components", lambda: connected_components(spark, edges).count())
+    if "near_dup_clusters" in which:
+        # pipeline-family headline entry (VERDICT r2 #8): banded LSH →
+        # candidate-restricted verify → CC → canonical survivor, over the
+        # sf documents table — makes dedup/ANN perf regressions visible
+        # round-over-round like the graph ops
+        def run_near_dup():
+            from sbm_communitydetection_spark.textops.dedup import near_dup_clusters
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+                "doc_id", "text"
+            )
+            near_dup_clusters(spark, docs).count()
+
+        timed("near_dup_clusters", run_near_dup)
     if "triangle_count" in which:
         timed("triangle_count", lambda: triangle_count(edges).collect())
     if "degree_topk" in which:

@@ -250,12 +250,17 @@ def conv_influence(transcripts: DataFrame, actor_ranks: DataFrame) -> DataFrame:
     ``actor_ranks`` is (id=actor_key, rank) — e.g. the user_influence
     output. The actor domain is tiny relative to the turn table, so the
     rank side broadcasts and the score is one conv_id hash aggregate
-    over the turn table (no extra shuffle beyond the aggregate)."""
+    over the turn table (no extra shuffle beyond the aggregate).
+
+    Unranked actors contribute 0 (LEFT join + coalesce): a conversation
+    whose actors all lack a rank scores 0 and stays eligible for the
+    downstream keep rule — an inner join would silently DROP it from
+    curation consideration entirely (ADVICE r2)."""
     r = F.broadcast(actor_ranks.select(F.col("id").alias("role"), "rank"))
     return (
-        transcripts.join(r, "role")
+        transcripts.join(r, "role", "left")
         .groupBy("conv_id")
-        .agg(F.round(F.sum("rank"), 6).alias("influence"))
+        .agg(F.round(F.sum(F.coalesce(F.col("rank"), F.lit(0.0))), 6).alias("influence"))
     )
 
 

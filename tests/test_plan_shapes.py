@@ -134,3 +134,41 @@ def test_pii_scrub_is_exchange_free(spark):
 
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     assert physical_exchange_count(pii_scrub(docs)) == 0
+
+
+def test_lsh_verify_is_candidate_restricted(spark):
+    """The batch LSH verify must semi-join the shingle table down to
+    candidate doc ids BEFORE the intersection self-join (VERDICT r2 #2):
+    without the LeftSemi restriction the full-corpus quadratic shingle
+    join the banding exists to avoid runs anyway."""
+    from sbm_communitydetection_spark.textops.dedup import minhash_lsh_dup_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e g"), (2, "p q r s t u")],
+        "doc_id long, text string",
+    )
+    plan = (
+        minhash_lsh_dup_pairs(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+
+
+def test_decontamination_big_benchmark_not_broadcast(spark):
+    """Above max_broadcast_shingles the benchmark side must NOT broadcast
+    (ADVICE r2: an unbounded broadcast blows the driver at scale)."""
+    from sbm_communitydetection_spark.textops.dedup import decontamination_flags
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "g h i j k l")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(9, "a b c d e f")], "doc_id long, text string")
+    plan = (
+        decontamination_flags(docs, bench, max_broadcast_shingles=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ShuffledHashJoin" in plan

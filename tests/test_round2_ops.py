@@ -442,6 +442,44 @@ def test_scc_string_keys_and_empty(spark):
     assert got == {"a": "a", "b": "a", "c": "c"}
 
 
+def test_scc_deep_condensation_chain(spark):
+    """A chain of 25 two-cycles (condensation depth 25, one color root
+    retired per round) exceeds the old max_outer=20 cap, which silently
+    returned singletons (ADVICE r2). Default args must now resolve it
+    exactly or raise — never mislabel."""
+    from sbm_communitydetection_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    pairs = []
+    for i in range(25):
+        a, b = 2 * i, 2 * i + 1
+        pairs += [(a, b), (b, a)]          # the 2-cycle
+        if i < 24:
+            pairs.append((b, 2 * i + 2))   # one-way link to the next cycle
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    got = {r.id: r.scc for r in strongly_connected_components(spark, e).collect()}
+    assert got == {v: (v // 2) * 2 for v in range(50)}
+
+
+def test_scc_capped_outer_raises_not_mislabels(spark):
+    import pytest as _pytest
+
+    from sbm_communitydetection_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    pairs = []
+    for i in range(5):
+        a, b = 2 * i, 2 * i + 1
+        pairs += [(a, b), (b, a)]
+        if i < 4:
+            pairs.append((b, 2 * i + 2))
+    e = spark.createDataFrame(pairs, "src long, dst long")
+    with _pytest.raises(RuntimeError, match="unresolved"):
+        strongly_connected_components(spark, e, max_outer=2)
+
+
 def test_directed_triad_census(spark):
     from sbm_communitydetection_spark.operators.triangles import directed_triad_census
 
@@ -453,6 +491,38 @@ def test_directed_triad_census(spark):
     )
     row = directed_triad_census(e).collect()[0]
     assert (row.n_cyclic, row.n_transitive) == (1, 1)
+
+
+def test_directed_triad_census_hub_guard(spark):
+    """max_out_degree removes a 10^4-out-degree hub from every triad role:
+    the census equals the exact census of the hub-free subgraph, and the
+    wedge set stays bounded (VERDICT r2 #3)."""
+    from pyspark.sql import functions as F
+    from sbm_communitydetection_spark.operators.triangles import directed_triad_census
+
+    base = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (4, 6)]
+    hub = spark.range(10_000).select(
+        F.lit(99_999).alias("src"), (F.col("id") + 100).alias("dst")
+    )
+    # close triads through the hub so the guard visibly changes counts
+    back = spark.createDataFrame([(100, 99_999), (101, 102)], "src long, dst long")
+    edges = _directed(spark, base).unionByName(hub).unionByName(back)
+
+    exact = directed_triad_census(edges).collect()[0]
+    capped = directed_triad_census(edges, max_out_degree=100).collect()[0]
+    hubless = directed_triad_census(
+        edges.filter((F.col("src") != 99_999) & (F.col("dst") != 99_999))
+    ).collect()[0]
+    assert (capped.n_cyclic, capped.n_transitive) == (
+        hubless.n_cyclic,
+        hubless.n_transitive,
+    )
+    # the hub DID close triads (cyclic via 100->hub->100s? transitive via
+    # hub->100, 100->hub re-entry + hub->101->102 chains), so exact differs
+    assert (exact.n_cyclic, exact.n_transitive) != (
+        capped.n_cyclic,
+        capped.n_transitive,
+    )
 
 
 def test_directed_triad_census_reciprocal_triangle(spark):
