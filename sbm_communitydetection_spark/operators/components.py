@@ -133,7 +133,10 @@ def connected_components(
     full-edge distinct() shuffle) so the global star rounds iterate on a
     near-vertex-sized pair set; labels are identical either way.
     """
-    driver = driver or IterationDriver(spark, run_id="cc")
+    # keyed_state=False: the CC state is an unkeyed PAIR SET re-shuffled on
+    # different keys each half-round — nothing for the partition-preserving
+    # checkpoint to preserve (wall time measured equal either way)
+    driver = driver or IterationDriver(spark, run_id="cc", keyed_state=False)
     pairs = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     if local_contraction:
         pairs = _partition_local_contract(pairs)
