@@ -804,6 +804,56 @@ def _q_stream_lpa(spark, sf_dir):
     return G.canonical_relabel(res.labels).select("id", "label")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-doc repetition signals (quality filtering)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    return TA.repetition_stats(docs)
+
+
+def _q_stream_sessionize(spark, sf_dir):
+    """applyInPandasWithState sessionizer (§2.10 custom stateful op): the
+    transcript turns replayed in two ordered micro-batches; per-conv
+    state (last_ms, session ordinal) carries across the drains, and the
+    final output must equal the batch lag/running-sum sessionization
+    (the DuckDB oracle)."""
+    import shutil
+    import tempfile
+
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+    from sbm_communitydetection_spark.streaming.stateful import stream_sessionize
+
+    t = events_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="spark_graft_sess_")
+    try:
+        import glob
+        import os
+
+        feed, out, ckpt = f"{base}/feed", f"{base}/out", f"{base}/ckpt"
+        os.makedirs(feed)
+
+        def land(df, name):
+            # flat files in the feed dir (file-source listing semantics)
+            staging = f"{base}/staging_{name}"
+            df.coalesce(1).write.parquet(staging)
+            shutil.copy(
+                glob.glob(f"{staging}/part-*.parquet")[0], f"{feed}/{name}.parquet"
+            )
+
+        # two replay-ordered batches: all turn_idx < 2 first, the rest
+        # second (per-conv order preserved — the ordering contract)
+        land(t.filter(F.col("turn_idx") < 2), "b1")
+        stream_sessionize(spark, feed, out, ckpt, SESSION_GAP_MS).awaitTermination()
+        land(t.filter(F.col("turn_idx") >= 2), "b2")
+        stream_sessionize(spark, feed, out, ckpt, SESSION_GAP_MS).awaitTermination()
+        res = spark.read.parquet(out).select("conv_id", "turn_idx", "session_idx")
+        res = res.localCheckpoint(eager=True)  # sever before cleanup
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return res
+
+
 # -- skew path (salted join/aggregate — oracle = the PLAIN aggregation) -----
 
 
@@ -1181,6 +1231,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_stats": _q_community_stats,  # A4/A6
         "community_representatives": _q_community_reps,  # top-K per community
         "edge_sample": _q_edge_sample,  # deterministic uniform edge sample
+        # new in r3 (past the window this round; rotate forward in r4)
+        "stream_sessionize": _q_stream_sessionize,  # applyInPandasWithState
+        "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
     }
 
 
@@ -1266,6 +1319,8 @@ FROM s""",
         + ",\n"
         + O.lpa_unrolled_sql(LPA_ITERS),
         "session_stats": ET.session_stats_oracle_sql(SESSION_GAP_MS),
+        "stream_sessionize": ET.sessionize_oracle_sql(SESSION_GAP_MS),
+        "repetition_stats": TA.repetition_stats_sql(),
         "transcript_structural_dups": "WITH "
         + ET.transcripts_cte_sql()
         + ",\n"

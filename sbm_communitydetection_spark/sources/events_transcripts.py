@@ -252,6 +252,29 @@ def reply_reciprocity_oracle_sql() -> str:
     )
 
 
+def sessionize_oracle_sql(gap_ms: int) -> str:
+    """Per-turn session index (streaming stateful sessionizer's oracle):
+    the same lag/running-sum formulation as session_stats, emitted
+    per (conv_id, turn_idx) instead of rolled up."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + f""",
+    lagged AS (
+        SELECT conv_id, turn_idx, epoch_ms(ts) AS ms,
+               LAG(epoch_ms(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ms
+        FROM transcripts
+    )
+    SELECT conv_id, turn_idx,
+           SUM(CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms > {gap_ms}
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY conv_id ORDER BY turn_idx
+                     ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+    FROM lagged
+    """
+    )
+
+
 def session_stats_oracle_sql(gap_ms: int) -> str:
     """Mirror of operators/extract.session_stats: running-sum-of-boundaries
     sessionization + per-session rollup."""

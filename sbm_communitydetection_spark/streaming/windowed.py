@@ -46,6 +46,22 @@ def turn_rate_stream(
     )
 
 
+def epoch_sink(out_dir: str):
+    """foreachBatch function with idempotent-per-epoch semantics.
+
+    A plain mode("append") would be at-least-once — a failure between the
+    parquet write and the checkpoint commit makes the replayed epoch
+    APPEND the same finalized rows again as new files. Writing each epoch
+    to its own partition directory with overwrite makes replay REWRITE
+    (not duplicate) that epoch's output: exactly-once end-to-end. Readers
+    see ``epoch`` as a partition column under ``out_dir``."""
+
+    def write_batch(df: DataFrame, epoch: int) -> None:
+        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch}")
+
+    return write_batch
+
+
 def start_turn_rate_sink(
     spark: SparkSession,
     source_dir: str,
@@ -61,21 +77,10 @@ def start_turn_rate_sink(
     watermark across restarts, so lateness is enforced end-to-end.
     """
     rates = turn_rate_stream(spark, source_dir, window_duration, watermark_delay)
-
-    def write_batch(df: DataFrame, epoch: int) -> None:
-        # Idempotent-per-epoch sink: a plain mode("append") would be
-        # at-least-once — a failure between the parquet write and the
-        # checkpoint commit makes the replayed epoch APPEND the same
-        # finalized rows again as new files. Writing each epoch to its
-        # own partition directory with overwrite makes replay rewrite
-        # (not duplicate) that epoch's output: exactly-once end-to-end.
-        # Readers see `epoch` as a partition column under out_dir.
-        df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch}")
-
     return (
         rates.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .foreachBatch(write_batch)
+        .foreachBatch(epoch_sink(out_dir))
         .trigger(availableNow=True)
         .start()
     )

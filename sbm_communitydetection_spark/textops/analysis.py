@@ -404,3 +404,69 @@ def pii_scrub_sql(table: str = "documents") -> str:
                AS text_scrubbed
     FROM {table}
     """
+
+
+def repetition_stats(docs: DataFrame, n: int = NGRAM_N) -> DataFrame:
+    """(doc_id, distinct_word_ratio, top_word_frac, dup_ngram_frac) — the
+    Gopher-style within-document repetition signals (Rae et al. 2021 §A1:
+    duplicate-line/paragraph fractions, most-frequent-word fraction,
+    duplicate n-gram fractions) over whitespace words and word n-grams:
+
+    * distinct_word_ratio = |distinct words| / |words|  (low = repetitive)
+    * top_word_frac       = occurrences of the most frequent word / |words|
+    * dup_ngram_frac      = 1 − |distinct n-grams| / |n-grams|
+
+    Scale shape: two map-side-combinable keyed aggregations (word counts,
+    n-gram counts), both partial-aggregated before the doc_id shuffle —
+    no window, no join, no Python. Docs shorter than n words have 0
+    n-grams; their dup_ngram_frac is 0 by definition (nothing repeats)."""
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("total_w"),
+        F.count("*").alias("distinct_w"),
+        F.max("c").alias("top_w"),
+    )
+    grams = docs.select("doc_id", F.explode(shingles_col(F.col("text"), n)).alias("g"))
+    gc = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    gstats = gc.groupBy("doc_id").agg(
+        F.sum("c").alias("total_g"), F.count("*").alias("distinct_g")
+    )
+    return (
+        wstats.join(gstats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("distinct_w") / F.col("total_w"), 6).alias("distinct_word_ratio"),
+            F.round(F.col("top_w") / F.col("total_w"), 6).alias("top_word_frac"),
+            F.round(
+                F.when(
+                    F.coalesce("total_g", F.lit(0)) > 0,
+                    1.0 - F.col("distinct_g") / F.col("total_g"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_ngram_frac"),
+        )
+    )
+
+
+def repetition_stats_sql(table: str = "documents", n: int = NGRAM_N) -> str:
+    return f"""
+    WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM {table}),
+    wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+    wstats AS (
+        SELECT doc_id, SUM(c) AS total_w, COUNT(*) AS distinct_w, MAX(c) AS top_w
+        FROM wc GROUP BY doc_id
+    ),
+    g AS (SELECT doc_id, unnest({shingles_sql("text", n)}) AS g FROM {table}),
+    gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY doc_id, g),
+    gstats AS (
+        SELECT doc_id, SUM(c) AS total_g, COUNT(*) AS distinct_g FROM gc GROUP BY doc_id
+    )
+    SELECT wstats.doc_id,
+           ROUND(distinct_w / CAST(total_w AS DOUBLE), 6) AS distinct_word_ratio,
+           ROUND(top_w / CAST(total_w AS DOUBLE), 6) AS top_word_frac,
+           ROUND(CASE WHEN COALESCE(total_g, 0) > 0
+                      THEN 1.0 - distinct_g / CAST(total_g AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_ngram_frac
+    FROM wstats LEFT JOIN gstats ON wstats.doc_id = gstats.doc_id
+    """

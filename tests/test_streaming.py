@@ -131,6 +131,30 @@ def test_locality_radius_stream_matches_planted(spark):
     assert res.metrics[-1]["edge_cls_acc"] > 0.9, res.metrics[-1]
 
 
+def test_windowed_sink_epoch_replay_is_exactly_once(spark, tmp_path):
+    """Checkpoint-replay semantics (ADVICE r2): re-delivering the SAME
+    epoch must rewrite, not duplicate — the sink writes each epoch to its
+    own partition directory with overwrite."""
+    from sbm_communitydetection_spark.streaming.windowed import epoch_sink
+
+    out = str(tmp_path / "rates")
+    df = spark.createDataFrame(
+        [("2026-01-01 12:00:00", "user", 2)],
+        "window_start string, role string, n_turns long",
+    )
+
+    # foreachBatch delivers epoch 0 twice (failure between the sink write
+    # and the checkpoint commit -> Structured Streaming replays the epoch)
+    write_batch = epoch_sink(out)
+    write_batch(df, 0)
+    write_batch(df, 0)  # replay
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].n_turns == 2
+    # a distinct epoch is additive, not destructive
+    write_batch(df, 1)
+    assert spark.read.parquet(out).count() == 2
+
+
 def test_windowed_turn_rates_drop_late_data(spark, tmp_path):
     """Watermarked windowed agg: finalized windows are emitted once, and a
     row arriving later than the watermark horizon is DROPPED."""
@@ -190,3 +214,49 @@ def test_windowed_turn_rates_drop_late_data(spark, tmp_path):
     assert got[(0, "user")] == 2 and got[(0, "agent")] == 1
     assert got[(5, "user")] == 1
     assert got[(40, "user")] == 1
+
+
+def test_stream_sessionize_matches_batch_sessionize(spark, tmp_path):
+    """applyInPandasWithState sessionizer: state (last_ts, session ordinal)
+    carries across micro-batches, and the drained output equals the batch
+    operators/extract.sessionize row-for-row."""
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import sessionize
+    from sbm_communitydetection_spark.streaming.stateful import stream_sessionize
+
+    gap_ms = 60_000  # 1 minute
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", "x", None, t0 + dt.timedelta(seconds=s)) for c, i, s in rows],
+            "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+        )
+
+    # c1: gap INSIDE batch 1, gap ACROSS the batch boundary (state must
+    # carry last_ms); c2: no gaps at all; c3 appears only in batch 2
+    b1 = turns([("c1", 0, 0), ("c1", 1, 10), ("c1", 2, 100), ("c2", 0, 0)])
+    b2 = turns([("c1", 3, 300), ("c1", 4, 310), ("c2", 1, 30), ("c3", 0, 0)])
+
+    feed = str(tmp_path / "turns")
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "sessions")
+    ckpt = str(tmp_path / "sckpt")
+
+    _land_file(b1, staging, feed, "b1")
+    stream_sessionize(spark, feed, out, ckpt, gap_ms).awaitTermination()
+    _land_file(b2, staging, feed, "b2")
+    stream_sessionize(spark, feed, out, ckpt, gap_ms).awaitTermination()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.session_idx
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r.conv_id, r.turn_idx): r.session_idx
+        for r in sessionize(b1.unionByName(b2), gap_ms=gap_ms).collect()
+    }
+    assert got == expected
+    # the cross-batch gap (100s -> 300s > 60s) did open a new session
+    assert got[("c1", 2)] == 1 and got[("c1", 3)] == 2

@@ -349,3 +349,24 @@ def test_quantize_embeddings_roundtrip(spark):
     assert r0.max_abs_err <= r0.scale / 2 + 1e-9
     # all-zero vector: scale 0, zero codes, zero error
     assert got[1].scale == 0.0 and got[1].codes == [0, 0] and got[1].max_abs_err == 0.0
+
+
+def test_repetition_stats_hand_computed(spark):
+    from sbm_communitydetection_spark.textops.analysis import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),          # 4 words, 1 distinct; trigrams: "a a a" x2
+            (1, "a b c d"),          # all distinct; trigrams "a b c","b c d"
+            (2, "x y"),              # shorter than n=3: zero trigrams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert got[0].distinct_word_ratio == 0.25
+    assert got[0].top_word_frac == 1.0
+    assert got[0].dup_ngram_frac == 0.5  # 2 trigrams, 1 distinct
+    assert got[1].distinct_word_ratio == 1.0
+    assert got[1].top_word_frac == 0.25
+    assert got[1].dup_ngram_frac == 0.0
+    assert got[2].dup_ngram_frac == 0.0  # no n-grams => nothing repeats
