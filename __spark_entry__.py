@@ -745,6 +745,10 @@ def _q_edge_lookup(spark, sf_dir):
 # of the same drivers lives in pytest (test_louvain, test_fm_refinement,
 # test_streaming) and the bench.
 
+from sbm_communitydetection_spark.operators.extract import (  # noqa: E402
+    holdout_split_oracle_sql as _holdout_sql,
+    pack_conversations_oracle_sql as _pack_sql,
+)
 from sbm_communitydetection_spark.sources.planted import (  # noqa: E402
     planted_truth_sql as _planted_sql,
 )
@@ -802,6 +806,29 @@ def _q_stream_lpa(spark, sf_dir):
     stream = planted_edge_stream(spark, PLANTED_N, PLANTED_K, PLANTED_P_IN_PM, PLANTED_P_OUT_PM)
     res = stream_community_detection(spark, stream, n_batches=2, supersteps_per_batch=10)
     return G.canonical_relabel(res.labels).select("id", "label")
+
+
+PACK_BUDGET_TOKENS = 2048
+SPLIT_VAL_PM = 50
+SPLIT_TEST_PM = 50
+
+
+def _q_pack_conversations(spark, sf_dir):
+    """Sequence packing: conv-level token budget assembly (axis B)."""
+    from sbm_communitydetection_spark.operators.extract import pack_conversations
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return pack_conversations(events_transcripts(spark, sf_dir), PACK_BUDGET_TOKENS)
+
+
+def _q_holdout_split(spark, sf_dir):
+    """Leakage-safe conversation-level train/val/test assignment."""
+    from sbm_communitydetection_spark.operators.extract import holdout_split
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return holdout_split(
+        events_transcripts(spark, sf_dir), SPLIT_VAL_PM, SPLIT_TEST_PM
+    )
 
 
 def _q_repetition_stats(spark, sf_dir):
@@ -1234,6 +1261,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new in r3 (past the window this round; rotate forward in r4)
         "stream_sessionize": _q_stream_sessionize,  # applyInPandasWithState
         "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
+        "pack_conversations": _q_pack_conversations,  # sequence packing
+        "holdout_split": _q_holdout_split,  # leakage-safe split assignment
     }
 
 
@@ -1321,6 +1350,14 @@ FROM s""",
         "session_stats": ET.session_stats_oracle_sql(SESSION_GAP_MS),
         "stream_sessionize": ET.sessionize_oracle_sql(SESSION_GAP_MS),
         "repetition_stats": TA.repetition_stats_sql(),
+        "pack_conversations": "WITH "
+        + ET.transcripts_cte_sql()
+        + ",\n"
+        + _pack_sql(PACK_BUDGET_TOKENS),
+        "holdout_split": "WITH "
+        + ET.transcripts_cte_sql()
+        + "\n"
+        + _holdout_sql(SPLIT_VAL_PM, SPLIT_TEST_PM),
         "transcript_structural_dups": "WITH "
         + ET.transcripts_cte_sql()
         + ",\n"

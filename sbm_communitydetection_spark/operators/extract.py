@@ -366,3 +366,120 @@ def decayed_reply_edges(
         .groupBy("src_key", "dst_key")
         .agg(F.round(F.sum("weight"), round_to).alias("weight"))
     )
+
+
+def pack_conversations(transcripts: DataFrame, budget_tokens: int) -> DataFrame:
+    """(conv_id, conv_tokens, pack_id) — sequence PACKING for training-
+    example assembly: conversations are laid out in deterministic
+    conv_id order and cut into packs of ``budget_tokens`` whitespace
+    tokens; a conversation belongs to the pack where its first token
+    falls (fixed-quota packing — the scalable formulation: pack_id is a
+    pure function of the exclusive prefix sum, no greedy reset state).
+
+    Scale shape: the prefix sum is two-phase (the classic distributed
+    scan) — range-partition by conv_id, partition-LOCAL window cumsum,
+    then one driver-side pass over the per-partition totals (#partitions
+    rows, not data rows) broadcast back as offsets. No global
+    single-partition window anywhere.
+    """
+    toks = (
+        transcripts.select("conv_id", F.size(F.split("text", " ")).alias("t"))
+        .groupBy("conv_id")
+        .agg(F.sum("t").cast("long").alias("conv_tokens"))
+    )
+    ranged = toks.repartitionByRange("conv_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("pid").orderBy("conv_id")
+    local = ranged.withColumn(
+        "local_cum", F.sum("conv_tokens").over(local_w)
+    ).localCheckpoint(eager=True)
+    totals = {
+        r.pid: r.total
+        for r in local.groupBy("pid").agg(F.max("local_cum").alias("total")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    spark = transcripts.sparkSession
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in offsets.items()], "pid int, offset long"
+        )
+    )
+    return (
+        local.join(off, "pid")
+        .select(
+            "conv_id",
+            "conv_tokens",
+            (
+                (F.col("offset") + F.col("local_cum") - F.col("conv_tokens"))
+                / F.lit(budget_tokens)
+            )
+            .cast("long")
+            .alias("pack_id"),
+        )
+    )
+
+
+def pack_conversations_oracle_sql(budget_tokens: int) -> str:
+    """DuckDB mirror: plain global-window prefix sum (exact at sf scale)."""
+    return f"""
+    ct AS (
+        SELECT conv_id,
+               SUM(len(string_split(text, ' ')))::BIGINT AS conv_tokens
+        FROM transcripts GROUP BY conv_id
+    ),
+    cum AS (
+        SELECT conv_id, conv_tokens,
+               SUM(conv_tokens) OVER (ORDER BY conv_id
+                   ROWS UNBOUNDED PRECEDING) - conv_tokens AS cume
+        FROM ct
+    )
+    SELECT conv_id, conv_tokens, (cume // {budget_tokens})::BIGINT AS pack_id
+    FROM cum
+    """
+
+
+def holdout_split(
+    transcripts: DataFrame,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    seed: int = 13,
+) -> DataFrame:
+    """(conv_id, split) — leakage-safe train/val/test assignment: the
+    decision is a portable 60-bit hash of (seed, conv_id) at CONVERSATION
+    granularity, so every turn of a conversation lands in the same split
+    (turn-level splitting leaks context between train and eval), it is
+    reproducible across runs AND engines (no RNG), and costs zero
+    shuffles beyond the conv_id distinct."""
+    from ..textops.portable import md5_long
+
+    coin = md5_long(F.concat_ws(":", F.lit(str(seed)), F.col("conv_id"))) % 1000
+    return (
+        transcripts.select("conv_id")
+        .distinct()
+        .select(
+            "conv_id",
+            F.when(coin < val_permille, F.lit("val"))
+            .when(coin < val_permille + test_permille, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+    )
+
+
+def holdout_split_oracle_sql(
+    val_permille: int = 50, test_permille: int = 50, seed: int = 13
+) -> str:
+    from ..textops.portable import md5_long_sql
+
+    coin = md5_long_sql(f"'{seed}:' || conv_id") + " % 1000"
+    return f"""
+    SELECT conv_id,
+           CASE WHEN {coin} < {val_permille} THEN 'val'
+                WHEN {coin} < {val_permille + test_permille} THEN 'test'
+                ELSE 'train' END AS split
+    FROM (SELECT DISTINCT conv_id FROM transcripts)
+    """

@@ -162,3 +162,39 @@ def test_decayed_reply_edges_halves_per_half_life(spark):
     # fresh link weighs 1.0, the hour-old one 0.5; symmetrized sum = 1.5
     assert abs(out[("a", "b")] - 1.5) < 1e-9
     assert out[("a", "b")] == out[("b", "a")]
+
+
+def test_pack_conversations_fixed_quota(spark):
+    """Packing = floor(exclusive prefix sum / budget) in conv_id order;
+    the two-phase distributed scan must equal the simple formulation."""
+    from sbm_communitydetection_spark.operators.extract import pack_conversations
+
+    t = spark.createDataFrame(
+        [(f"c{i}", 0, "user", " ".join(["w"] * n), None, None)
+         for i, n in enumerate([4, 4, 4, 2, 6, 1])],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r.conv_id: (r.conv_tokens, r.pack_id) for r in pack_conversations(t, 8).collect()}
+    # cum(exclusive): c0=0, c1=4, c2=8, c3=12, c4=14, c5=20
+    assert got == {
+        "c0": (4, 0), "c1": (4, 0), "c2": (4, 1),
+        "c3": (2, 1), "c4": (6, 1), "c5": (1, 2),
+    }
+
+
+def test_holdout_split_conversation_granularity(spark):
+    from sbm_communitydetection_spark.operators.extract import holdout_split
+
+    rows = [(f"c{i}", j, "user", "x", None, None) for i in range(200) for j in range(2)]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    res = holdout_split(t, val_permille=100, test_permille=100)
+    got = {r.conv_id: r.split for r in res.collect()}
+    assert len(got) == 200  # one decision per conversation, not per turn
+    counts = {s: list(got.values()).count(s) for s in ("train", "val", "test")}
+    assert counts["train"] > counts["val"] > 0 and counts["test"] > 0
+    # deterministic across invocations
+    again = {r.conv_id: r.split for r in holdout_split(t, 100, 100).collect()}
+    assert got == again
