@@ -345,6 +345,26 @@ def _q_components(spark, sf_dir):
     return connected_components(spark, lineitem_edges(spark, sf_dir)).select("id", "component")
 
 
+def _q_cc_incremental(spark, sf_dir):
+    """Dynamic-graph path: CC on 90% of the edges, then fold the held-out
+    10% in via delta-proportional repair. The oracle is a FULL recompute
+    over all edges — equality proves the repair is exact."""
+    from sbm_communitydetection_spark.operators.components import (
+        connected_components,
+        incremental_components,
+    )
+    from sbm_communitydetection_spark.textops.portable import md5_long
+
+    edges = lineitem_edges(spark, sf_dir)
+    coin = (
+        md5_long(F.concat_ws(":", F.col("src").cast("string"), F.col("dst").cast("string"))) % 10
+    )
+    labels = connected_components(spark, edges.filter(coin != 0))
+    return incremental_components(spark, labels, edges.filter(coin == 0)).select(
+        "id", "component"
+    )
+
+
 def _q_k_core(spark, sf_dir):
     from sbm_communitydetection_spark.operators.kcore import k_core
 
@@ -1111,6 +1131,20 @@ def _q_stratum_counts(spark, sf_dir):
     return TA.stratum_counts(_docs(spark, sf_dir), SAMPLE_RATES)
 
 
+MIX_BUDGET = 250  # docs drawn by the α=0.5 temperature mix at gate scale
+
+
+def _q_mixture_weights(spark, sf_dir):
+    """α=0.5 temperature data-mixing weights + integer keep rates per
+    (lang, source) stratum — exact integer arithmetic both engines."""
+    return TA.mixture_weights(_docs(spark, sf_dir), MIX_BUDGET)
+
+
+def _q_temperature_sample(spark, sf_dir):
+    """The deterministic doc draw at the mixture_weights rates."""
+    return TA.temperature_sample(_docs(spark, sf_dir), MIX_BUDGET)
+
+
 def _q_text_quality(spark, sf_dir):
     return TA.text_quality(_docs(spark, sf_dir))
 
@@ -1145,48 +1179,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING CONTRACT (VERDICT r2 #1): the round driver records oracle
     rows for only the FIRST 50 entries, so entries are ordered by
-    evidence need — (a) queries whose oracle/gate is NEW this round,
-    (b) queries never yet driver-checked (r2 positions 51-95), (c) two
-    headline perf canaries touched by this round's optimization work,
-    then (d) the long-green remainder (driver-verified in r1/r2).
-    Rotate per round as coverage shifts."""
+    evidence need — (a) queries whose oracle/gate or implementation is
+    NEW or CHANGED this round (composite-driver oracles, the r3 ops,
+    the SCC/conv_influence/triad/LSH-verify rewrites), (b) queries
+    never yet driver-checked (r2 positions 51-95), (c) two headline
+    perf canaries touched by this round's optimization work, then
+    (d) the long-green remainder (driver-verified in r1/r2; eight
+    r1-green untouched entries were rotated out of the window this
+    round to make room). Rotate per round as coverage shifts."""
     return {
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
+        # (a) new ops this round
+        "stream_sessionize": _q_stream_sessionize,  # applyInPandasWithState
+        "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
+        "pack_conversations": _q_pack_conversations,  # sequence packing
+        "holdout_split": _q_holdout_split,  # leakage-safe split assignment
+        "cc_incremental": _q_cc_incremental,  # delta-proportional CC repair
+        "mixture_weights": _q_mixture_weights,  # α=0.5 temperature mix rates
+        "temperature_sample": _q_temperature_sample,  # deterministic doc draw
+        # (a) implementation changed this round (ADVICE/VERDICT fixes)
+        "conv_influence": _q_conv_influence,  # left-join rank fix (ADVICE)
+        "conv_keep_topk": _q_conv_keep_topk,  # downstream of conv_influence
+        "actor_scc": _q_actor_scc,  # SCC frontier-delta + convergence guard
+        "triad_census": _q_triad_census,  # directed census hub guard
         # (b) never driver-checked (r2 CORRECTNESS window ended at 50)
         "conductance": _q_conductance,
         "graph_summary": _q_graph_summary,
         "coarsen": _q_coarsen,  # C1
         "sync_communities": _q_sync_communities,  # C2
-        "canonical_relabel": _q_canonical_relabel,  # C4
         "edge_removal": _q_edge_removal,  # G5
         "node_removal": _q_node_removal,  # G8
         "edge_weight_lookup": _q_edge_lookup,  # G6
         # quality metrics
         "modularity": _q_modularity,  # Q1/A3/A4
-        "contingency": _q_contingency,  # J6
         "pairwise_f1": _q_f1,  # Q3
-        "embeddedness": _q_embeddedness,  # Q5
-        "edge_classification_accuracy": _q_edge_cls_acc,  # Q8
-        "log_likelihood": _q_log_likelihood,  # Q4
         "nmi": _q_nmi,  # normalized mutual information
         "modularity_density": _q_modularity_density,  # A5
         "main_community": _q_main_community,  # T3
         # training-data pipeline: dedup
-        "exact_dedup": _q_exact_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
-        "minhash_signatures": _q_minhash_sig,
         "minhash_lsh_dup_pairs": _q_minhash_lsh,
         "near_dup_clusters": _q_near_dup_clusters,  # LSH pairs → CC → canonical survivor
         "curation_keep_list": _q_curation_keep_list,  # quality × dedup × sampling decision
         "stream_dedup_pairs": _q_stream_dedup,  # incremental LSH == batch LSH
-        "simhash": _q_simhash,
-        "simhash_dup_pairs": _q_simhash_pairs,
         "simhash_banded_dup_pairs": _q_simhash_banded_pairs,
-        "embedding_cosine_dup_pairs": _q_cos_dup_pairs,
         "cosine_bucketed_dup_pairs": _q_cos_bucketed_dup_pairs,
         "decontamination_flags": _q_decontamination,  # eval-set n-gram hygiene
         "pii_scrub": _q_pii_scrub,  # redaction pass + audit counts
@@ -1202,7 +1242,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
-        "multimodal_decode": _q_multimodal_decode,
         "multimodal_resize_meta": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
@@ -1248,21 +1287,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_token_stats": _q_transcript_token_stats,  # per-turn token budget
         "reply_latency_stats": _q_reply_latency_stats,  # per-pair reply latency
         "tool_cooccurrence": _q_tool_cooccurrence,  # tool-affinity edge table
-        "conv_influence": _q_conv_influence,  # PR-weighted conversation scoring
-        "conv_keep_topk": _q_conv_keep_topk,  # influence keep decision (top-K)
-        "actor_scc": _q_actor_scc,  # directed mutual-reply cores
         "actor_lpa": _q_actor_lpa,  # extract→graph→LPA composition
-        "triad_census": _q_triad_census,  # cyclic vs feed-forward motifs
         "actor_communities": _q_actor_communities,  # extract→graph→CC composition
         "salted_neighbor_weights": _q_salted_a8,  # A8 via skew path
         "community_stats": _q_community_stats,  # A4/A6
         "community_representatives": _q_community_reps,  # top-K per community
         "edge_sample": _q_edge_sample,  # deterministic uniform edge sample
-        # new in r3 (past the window this round; rotate forward in r4)
-        "stream_sessionize": _q_stream_sessionize,  # applyInPandasWithState
-        "repetition_stats": _q_repetition_stats,  # Gopher repetition signals
-        "pack_conversations": _q_pack_conversations,  # sequence packing
-        "holdout_split": _q_holdout_split,  # leakage-safe split assignment
+        # (d) rotated out of the window this round (r1-driver-green,
+        # implementation untouched since; rotate back in r4)
+        "contingency": _q_contingency,  # J6 (nmi/pairwise_f1 share the path)
+        "canonical_relabel": _q_canonical_relabel,  # C4 (inside louvain gate too)
+        "exact_dedup": _q_exact_dedup,
+        "embeddedness": _q_embeddedness,  # Q5
+        "edge_classification_accuracy": _q_edge_cls_acc,  # Q8
+        "log_likelihood": _q_log_likelihood,  # Q4
+        "minhash_signatures": _q_minhash_sig,
+        "simhash": _q_simhash,
+        "simhash_dup_pairs": _q_simhash_pairs,
+        "embedding_cosine_dup_pairs": _q_cos_dup_pairs,
+        "multimodal_decode": _q_multimodal_decode,
     }
 
 
@@ -1326,6 +1369,10 @@ FROM s""",
         + ",\n"
         + O.bp_unrolled_sql(BP_ITERS, BP_K, BP_P_IN, BP_P_OUT, BP_NOISE, BP_K),
         "connected_components": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\n"
+        + O.components_recursive_sql(),
+        # incremental repair must equal a FULL recompute over all edges
+        "cc_incremental": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + O.components_recursive_sql(),
         "k_core": edges_cte + ",\n" + O.k_core_unrolled_sql(KCORE_K, KCORE_ROUNDS),
@@ -1572,6 +1619,8 @@ WITH injected AS (
         "top_ngrams": TA.top_ngrams_sql(k=TOPNGRAM_K),
         "tfidf_topk": TA.tfidf_topk_sql(k=TFIDF_K),
         "stratum_counts": TA.stratum_counts_sql(SAMPLE_RATES),
+        "mixture_weights": TA.mixture_weights_sql(MIX_BUDGET),
+        "temperature_sample": TA.temperature_sample_sql(MIX_BUDGET),
         "text_quality": TA.text_quality_sql(),
         "lang_id": TA.lang_id_sql(),
         "doc_fingerprint": TA.doc_fingerprint_sql(),

@@ -353,3 +353,80 @@ def strongly_connected_components(
     for part in assigned_parts:
         out = out.unionByName(part)
     return out
+
+
+# ---------------------------------------------------------------------------
+# incremental repair after edge additions (dynamic-graph path)
+# ---------------------------------------------------------------------------
+
+
+def incremental_components(
+    spark: SparkSession,
+    labels: DataFrame,
+    delta_edges: DataFrame,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Repair a ``(id, component)`` labeling after edge ADDITIONS without
+    touching the original edge set — the CC analogue of the reference's
+    dynamic addEdge path (src/dynamic_community_detection.cpp:51-76
+    repairs communities per arriving edge; here a whole delta batch is
+    folded in one pass).
+
+    Only the delta participates: each delta edge (u, v) merges the
+    components ``label(u)`` and ``label(v)``, so the merge graph has at
+    most ``2·|delta|`` vertices — the star rounds run on a
+    delta-proportional pair set, never the corpus.  At 100 TB this is
+    the difference between re-clustering 10^12 edges and clustering the
+    day's arrivals.
+
+    Semantics: the result is EXACTLY ``connected_components(old ∪ delta)``
+    (min-id labels), provided ``labels`` itself came from
+    :func:`connected_components` (min-id invariant).  Vertices seen only
+    in the delta enter as their own singleton label first.
+
+    Plan shape: two shuffle-hash joins of the delta against the
+    vertex-scale label table (AQE broadcasts the delta side when small),
+    star rounds on the component-pair graph, then ONE join of the label
+    table against the merge map (component-scale, broadcastable).
+    """
+    d = (
+        delta_edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # endpoint -> current component label (delta-only vertices label as self)
+    src_lab = labels.select(F.col("id").alias("src"), F.col("component").alias("src_comp"))
+    dst_lab = labels.select(F.col("id").alias("dst"), F.col("component").alias("dst_comp"))
+    merge_pairs = (
+        d.join(src_lab, "src", "left")
+        .join(dst_lab, "dst", "left")
+        .select(
+            F.coalesce("src_comp", "src").alias("src"),
+            F.coalesce("dst_comp", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    # vertex set after the delta: old vertices ∪ delta endpoints (as their
+    # own singleton components until merged) — from the UNFILTERED delta,
+    # so a vertex arriving only via a self-loop still appears (singleton)
+    delta_ids = (
+        delta_edges.select(F.col("src").alias("id"))
+        .unionByName(delta_edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"))
+    )
+    base = labels.select("id", "component").unionByName(delta_ids)
+
+    # merge forest: CC over the component-pair graph (min-id roots).
+    # local_contraction off: the pair set is already delta-sized.
+    merged = connected_components(
+        spark, merge_pairs, max_iterations=max_iterations, local_contraction=False
+    ).select(F.col("id").alias("component"), F.col("component").alias("root"))
+
+    return base.join(merged, "component", "left").select(
+        "id", F.coalesce("root", "component").alias("component")
+    )

@@ -470,3 +470,94 @@ def repetition_stats_sql(table: str = "documents", n: int = NGRAM_N) -> str:
                       ELSE 0.0 END, 6) AS dup_ngram_frac
     FROM wstats LEFT JOIN gstats ON wstats.doc_id = gstats.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based data mixing (α = 0.5)
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(docs: DataFrame, budget: int) -> DataFrame:
+    """(lang, source, n_docs, weight, target_permille) — α-temperature
+    data-mixing weights per stratum: w_i ∝ n_i^α with α = 1/2, the
+    standard flattening that up-weights rare languages/sources when
+    drawing a fixed training budget from an imbalanced corpus.
+
+    α is fixed at 1/2 so the exponent is ``floor(sqrt(n))`` — IEEE sqrt
+    is correctly rounded in both engines, so the whole computation stays
+    in EXACT integer arithmetic (weights aside): no libm pow() drift
+    between the Spark and DuckDB sides.  target_permille is the keep
+    rate that lands the stratum at its budget share:
+    ``min(1000, (1000·budget·s_i) div (S·n_i))``, computed in
+    decimal(38,0)/HUGEINT so a 10^13-doc corpus cannot overflow the
+    products.
+
+    One groupBy of the corpus + a 1-row broadcast — no other shuffle.
+    """
+    strata = docs.groupBy("lang", "source").agg(F.count("*").cast("long").alias("n_docs"))
+    strata = strata.withColumn("s_sqrt", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+    tot = strata.agg(F.sum("s_sqrt").cast("long").alias("s_total"))
+    permille = F.least(
+        F.lit(1000).cast("long"),
+        F.expr(
+            f"CAST((CAST({int(budget) * 1000} AS DECIMAL(38,0)) * s_sqrt) div "
+            "(CAST(s_total AS DECIMAL(38,0)) * n_docs) AS BIGINT)"
+        ),
+    )
+    return (
+        strata.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (F.col("s_sqrt") / F.col("s_total")).alias("weight"),
+            permille.alias("target_permille"),
+        )
+    )
+
+
+def mixture_weights_cte_sql(budget: int, table: str = "documents") -> str:
+    """CTE body (strata/tot/mw) mirroring mixture_weights."""
+    return f"""
+strata AS (
+  SELECT lang, source, COUNT(*)::BIGINT AS n_docs,
+         CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS s_sqrt
+  FROM {table} GROUP BY lang, source
+),
+tot AS (SELECT SUM(s_sqrt)::BIGINT AS s_total FROM strata),
+mw AS (
+  SELECT lang, source, n_docs,
+         s_sqrt::DOUBLE / s_total AS weight,
+         LEAST(1000, CAST(CAST({int(budget) * 1000} AS HUGEINT) * s_sqrt
+                          // (CAST(s_total AS HUGEINT) * n_docs) AS BIGINT)) AS target_permille
+  FROM strata, tot
+)"""
+
+
+def mixture_weights_sql(budget: int, table: str = "documents") -> str:
+    return (
+        "WITH "
+        + mixture_weights_cte_sql(budget, table)
+        + "\nSELECT lang, source, n_docs, weight, target_permille FROM mw"
+    )
+
+
+def temperature_sample(docs: DataFrame, budget: int) -> DataFrame:
+    """(doc_id, lang, source) — the deterministic doc-level draw at the
+    :func:`mixture_weights` rates: keep iff (doc_id·KNUTH) mod 1000 <
+    stratum target_permille.  Zero RNG (same set every run/engine); the
+    weights side is a broadcast join, so the draw is one corpus scan."""
+    mw = mixture_weights(docs, budget).select("lang", "source", "target_permille")
+    bucket = F.pmod(F.col("doc_id") * _MIX_KNUTH, F.lit(_MIX_BUCKETS))
+    return (
+        docs.join(F.broadcast(mw), ["lang", "source"])
+        .filter(bucket < F.col("target_permille"))
+        .select("doc_id", "lang", "source")
+    )
+
+
+def temperature_sample_sql(budget: int, table: str = "documents") -> str:
+    return f"""WITH {mixture_weights_cte_sql(budget, table)}
+SELECT d.doc_id, d.lang, d.source
+FROM {table} d JOIN mw USING (lang, source)
+WHERE (d.doc_id * {_MIX_KNUTH}) % {_MIX_BUCKETS} < mw.target_permille"""

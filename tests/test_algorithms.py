@@ -302,3 +302,36 @@ def test_degree_assortativity_star_is_minus_one(spark):
     )
     r = degree_assortativity(star).collect()[0].assortativity
     assert abs(r - (-1.0)) < 1e-12
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Delta repair must equal full CC over base ∪ delta, including
+    chain-merges across several old components, brand-new vertices, and
+    a delta-only self-loop singleton."""
+    from sbm_communitydetection_spark.operators.components import incremental_components
+
+    base = [(10, 20), (30, 40), (50, 60), (70, 70)]  # 3 comps + self-loop singleton
+    delta = [(20, 30), (40, 50), (60, 800), (801, 802), (900, 900)]
+    mk = lambda e: spark.createDataFrame(
+        [(s, d, 1) for s, d in e], "src long, dst long, weight long"
+    )
+    labels = connected_components(spark, mk(base))
+    got = {
+        r.id: r.component
+        for r in incremental_components(spark, labels, mk(delta)).collect()
+    }
+    exp = components_oracle(base + delta)
+    assert got == exp
+    assert got[800] == 10  # chain-merge folded the new vertex into min id
+    assert got[900] == 900  # delta self-loop vertex survives as singleton
+
+
+def test_incremental_components_empty_delta_is_identity(spark):
+    from sbm_communitydetection_spark.operators.components import incremental_components
+
+    base = [(1, 2), (3, 4)]
+    edges = spark.createDataFrame([(s, d, 1) for s, d in base], "src long, dst long, weight long")
+    labels = connected_components(spark, edges)
+    empty = spark.createDataFrame([], "src long, dst long, weight long")
+    got = {r.id: r.component for r in incremental_components(spark, labels, empty).collect()}
+    assert got == {r.id: r.component for r in labels.collect()}

@@ -370,3 +370,41 @@ def test_repetition_stats_hand_computed(spark):
     assert got[1].top_word_frac == 0.25
     assert got[1].dup_ngram_frac == 0.0
     assert got[2].dup_ngram_frac == 0.0  # no n-grams => nothing repeats
+
+
+def test_mixture_weights_hand_computed(spark):
+    # strata: en/a 100 docs (s=10), fr/b 9 docs (s=3) -> S=13
+    rows = [(i, "t", "en", "a", 1) for i in range(100)] + [
+        (1000 + i, "t", "fr", "b", 1) for i in range(9)
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    budget = 26
+    got = {(r.lang, r.source): r for r in TA.mixture_weights(d, budget).collect()}
+    # permille = min(1000, 1000*26*s // (13*n)): en 260000//1300=200, fr 78000//117=666
+    assert got[("en", "a")].target_permille == 200
+    assert got[("fr", "b")].target_permille == 666
+    assert abs(got[("en", "a")].weight - 10 / 13) < 1e-12
+    # α=0.5 flattening: the rare stratum keeps a far higher rate
+    assert got[("fr", "b")].target_permille > got[("en", "a")].target_permille
+
+    kept = TA.temperature_sample(d, budget).collect()
+    by = {}
+    for r in kept:
+        by.setdefault((r.lang, r.source), set()).add(r.doc_id)
+    # exact keep sets: (doc_id*KNUTH) % 1000 < permille — engine-free replay
+    exp_en = {i for i in range(100) if (i * 2654435761) % 1000 < 200}
+    exp_fr = {1000 + i for i in range(9) if ((1000 + i) * 2654435761) % 1000 < 666}
+    assert by.get(("en", "a"), set()) == exp_en
+    assert by.get(("fr", "b"), set()) == exp_fr
+
+
+def test_mixture_weights_budget_exceeds_corpus_caps_at_1000(spark):
+    d = spark.createDataFrame(
+        [(i, "t", "en", "a", 1) for i in range(5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    (row,) = TA.mixture_weights(d, 10_000).collect()
+    assert row.target_permille == 1000
+    assert TA.temperature_sample(d, 10_000).count() == 5
