@@ -1009,6 +1009,16 @@ def _q_decontamination(spark, sf_dir):
     return TD.decontamination_flags(train, bench)
 
 
+def _q_bloom_decontamination(spark, sf_dir):
+    """Decontamination against a Bloom bitset of the benchmark shingles
+    — the fixed-size scale path; flags (incl. false positives) are
+    deterministic integer math, identical in both engines."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % BENCH_DOC_MOD == 0)
+    train = docs.filter(F.col("doc_id") % BENCH_DOC_MOD != 0)
+    return TD.bloom_decontamination(train, bench)
+
+
 def _q_pii_scrub(spark, sf_dir):
     """Redaction pass with audit counts. The synthetic corpus carries no
     PII, so deterministic email/number spans are injected into every
@@ -1145,6 +1155,11 @@ def _q_temperature_sample(spark, sf_dir):
     return TA.temperature_sample(_docs(spark, sf_dir), MIX_BUDGET)
 
 
+def _q_ngram_lm_score(spark, sf_dir):
+    """Corpus-trained bigram-LM quality score per doc (CCNet-style)."""
+    return TA.ngram_lm_score(_docs(spark, sf_dir))
+
+
 def _q_text_quality(spark, sf_dir):
     return TA.text_quality(_docs(spark, sf_dir))
 
@@ -1201,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_incremental": _q_cc_incremental,  # delta-proportional CC repair
         "mixture_weights": _q_mixture_weights,  # α=0.5 temperature mix rates
         "temperature_sample": _q_temperature_sample,  # deterministic doc draw
+        "ngram_lm_score": _q_ngram_lm_score,  # bigram-LM perplexity proxy
+        "bloom_decontamination": _q_bloom_decontamination,  # bitset hygiene
         # (a) implementation changed this round (ADVICE/VERDICT fixes)
         "conv_influence": _q_conv_influence,  # left-join rank fix (ADVICE)
         "conv_keep_topk": _q_conv_keep_topk,  # downstream of conv_influence
@@ -1235,12 +1252,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_quantize": _q_quantize_embeddings,  # int8 vector compression
         "ann_ivf_topk": _q_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
-        "token_stats": _q_token_stats,
         "top_ngrams": _q_top_ngrams,
         "tfidf_topk": _q_tfidf_topk,
         "stratum_counts": _q_stratum_counts,
         "text_quality": _q_text_quality,
-        "lang_id": _q_lang_id,
         "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_resize_meta": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
@@ -1298,6 +1313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contingency": _q_contingency,  # J6 (nmi/pairwise_f1 share the path)
         "canonical_relabel": _q_canonical_relabel,  # C4 (inside louvain gate too)
         "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "lang_id": _q_lang_id,
         "embeddedness": _q_embeddedness,  # Q5
         "edge_classification_accuracy": _q_edge_cls_acc,  # Q8
         "log_likelihood": _q_log_likelihood,  # Q4
@@ -1595,6 +1612,9 @@ GROUP BY l1.label, l2.label""",
         "decontamination_flags": TD.decontamination_flags_sql(
             bench_pred=f"doc_id % {BENCH_DOC_MOD} = 0"
         ),
+        "bloom_decontamination": TD.bloom_decontamination_sql(
+            bench_pred=f"doc_id % {BENCH_DOC_MOD} = 0"
+        ),
         "pii_scrub": """
 WITH injected AS (
     SELECT doc_id,
@@ -1621,6 +1641,7 @@ WITH injected AS (
         "stratum_counts": TA.stratum_counts_sql(SAMPLE_RATES),
         "mixture_weights": TA.mixture_weights_sql(MIX_BUDGET),
         "temperature_sample": TA.temperature_sample_sql(MIX_BUDGET),
+        "ngram_lm_score": TA.ngram_lm_score_sql(),
         "text_quality": TA.text_quality_sql(),
         "lang_id": TA.lang_id_sql(),
         "doc_fingerprint": TA.doc_fingerprint_sql(),

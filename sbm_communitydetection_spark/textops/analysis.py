@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .portable import NGRAM_N, md5_long, md5_long_sql, shingles_col, shingles_sql
+from .portable import NGRAM_N, md5_long, md5_long_sql, shingles_col, shingles_sql, words_col
 
 # Stopword sets for the lang-ID scoring heuristic (fixed, tiny, broadcast
 # as literals).  Deterministic priority order breaks score ties.
@@ -561,3 +561,66 @@ def temperature_sample_sql(budget: int, table: str = "documents") -> str:
 SELECT d.doc_id, d.lang, d.source
 FROM {table} d JOIN mw USING (lang, source)
 WHERE (d.doc_id * {_MIX_KNUTH}) % {_MIX_BUCKETS} < mw.target_permille"""
+
+
+# ---------------------------------------------------------------------------
+# bigram LM quality scoring (CCNet-style perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+def ngram_lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, lm_score) — mean add-one-smoothed bigram
+    log-likelihood of each document under the LM trained on the corpus
+    itself: the perplexity-proxy quality signal of a CCNet-style
+    pipeline (low score ⇒ unnatural word sequences ⇒ drop candidate).
+
+    lm_score = avg over doc bigrams of ln((c2(w1 w2)+1) / (c1(w1)+V)),
+    with c2 corpus bigram counts, c1 = Σ c2 over bigrams starting with
+    w1, V = corpus distinct-word count.  Docs with fewer than 2 words
+    have no bigrams and are absent from the output.
+
+    Scale: the count tables are vocab-bounded aggregates (one row per
+    key), so the scoring joins are big-side-only skew — hot bigrams
+    ("of the") probe a single build row each; AQE skew-split keeps the
+    partitions even, nothing is collected.  V rides as a 1-row
+    broadcast.  Rounded to 6 dp (the float-parity contract: both
+    engines sum ~1e-16-ulp ln terms in arbitrary order)."""
+    bg = docs.select("doc_id", F.explode(shingles_col(F.col("text"), 2)).alias("g"))
+    c2 = bg.groupBy("g").agg(F.count("*").cast("long").alias("c2"))
+    c1 = (
+        c2.withColumn("w1", F.split("g", " ")[0])
+        .groupBy("w1")
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
+    v = docs.select(F.explode(words_col(F.col("text"))).alias("w")).agg(
+        F.count_distinct("w").cast("long").alias("v")
+    )
+    return (
+        bg.join(c2, "g")
+        .withColumn("w1", F.split("g", " ")[0])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1).cast("double") / (F.col("c1") + F.col("v")))),
+                6,
+            ).alias("lm_score"),
+        )
+    )
+
+
+def ngram_lm_score_sql(table: str = "documents") -> str:
+    first = "string_split(g, ' ')[1]"
+    return f"""
+WITH bg AS (SELECT doc_id, unnest({shingles_sql("text", 2)}) AS g FROM {table}),
+c2 AS (SELECT g, COUNT(*)::BIGINT AS c2 FROM bg GROUP BY g),
+c1 AS (SELECT {first} AS w1, SUM(c2)::BIGINT AS c1 FROM c2 GROUP BY w1),
+v AS (SELECT COUNT(DISTINCT w)::BIGINT AS v
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM {table}))
+SELECT bg.doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(LN((c2.c2 + 1.0) / (c1.c1 + v.v))), 6) AS lm_score
+FROM bg JOIN c2 USING (g)
+        JOIN c1 ON string_split(bg.g, ' ')[1] = c1.w1, v
+GROUP BY bg.doc_id"""

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .portable import (
+    HASH_P,
     MINHASH_NUM,
     MINHASH_ROWS_PER_BAND,
     NGRAM_N,
@@ -668,3 +669,109 @@ def embedding_cosine_dup_pairs_sql(table: str = "embeddings", threshold: float =
     FROM w l JOIN w r ON l.vec_id < r.vec_id
     WHERE ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) >= {threshold}
     """
+
+
+def bloom_decontamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    m_bits: int = 1 << 18,
+    k: int = 3,
+    n: int = NGRAM_N,
+    max_broadcast_words: int = 1 << 24,
+) -> DataFrame:
+    """(doc_id, n_hit_shingles, contaminated) — decontamination against a
+    BLOOM BITSET of the benchmark shingles instead of the shingle set
+    itself: the scale path when the "benchmark" is too large to
+    broadcast (the ADVICE-r2 failure mode of decontamination_flags).
+
+    The bitset is built distributed — each benchmark shingle sets k
+    hash positions, positions pack into 63-bit words via a bit_or
+    aggregate — so nothing is collected; the filter costs m_bits/8
+    bytes no matter how many shingles went in (vs 8 bytes PER SHINGLE
+    for the exact set).  The word table (m_bits/63 rows) broadcasts
+    when small (≤ ``max_broadcast_words`` words — a size fixed by the
+    caller's m_bits, not by data) and shuffle-joins otherwise.
+
+    Everything is exact integer math on the portable hash (md5 → k
+    minhash_perm positions), so flags — INCLUDING false positives —
+    are deterministic and identical across engines: no false negatives
+    ever (every true overlap sets its bits); false-positive rate
+    ≈ (1 - e^(-k·s/m))^k for s distinct benchmark shingles.
+    """
+    def positions(df: DataFrame) -> DataFrame:
+        h = md5_long(F.col("shingle")) % HASH_P
+        j = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j")
+        df = df.select("*", j).withColumn("pos", minhash_perm(F.col("j"), h) % m_bits)
+        return df.withColumn("chunk", (F.col("pos") / 63).cast("long")).withColumn(
+            "mask", F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+        )
+
+    bench_sh = (
+        benchmark.select(F.explode(shingles_col(F.col("text"), n)).alias("shingle")).distinct()
+    )
+    bits = (
+        positions(bench_sh)
+        .groupBy("chunk")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    bits = F.broadcast(bits) if m_bits // 63 <= max_broadcast_words else bits.hint("shuffle_hash")
+
+    probe = positions(_doc_shingles(docs, n)).join(bits, "chunk")
+    hit_sh = (
+        probe.withColumn("hit", (F.col("word").bitwiseAND(F.col("mask")) != 0).cast("int"))
+        .groupBy("doc_id", "shingle")
+        .agg(F.sum("hit").alias("k_hits"))
+        .filter(F.col("k_hits") == k)
+    )
+    hits = hit_sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_hit_shingles"))
+    return docs.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hit_shingles", F.lit(0)).cast("long").alias("n_hit_shingles"),
+        (F.coalesce("n_hit_shingles", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def bloom_decontamination_sql(
+    table: str = "documents",
+    bench_pred: str = "doc_id % 20 = 0",
+    m_bits: int = 1 << 18,
+    k: int = 3,
+    n: int = NGRAM_N,
+) -> str:
+    """Mirror of bloom_decontamination — same portable-hash positions,
+    same 63-bit word packing, same bit_or/bitwise-AND probe."""
+    h = f"({md5_long_sql('shingle')} % {HASH_P})"
+    pos = f"({minhash_perm_sql('j', h)} % {m_bits})"
+    return f"""
+    WITH bench AS (
+        SELECT DISTINCT unnest({shingles_sql("text", n)}) AS shingle
+        FROM {table} WHERE {bench_pred}
+    ),
+    bpos AS (
+        SELECT DISTINCT {pos} AS pos
+        FROM bench, (SELECT unnest(generate_series(0, {k - 1})) AS j)
+    ),
+    bits AS (
+        SELECT pos // 63 AS chunk, bit_or(1::BIGINT << (pos % 63)::INT) AS word
+        FROM bpos GROUP BY chunk
+    ),
+    train AS (SELECT doc_id, text FROM {table} WHERE NOT ({bench_pred})),
+    sh AS (
+        SELECT DISTINCT doc_id, unnest({shingles_sql("text", n)}) AS shingle FROM train
+    ),
+    probe AS (
+        SELECT doc_id, shingle, {pos} AS pos
+        FROM sh, (SELECT unnest(generate_series(0, {k - 1})) AS j)
+    ),
+    hit_sh AS (
+        SELECT doc_id, shingle
+        FROM probe JOIN bits ON probe.pos // 63 = bits.chunk
+        GROUP BY doc_id, shingle
+        HAVING SUM(CASE WHEN (bits.word & (1::BIGINT << (probe.pos % 63)::INT)) != 0
+                        THEN 1 ELSE 0 END) = {k}
+    ),
+    hits AS (SELECT doc_id, COUNT(*)::BIGINT AS n_hit_shingles FROM hit_sh GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(h.n_hit_shingles, 0)::BIGINT AS n_hit_shingles,
+           COALESCE(h.n_hit_shingles, 0) > 0 AS contaminated
+    FROM train t LEFT JOIN hits h USING (doc_id)"""

@@ -408,3 +408,49 @@ def test_mixture_weights_budget_exceeds_corpus_caps_at_1000(spark):
     (row,) = TA.mixture_weights(d, 10_000).collect()
     assert row.target_permille == 1000
     assert TA.temperature_sample(d, 10_000).count() == 5
+
+
+def test_ngram_lm_score_hand_computed(spark):
+    rows = [(0, "a b a b"), (1, "a b"), (2, "c")]
+    d = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.doc_id: r for r in TA.ngram_lm_score(d).collect()}
+    # c2: "a b"->3, "b a"->1; c1: a->3, b->1; V=3 (a,b,c)
+    import math
+
+    exp0 = (math.log(4 / 6) + math.log(2 / 4) + math.log(4 / 6)) / 3
+    assert got[0].n_bigrams == 3
+    assert abs(got[0].lm_score - round(exp0, 6)) < 1e-9
+    assert abs(got[1].lm_score - round(math.log(4 / 6), 6)) < 1e-9
+    assert 2 not in got  # single-word doc has no bigrams
+    # the doc made of the corpus's dominant bigram scores above average
+    assert got[1].lm_score > exp0
+
+
+def test_bloom_decontamination_no_false_negatives(spark):
+    """Every doc the exact op flags must be bloom-flagged (Bloom filters
+    cannot produce false negatives), and bloom hit counts dominate the
+    exact ones; with a roomy bitset the flags match exactly here."""
+    bench_rows = [(100, "alpha beta gamma delta epsilon zeta")]
+    train_rows = [
+        (0, "alpha beta gamma delta words here"),  # overlaps benchmark
+        (1, "totally different words appear in this one text"),
+        (2, "epsilon zeta eta theta iota kappa"),  # no 3-gram overlap... wait
+    ]
+    mk = lambda rows: spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    bench, train = mk(bench_rows), mk(train_rows)
+    exact = {r.doc_id: r for r in TD.decontamination_flags(train, bench).collect()}
+    bloom = {r.doc_id: r for r in TD.bloom_decontamination(train, bench).collect()}
+    assert set(exact) == set(bloom)
+    for d in exact:
+        if exact[d].contaminated:
+            assert bloom[d].contaminated, f"false negative on doc {d}"
+        assert bloom[d].n_hit_shingles >= exact[d].n_hit_shingles
+    assert exact[0].contaminated and bloom[0].contaminated
+    # doc 2 shares the bigram "epsilon zeta" but no word TRIgram
+    assert not exact[2].contaminated
