@@ -345,6 +345,22 @@ def _q_components(spark, sf_dir):
     return connected_components(spark, lineitem_edges(spark, sf_dir)).select("id", "component")
 
 
+def _q_stream_cc(spark, sf_dir):
+    """Streaming CC: 5 ordered micro-batches folded by delta repair;
+    final labels equal the full-recompute oracle over all edges."""
+    from sbm_communitydetection_spark.streaming.stream_driver import (
+        stream_connected_components,
+    )
+    from sbm_communitydetection_spark.textops.portable import md5_long
+
+    edges = lineitem_edges(spark, sf_dir).withColumn(
+        "edge_seq",
+        md5_long(F.concat_ws(":", F.col("src").cast("string"), F.col("dst").cast("string")))
+        % 1000,
+    )
+    return stream_connected_components(spark, edges, n_batches=5).select("id", "component")
+
+
 def _q_cc_incremental(spark, sf_dir):
     """Dynamic-graph path: CC on 90% of the edges, then fold the held-out
     10% in via delta-proportional repair. The oracle is a FULL recompute
@@ -831,6 +847,20 @@ def _q_stream_lpa(spark, sf_dir):
 PACK_BUDGET_TOKENS = 2048
 SPLIT_VAL_PM = 50
 SPLIT_TEST_PM = 50
+STRATUM_TOPK = 3  # small so the quota BINDS at gate scale (~5 docs/stratum)
+
+
+def _q_prompt_response_pairs(spark, sf_dir):
+    """SFT pair extraction: adjacent cross-role turn pairs, text verbatim."""
+    from sbm_communitydetection_spark.operators.extract import prompt_response_pairs
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return prompt_response_pairs(events_transcripts(spark, sf_dir))
+
+
+def _q_stratum_topk_sample(spark, sf_dir):
+    """Fixed-quota per-stratum uniform sample (hash-ranked, WOR)."""
+    return TA.stratum_topk_sample(_docs(spark, sf_dir), STRATUM_TOPK)
 
 
 def _q_pack_conversations(spark, sf_dir):
@@ -1214,10 +1244,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_conversations": _q_pack_conversations,  # sequence packing
         "holdout_split": _q_holdout_split,  # leakage-safe split assignment
         "cc_incremental": _q_cc_incremental,  # delta-proportional CC repair
+        "stream_cc": _q_stream_cc,  # micro-batch CC fold == full recompute
         "mixture_weights": _q_mixture_weights,  # α=0.5 temperature mix rates
         "temperature_sample": _q_temperature_sample,  # deterministic doc draw
         "ngram_lm_score": _q_ngram_lm_score,  # bigram-LM perplexity proxy
         "bloom_decontamination": _q_bloom_decontamination,  # bitset hygiene
+        "prompt_response_pairs": _q_prompt_response_pairs,  # SFT pair extract
+        "stratum_topk_sample": _q_stratum_topk_sample,  # per-stratum quota WOR
         # (a) implementation changed this round (ADVICE/VERDICT fixes)
         "conv_influence": _q_conv_influence,  # left-join rank fix (ADVICE)
         "conv_keep_topk": _q_conv_keep_topk,  # downstream of conv_influence
@@ -1248,15 +1281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_flags": _q_decontamination,  # eval-set n-gram hygiene
         "pii_scrub": _q_pii_scrub,  # redaction pass + audit counts
         # training-data pipeline: similarity search
-        "ann_cosine_topk": _q_ann_topk,
         "embedding_quantize": _q_quantize_embeddings,  # int8 vector compression
         "ann_ivf_topk": _q_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "top_ngrams": _q_top_ngrams,
         "tfidf_topk": _q_tfidf_topk,
         "stratum_counts": _q_stratum_counts,
-        "text_quality": _q_text_quality,
-        "doc_fingerprint": _q_doc_fingerprint,
         "multimodal_resize_meta": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
@@ -1315,6 +1345,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": _q_exact_dedup,
         "token_stats": _q_token_stats,
         "lang_id": _q_lang_id,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "text_quality": _q_text_quality,
+        "ann_cosine_topk": _q_ann_topk,
         "embeddedness": _q_embeddedness,  # Q5
         "edge_classification_accuracy": _q_edge_cls_acc,  # Q8
         "log_likelihood": _q_log_likelihood,  # Q4
@@ -1390,6 +1423,9 @@ FROM s""",
         + O.components_recursive_sql(),
         # incremental repair must equal a FULL recompute over all edges
         "cc_incremental": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\n"
+        + O.components_recursive_sql(),
+        "stream_cc": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + O.components_recursive_sql(),
         "k_core": edges_cte + ",\n" + O.k_core_unrolled_sql(KCORE_K, KCORE_ROUNDS),
@@ -1642,6 +1678,8 @@ WITH injected AS (
         "mixture_weights": TA.mixture_weights_sql(MIX_BUDGET),
         "temperature_sample": TA.temperature_sample_sql(MIX_BUDGET),
         "ngram_lm_score": TA.ngram_lm_score_sql(),
+        "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
+        "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),
         "text_quality": TA.text_quality_sql(),
         "lang_id": TA.lang_id_sql(),
         "doc_fingerprint": TA.doc_fingerprint_sql(),

@@ -483,3 +483,29 @@ def holdout_split_oracle_sql(
                 ELSE 'train' END AS split
     FROM (SELECT DISTINCT conv_id FROM transcripts)
     """
+
+
+def prompt_response_pairs(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, turn_idx, prompt_role, response_role, prompt_text,
+    response_text) — adjacent cross-role turn pairs: the SFT
+    training-pair extraction over the input_hint transcript table.  A
+    pair is every turn whose PREDECESSOR (stable turn ordering) was
+    spoken by a different role; same-role continuations are not pairs.
+
+    One lag window keyed on conv_id — the same single shuffle every
+    extraction op here rides; per-turn text passes through verbatim
+    (the per-row invariant), so pair text equality is inherited from
+    turn text equality."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.lag("role").over(w).alias("prompt_role"),
+            F.col("role").alias("response_role"),
+            F.lag("text").over(w).alias("prompt_text"),
+            F.col("text").alias("response_text"),
+        )
+        .filter(F.col("prompt_role").isNotNull())
+        .filter(F.col("prompt_role") != F.col("response_role"))
+    )

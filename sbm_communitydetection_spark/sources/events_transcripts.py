@@ -331,3 +331,21 @@ def decayed_reply_edges_oracle_sql(half_life_ms: float, round_to: int = 6) -> st
     GROUP BY src_key, dst_key
     """
     )
+
+
+def prompt_response_pairs_oracle_sql() -> str:
+    """Mirror of operators/extract.prompt_response_pairs."""
+    return f"""
+    WITH {transcripts_cte_sql()},
+    lagged AS (
+        SELECT conv_id, turn_idx,
+               LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prompt_role,
+               role AS response_role,
+               LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prompt_text,
+               text AS response_text
+        FROM transcripts
+    )
+    SELECT conv_id, turn_idx, prompt_role, response_role, prompt_text, response_text
+    FROM lagged
+    WHERE prompt_role IS NOT NULL AND prompt_role != response_role
+    """

@@ -624,3 +624,37 @@ SELECT bg.doc_id, COUNT(*)::BIGINT AS n_bigrams,
 FROM bg JOIN c2 USING (g)
         JOIN c1 ON string_split(bg.g, ' ')[1] = c1.w1, v
 GROUP BY bg.doc_id"""
+
+
+def stratum_topk_sample(docs: DataFrame, k: int) -> DataFrame:
+    """(doc_id, lang, source, rank) — EXACTLY min(k, n_stratum) docs per
+    (lang, source) stratum, chosen uniformly WITHOUT replacement by
+    ranking on the portable hash (zero RNG, same set every run/engine).
+    The fixed-size counterpart of the rate-based draws
+    (stratified_sample / temperature_sample) — quota semantics when the
+    budget is per-stratum document COUNTS.
+
+    One hash-partitioned window per stratum (the community_representatives
+    pattern). At extreme stratum sizes, pre-thin with a hash-threshold
+    filter sized from stratum counts before the exact window — the
+    kmeans_centroids sampling note applies."""
+    from pyspark.sql import Window
+
+    h = md5_long(F.concat_ws(":", F.lit("topk"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang", "source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", "source")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def stratum_topk_sample_sql(k: int, table: str = "documents") -> str:
+    h = md5_long_sql("'topk:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT doc_id, lang, source, rank FROM (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY {h} ASC, doc_id ASC)::BIGINT AS rank
+        FROM {table}
+    ) WHERE rank <= {k}"""

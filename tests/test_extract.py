@@ -198,3 +198,25 @@ def test_holdout_split_conversation_granularity(spark):
     # deterministic across invocations
     again = {r.conv_id: r.split for r in holdout_split(t, 100, 100).collect()}
     assert got == again
+
+
+def test_prompt_response_pairs_adjacent_cross_role(spark):
+    from datetime import datetime
+
+    from sbm_communitydetection_spark.operators.extract import prompt_response_pairs
+
+    ts = datetime(2026, 1, 1)
+    rows = [
+        ("c1", 0, "user", "q1", None, ts),
+        ("c1", 1, "user", "q1b", None, ts),  # same-role continuation: no pair
+        ("c1", 2, "asst", "a1", None, ts),  # pair (q1b -> a1)
+        ("c1", 3, "user", "q2", None, ts),  # pair (a1 -> q2)
+        ("c2", 0, "asst", "solo", None, ts),  # first turn: no predecessor
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {(r.conv_id, r.turn_idx): r for r in prompt_response_pairs(t).collect()}
+    assert set(got) == {("c1", 2), ("c1", 3)}
+    assert got[("c1", 2)].prompt_text == "q1b" and got[("c1", 2)].response_text == "a1"
+    assert got[("c1", 3)].prompt_role == "asst" and got[("c1", 3)].response_role == "user"

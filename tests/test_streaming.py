@@ -260,3 +260,26 @@ def test_stream_sessionize_matches_batch_sessionize(spark, tmp_path):
     assert got == expected
     # the cross-batch gap (100s -> 300s > 60s) did open a new session
     assert got[("c1", 2)] == 1 and got[("c1", 3)] == 2
+
+
+def test_stream_connected_components_equals_batch(spark):
+    """Folding an edge stream batch-by-batch through incremental repair
+    ends at exactly the one-shot CC labeling, across batch-boundary
+    merges (the path graph only connects once the last batch lands)."""
+    from sbm_communitydetection_spark.operators.components import connected_components
+    from sbm_communitydetection_spark.streaming.stream_driver import (
+        stream_connected_components,
+    )
+
+    n = 60
+    rows = [(i, i + 1, 1, n - 2 - i) for i in range(n - 1)]  # reverse arrival order
+    stream = spark.createDataFrame(rows, "src long, dst long, weight long, edge_seq long")
+    got = {
+        r.id: r.component
+        for r in stream_connected_components(spark, stream, n_batches=4).collect()
+    }
+    exp = {
+        r.id: r.component
+        for r in connected_components(spark, stream.select("src", "dst", "weight")).collect()
+    }
+    assert got == exp == {i: 0 for i in range(n)}

@@ -454,3 +454,19 @@ def test_bloom_decontamination_no_false_negatives(spark):
     assert exact[0].contaminated and bloom[0].contaminated
     # doc 2 shares the bigram "epsilon zeta" but no word TRIgram
     assert not exact[2].contaminated
+
+
+def test_stratum_topk_sample_exact_replay(spark):
+    """The kept set per stratum is exactly the k smallest portable
+    hashes — replayed in pure Python; small strata keep everything."""
+    import hashlib
+
+    rows = [(i, "t", "en", "a", 1) for i in range(10)] + [(100, "t", "fr", "b", 1)]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    h = lambda i: int(hashlib.md5(f"topk:{i}".encode()).hexdigest()[:15], 16)
+    exp = set(sorted(range(10), key=lambda i: (h(i), i))[:3]) | {100}
+    out = TA.stratum_topk_sample(d, 3).collect()
+    assert {r.doc_id for r in out} == exp
+    assert all(1 <= r.rank <= 3 for r in out)
