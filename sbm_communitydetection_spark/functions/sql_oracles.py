@@ -614,3 +614,19 @@ def ppr_unrolled_sql(
         ",\n".join(parts)
         + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{n_iterations}"
     )
+
+
+def components_decremental_sql(removed_coin_expr: str) -> str:
+    """Exact components after removing edges where the canonical coin
+    fires, on the ORIGINAL vertex set (vertices losing all edges stay as
+    singletons) — the oracle for decremental_components' scoped repair."""
+    return f"""kept AS (
+    SELECT src, dst FROM edges WHERE ({removed_coin_expr}) <> 0
+),
+verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(u, v) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT r.u, k.dst FROM reach r JOIN kept k ON r.v = k.src
+)
+SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u"""

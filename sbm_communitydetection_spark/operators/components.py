@@ -430,3 +430,76 @@ def incremental_components(
     return base.join(merged, "component", "left").select(
         "id", F.coalesce("root", "component").alias("component")
     )
+
+
+def decremental_components(
+    spark: SparkSession,
+    labels: DataFrame,
+    edges: DataFrame,
+    removed_edges: DataFrame,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Repair a ``(id, component)`` labeling after edge REMOVALS — the CC
+    analogue of the reference's removeEdge path (src/graph.cpp removeEdge
+    + src/dynamic_community_detection.cpp repair-on-removal semantics).
+
+    Removal can SPLIT a component, and connectivity loss is a property of
+    the whole surviving component — no delta-local merge can decide it.
+    The scalable middle ground: recompute ONLY the components that lost an
+    edge and reuse every other label untouched.  At 100 TB a removal batch
+    touches a vanishing fraction of components, so the star rounds run on
+    the affected induced subgraph, never the corpus.
+
+    Semantics: result is EXACTLY ``connected_components(edges − removed)``
+    (min-id labels), provided ``labels == connected_components(edges)``.
+    Affected components are vertex-disjoint from the rest, and min-id is a
+    per-component property, so the scoped recompute and the unaffected
+    carry-over agree with the global recompute label-for-label.
+
+    Plan shape: edges and removals are canonicalized to undirected
+    (least, greatest) pairs (an anti-join removes BOTH orientations); the
+    affected-component set is a semi-join against the removal endpoints
+    (removal-scale, broadcastable); the surviving subgraph is one
+    semi-join of the edge set against the affected vertex list, and only
+    that subgraph iterates.
+    """
+    removed = (
+        removed_edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    canon = (
+        edges.select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    surviving = canon.join(removed, ["a", "b"], "left_anti")
+
+    # components containing at least one removal endpoint (removal-scale)
+    removed_ids = (
+        removed.select(F.col("a").alias("id"))
+        .unionByName(removed.select(F.col("b").alias("id")))
+        .distinct()
+    )
+    affected_comps = (
+        labels.join(removed_ids, "id", "left_semi").select("component").distinct()
+    )
+    affected_verts = labels.join(
+        F.broadcast(affected_comps), "component", "left_semi"
+    ).select("id")
+
+    # surviving edges inside affected components: an edge's endpoints share
+    # the OLD component (it existed pre-removal), so one endpoint suffices
+    sub = surviving.join(
+        affected_verts.select(F.col("id").alias("a")), "a", "left_semi"
+    ).select(F.col("a").alias("src"), F.col("b").alias("dst"))
+
+    recomputed = connected_components(
+        spark, sub, vertices=affected_verts, max_iterations=max_iterations
+    )
+    untouched = labels.join(F.broadcast(affected_comps), "component", "left_anti")
+    return untouched.select("id", "component").unionByName(
+        recomputed.select("id", "component")
+    )

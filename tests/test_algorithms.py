@@ -326,6 +326,51 @@ def test_incremental_components_equals_full_recompute(spark):
     assert got[900] == 900  # delta self-loop vertex survives as singleton
 
 
+def test_decremental_components_split_and_carryover(spark):
+    """Removal repair must equal full CC over the surviving edges: a
+    removed bridge SPLITS its component, a removed cycle edge does not,
+    untouched components carry their labels over unchanged, and a vertex
+    losing its last edge survives as a singleton."""
+    from sbm_communitydetection_spark.operators.components import decremental_components
+
+    base = [
+        (1, 2), (2, 3), (3, 4), (4, 5),  # path: bridge (3,4) will split it
+        (10, 11), (11, 12), (12, 10),    # triangle: removal keeps it connected
+        (20, 21),                        # untouched component
+        (30, 31),                        # vertex 31 loses its only edge
+    ]
+    removed = [(4, 3), (10, 12), (31, 30)]  # reversed orientations on purpose
+    mk = lambda e: spark.createDataFrame(
+        [(s, d, 1) for s, d in e], "src long, dst long, weight long"
+    )
+    labels = connected_components(spark, mk(base))
+    got = {
+        r.id: r.component
+        for r in decremental_components(spark, labels, mk(base), mk(removed)).collect()
+    }
+    surviving = [e for e in base if e not in [(3, 4), (12, 10), (30, 31)]]
+    exp = components_oracle(surviving, vertices=[v for e in base for v in e])
+    assert got == exp
+    assert got[4] == 4 and got[5] == 4 and got[3] == 1  # bridge split
+    assert got[12] == 10  # cycle stays whole
+    assert got[21] == 20  # untouched carry-over
+    assert got[31] == 31  # orphaned vertex keeps a singleton label
+
+
+def test_decremental_components_empty_removal_is_identity(spark):
+    from sbm_communitydetection_spark.operators.components import decremental_components
+
+    base = [(1, 2), (3, 4)]
+    edges = spark.createDataFrame([(s, d, 1) for s, d in base], "src long, dst long, weight long")
+    labels = connected_components(spark, edges)
+    empty = spark.createDataFrame([], "src long, dst long, weight long")
+    got = {
+        r.id: r.component
+        for r in decremental_components(spark, labels, edges, empty).collect()
+    }
+    assert got == {r.id: r.component for r in labels.collect()}
+
+
 def test_incremental_components_empty_delta_is_identity(spark):
     from sbm_communitydetection_spark.operators.components import incremental_components
 
