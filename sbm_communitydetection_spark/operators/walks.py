@@ -204,3 +204,245 @@ def neighbor_sample_sql(fanout: int, seed: int = 0) -> str:
     )
     SELECT src, dst, rn::INT AS sample_rank FROM ranked WHERE rn <= {fanout}
     """
+
+
+# ---------------------------------------------------------------------------
+# second-order (node2vec) biased walks
+# ---------------------------------------------------------------------------
+
+
+def node2vec_walks(
+    spark: SparkSession,
+    edges: DataFrame,
+    start_mod: int,
+    walks_per_vertex: int,
+    length: int,
+    ret_w: int = 1,
+    dist1_w: int = 4,
+    far_w: int = 2,
+) -> DataFrame:
+    """(start_id, walk_idx, step, vertex) — node2vec second-order walks
+    (Grover & Leskovec, KDD 2016): stepping prev→cur, neighbor n of cur
+    is weighted  w(cur,n) · bias  with bias = 1/p when n = prev (return),
+    1 when n neighbors prev (BFS-ish), 1/q otherwise (DFS-ish).  The
+    biases are INTEGER multipliers ``ret_w : dist1_w : far_w`` ≡
+    (1/p : 1 : 1/q) scaled to integers — defaults (1, 4, 2) ≙ p=4, q=2 —
+    so every cumulative interval stays exact int64 and the pick
+    (portable 60-bit hash mod total, the random_walks discipline) is
+    bit-identical in the DuckDB twin.  Step 1 is first-order (no prev).
+
+    Scale shape: per step, one equi-join of the walk frontier on cur
+    (the per-edge fan-out bound every operator here shares), one
+    (prev, n)-keyed left join against the distinct symmetric pair set
+    for the distance-1 test, and one per-walk window for the cumulative
+    intervals — the interval must be built at runtime because the bias
+    depends on (prev, cur), unlike the first-order walk's precomputable
+    adjacency intervals.  Hub mitigation is the caller's degree-cap /
+    neighbor_sample composition, unchanged.
+    """
+    nbrs = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").cast("long").alias("w"))
+    )
+    # first-order intervals for step 1 (identical to random_walks)
+    win1 = Window.partitionBy("src").orderBy("dst")
+    iv = nbrs.select(
+        "src", "dst", "w", F.sum("w").over(win1).cast("long").alias("hi")
+    ).select("src", "dst", (F.col("hi") - F.col("w")).alias("lo"), "hi")
+    tot1 = iv.groupBy("src").agg(F.max("hi").alias("total_w"))
+    adj = cache_partitioned(iv.join(tot1, "src").repartition("src"))
+    # distinct symmetric pair set for the distance-1 membership test
+    sym = cache_partitioned(
+        nbrs.select("src", "dst")
+        .unionByName(nbrs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("src")
+    )
+
+    starts = (
+        edges.select(F.col("src").alias("start_id"))
+        .distinct()
+        .filter(F.pmod(F.col("start_id"), F.lit(start_mod)) == 0)
+    )
+    state0 = starts.select(
+        "start_id",
+        F.explode(F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))).alias("wi"),
+    ).select(
+        "start_id",
+        F.col("wi").cast("long").alias("walk_idx"),
+        F.col("start_id").alias("cur"),
+    )
+    state0 = state0.localCheckpoint(eager=True)
+    outputs = [
+        state0.select(
+            "start_id", "walk_idx", F.lit(0).alias("step"), F.col("cur").alias("vertex")
+        )
+    ]
+    owned = [adj, sym, state0]
+
+    def pick_expr(step: int):
+        return md5_long(
+            F.concat_ws(
+                ":",
+                F.col("start_id").cast("string"),
+                F.col("walk_idx").cast("string"),
+                F.lit(str(step)),
+            )
+        )
+
+    # step 1: first-order pick from the precomputed intervals
+    state = None
+    if length >= 1:
+        p1 = pick_expr(1)
+        state = (
+            state0.withColumnRenamed("cur", "src")
+            .join(adj.hint("SHUFFLE_HASH"), "src")
+            .filter(
+                (p1 % F.col("total_w") >= F.col("lo"))
+                & (p1 % F.col("total_w") < F.col("hi"))
+            )
+            .select("start_id", "walk_idx", F.col("src").alias("prev"), F.col("dst").alias("cur"))
+        ).localCheckpoint(eager=True)
+        owned.append(state)
+        outputs.append(
+            state.select(
+                "start_id", "walk_idx", F.lit(1).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+
+    wwalk = Window.partitionBy("start_id", "walk_idx").orderBy("n")
+    wtot = Window.partitionBy("start_id", "walk_idx")
+    for s in range(2, length + 1):
+        cand = (
+            state.join(
+                nbrs.select(F.col("src").alias("cur"), F.col("dst").alias("n"), "w").hint(
+                    "SHUFFLE_HASH"
+                ),
+                "cur",
+            )
+            .join(
+                sym.select(
+                    F.col("src").alias("prev"), F.col("dst").alias("n"), F.lit(1).alias("d1")
+                ),
+                ["prev", "n"],
+                "left",
+            )
+            .withColumn(
+                "bw",
+                F.col("w")
+                * F.when(F.col("n") == F.col("prev"), F.lit(ret_w))
+                .when(F.col("d1") == 1, F.lit(dist1_w))
+                .otherwise(F.lit(far_w)),
+            )
+        )
+        iv2 = cand.select(
+            "start_id",
+            "walk_idx",
+            "cur",
+            "n",
+            (F.sum("bw").over(wwalk) - F.col("bw")).cast("long").alias("lo"),
+            F.sum("bw").over(wwalk).cast("long").alias("hi"),
+            F.sum("bw").over(wtot).cast("long").alias("tot"),
+        )
+        ps = pick_expr(s)
+        state = (
+            iv2.filter((ps % F.col("tot") >= F.col("lo")) & (ps % F.col("tot") < F.col("hi")))
+            .select("start_id", "walk_idx", F.col("cur").alias("prev"), F.col("n").alias("cur"))
+        ).localCheckpoint(eager=True)
+        owned.append(state)
+        outputs.append(
+            state.select(
+                "start_id", "walk_idx", F.lit(s).alias("step"), F.col("cur").alias("vertex")
+            )
+        )
+
+    out = outputs[0]
+    for o in outputs[1:]:
+        out = out.unionByName(o)
+    result = out.localCheckpoint(eager=True)
+    for df in owned:
+        unpersist_checkpoint(df)
+    return result
+
+
+def node2vec_walks_sql(
+    start_mod: int,
+    walks_per_vertex: int,
+    length: int,
+    ret_w: int = 1,
+    dist1_w: int = 4,
+    far_w: int = 2,
+) -> str:
+    """DuckDB twin over the `edges` CTE (same hash, same runtime intervals)."""
+    pick = md5_long_sql("start_id || ':' || walk_idx || ':' || '{step}'")
+    parts = [
+        """nbrs AS (
+    SELECT src, dst, SUM(weight)::BIGINT AS w
+    FROM edges WHERE src <> dst GROUP BY src, dst
+)""",
+        """iv AS (
+    SELECT src, dst,
+           SUM(w) OVER (PARTITION BY src ORDER BY dst
+                        ROWS UNBOUNDED PRECEDING)::BIGINT - w AS lo,
+           SUM(w) OVER (PARTITION BY src ORDER BY dst
+                        ROWS UNBOUNDED PRECEDING)::BIGINT AS hi
+    FROM nbrs
+)""",
+        """adj AS (
+    SELECT iv.src, iv.dst, iv.lo, iv.hi, t.total_w
+    FROM iv JOIN (SELECT src, MAX(hi) AS total_w FROM iv GROUP BY src) t
+    ON iv.src = t.src
+)""",
+        """n2vsym AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM nbrs UNION ALL SELECT dst AS src, src AS dst FROM nbrs
+    )
+)""",
+        f"""w0 AS (
+    SELECT v.src AS start_id, wdx.walk_idx, v.src AS cur
+    FROM (SELECT DISTINCT src FROM edges WHERE src % {start_mod} = 0) v,
+         (SELECT UNNEST(range({walks_per_vertex})) AS walk_idx) wdx
+)""",
+    ]
+    if length >= 1:
+        h1 = pick.format(step=1)
+        parts.append(
+            f"""w1 AS (
+    SELECT s.start_id, s.walk_idx, s.cur AS prev, a.dst AS cur
+    FROM w0 s JOIN adj a ON s.cur = a.src
+    WHERE {h1} % a.total_w >= a.lo AND {h1} % a.total_w < a.hi
+)"""
+        )
+    for s in range(2, length + 1):
+        h = pick.format(step=s)
+        parts.append(
+            f"""c{s} AS (
+    SELECT s.start_id, s.walk_idx, s.cur, n.dst AS n,
+           n.w * (CASE WHEN n.dst = s.prev THEN {ret_w}
+                       WHEN d1.src IS NOT NULL THEN {dist1_w}
+                       ELSE {far_w} END) AS bw
+    FROM w{s - 1} s
+    JOIN nbrs n ON s.cur = n.src
+    LEFT JOIN n2vsym d1 ON d1.src = s.prev AND d1.dst = n.dst
+),
+i{s} AS (
+    SELECT start_id, walk_idx, cur, n,
+           (SUM(bw) OVER (PARTITION BY start_id, walk_idx ORDER BY n
+                          ROWS UNBOUNDED PRECEDING) - bw)::BIGINT AS lo,
+           SUM(bw) OVER (PARTITION BY start_id, walk_idx ORDER BY n
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS hi,
+           SUM(bw) OVER (PARTITION BY start_id, walk_idx)::BIGINT AS tot
+    FROM c{s}
+),
+w{s} AS (
+    SELECT start_id, walk_idx, cur AS prev, n AS cur
+    FROM i{s}
+    WHERE {h} % tot >= lo AND {h} % tot < hi
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT start_id, walk_idx, {s} AS step, cur AS vertex FROM w{s}"
+        for s in range(0, length + 1)
+    )
+    return ",\n".join(parts) + f"\n{unions}"

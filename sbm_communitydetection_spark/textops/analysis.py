@@ -658,3 +658,88 @@ def stratum_topk_sample_sql(k: int, table: str = "documents") -> str:
                                   ORDER BY {h} ASC, doc_id ASC)::BIGINT AS rank
         FROM {table}
     ) WHERE rank <= {k}"""
+
+
+# DSIR (Data Selection via Importance Resampling, Xie et al. 2023,
+# arXiv:2302.03169): score every raw document by the log-likelihood
+# ratio of hashed n-gram features under a target-domain bag-of-ngrams
+# model vs the raw-corpus model. Docs shaped like the target get high
+# weights; resampling by these weights skews a 100 TB crawl toward the
+# benchmark/domain distribution without training a classifier.
+DSIR_BUCKETS = 10_000
+
+
+def dsir_importance(
+    docs: DataFrame, target: DataFrame, buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """(doc_id, n_feats, dsir_logratio) — per-doc importance log-weight
+
+        Σ over doc bigram occurrences of
+            ln( (ct_target(b)+1)/(T+B) ) − ln( (ct_raw(b)+1)/(R+B) )
+
+    where b = portable-hash bucket of the word bigram (mod ``buckets``),
+    ct_* are bucket counts in the target / raw corpora, T/R their totals
+    and B the bucket count (add-one smoothing).  Docs with fewer than 2
+    words have no features and are absent — they carry no evidence.
+
+    Scale shape: both count tables are bucket-bounded aggregates (≤ B
+    rows each, broadcastable); the scoring join is big-side-only — hot
+    buckets probe one build row each, AQE skew-split keeps partitions
+    even; totals ride as a 1-row broadcast.  Rounded to 6 dp (both
+    engines sum ~ulp-sized ln terms in arbitrary order).
+    """
+    feat = lambda df: df.select(
+        "doc_id", F.explode(shingles_col(F.col("text"), 2)).alias("g")
+    ).select("doc_id", (md5_long(F.col("g")) % buckets).alias("b"))
+    raw_f = feat(docs)
+    tgt_f = feat(target)
+    cr = raw_f.groupBy("b").agg(F.count("*").cast("long").alias("cr"))
+    ct = tgt_f.groupBy("b").agg(F.count("*").cast("long").alias("ct"))
+    totals = (
+        cr.agg(F.sum("cr").cast("long").alias("rt"))
+        .crossJoin(ct.agg(F.sum("ct").cast("long").alias("tt")))
+    )
+    model = cr.join(ct, "b", "left").select(
+        "b", "cr", F.coalesce("ct", F.lit(0)).alias("ct")
+    )
+    return (
+        raw_f.join(model, "b")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_feats"),
+            F.round(
+                F.sum(
+                    F.log((F.col("ct") + 1).cast("double") / (F.col("tt") + buckets))
+                    - F.log((F.col("cr") + 1).cast("double") / (F.col("rt") + buckets))
+                ),
+                6,
+            ).alias("dsir_logratio"),
+        )
+    )
+
+
+def dsir_importance_sql(
+    target_permille: int, buckets: int = DSIR_BUCKETS, table: str = "documents"
+) -> str:
+    """DuckDB twin; the gate's target side is a deterministic permille
+    coin over doc_id (production passes the real benchmark corpus)."""
+    h = md5_long_sql("g")
+    coin = md5_long_sql("'dsir:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH feat AS (
+    SELECT doc_id, {h} % {buckets} AS b
+    FROM (SELECT doc_id, unnest({shingles_sql("text", 2)}) AS g FROM {table})
+),
+tgt AS (SELECT f.doc_id, f.b FROM feat f
+        JOIN {table} d ON f.doc_id = d.doc_id
+        WHERE {coin.replace("doc_id", "d.doc_id")} % 1000 < {target_permille}),
+cr AS (SELECT b, COUNT(*)::BIGINT AS cr FROM feat GROUP BY b),
+ct AS (SELECT b, COUNT(*)::BIGINT AS ct FROM tgt GROUP BY b),
+tot AS (SELECT (SELECT SUM(cr) FROM cr)::BIGINT AS rt,
+               (SELECT COALESCE(SUM(ct), 0) FROM ct)::BIGINT AS tt)
+SELECT f.doc_id, COUNT(*)::BIGINT AS n_feats,
+       ROUND(SUM(LN((COALESCE(ct.ct, 0) + 1.0) / (tot.tt + {buckets}))
+               - LN((cr.cr + 1.0) / (tot.rt + {buckets}))), 6) AS dsir_logratio
+FROM feat f JOIN cr USING (b) LEFT JOIN ct USING (b), tot
+GROUP BY f.doc_id"""

@@ -380,3 +380,36 @@ def test_incremental_components_empty_delta_is_identity(spark):
     empty = spark.createDataFrame([], "src long, dst long, weight long")
     got = {r.id: r.component for r in incremental_components(spark, labels, empty).collect()}
     assert got == {r.id: r.component for r in labels.collect()}
+
+
+def test_node2vec_walks_are_valid_paths(spark):
+    """Every step-to-step transition must traverse a real edge, walks are
+    deterministic run-to-run, and a dead end truncates the walk."""
+    from sbm_communitydetection_spark.operators.walks import node2vec_walks
+
+    edges = symmetrize(
+        spark.createDataFrame(
+            [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1), (1, 3, 2), (100, 101, 1)],
+            "src long, dst long, weight long",
+        )
+    ).unionByName(
+        # directed dangling edge: 200 -> 201, 201 has no out-neighbors
+        spark.createDataFrame([(200, 201, 1)], "src long, dst long, weight long")
+    )
+    run = lambda: node2vec_walks(
+        spark, edges, start_mod=100, walks_per_vertex=2, length=3
+    )
+    rows = run().collect()
+    edge_set = {(r.src, r.dst) for r in edges.collect()}
+    walks: dict = {}
+    for r in rows:
+        walks.setdefault((r.start_id, r.walk_idx), {})[r.step] = r.vertex
+    for (sid, wi), path in walks.items():
+        assert path[0] == sid
+        for s in range(1, max(path) + 1):
+            assert (path[s - 1], path[s]) in edge_set
+    # start 200 reaches the dead end 201 at step 1 and stops there
+    p200 = walks[(200, 0)]
+    assert p200[1] == 201 and max(p200) == 1
+    # deterministic replay
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, run().collect()))

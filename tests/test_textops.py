@@ -470,3 +470,22 @@ def test_stratum_topk_sample_exact_replay(spark):
     out = TA.stratum_topk_sample(d, 3).collect()
     assert {r.doc_id for r in out} == exp
     assert all(1 <= r.rank <= 3 for r in out)
+
+
+def test_dsir_importance_prefers_target_like_docs(spark):
+    """Docs sharing the target's bigrams must outscore off-target docs,
+    and n_feats = word_count - 1 (one bigram per adjacent word pair)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "en", "a", 22),
+            (1, "alpha beta gamma delta", "en", "a", 22),
+            (2, "omega psi chi phi", "en", "a", 17),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    target = docs.filter("doc_id = 0")
+    out = {r.doc_id: r for r in TA.dsir_importance(docs, target).collect()}
+    assert set(out) == {0, 1, 2}
+    assert all(r.n_feats == 3 for r in out.values())
+    assert out[1].dsir_logratio > out[2].dsir_logratio  # target-like wins
+    assert out[0].dsir_logratio == out[1].dsir_logratio  # identical text ties
