@@ -509,3 +509,35 @@ def prompt_response_pairs(transcripts: DataFrame) -> DataFrame:
         .filter(F.col("prompt_role").isNotNull())
         .filter(F.col("prompt_role") != F.col("response_role"))
     )
+
+
+def context_windows(transcripts: DataFrame, k: int = 3) -> DataFrame:
+    """(conv_id, turn_idx, response_role, context, response) — rolling
+    multi-turn SFT example assembly: each turn becomes a training row
+    whose context is the previous ≤k turns rendered as "role: text"
+    lines.  The multi-turn generalization of prompt_response_pairs;
+    turns with no predecessor produce no row (nothing to condition on).
+
+    One conv_id-keyed window with a bounded ROWS frame — the context is
+    assembled inside the frame (≤k rows buffered per turn), never by
+    joining the conversation against itself, so cost is O(k · turns)
+    regardless of conversation length."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx").rowsBetween(-k, -1)
+    lines = F.collect_list(F.concat_ws(": ", F.col("role"), F.col("text"))).over(w)
+    return (
+        transcripts.select(
+            "conv_id",
+            "turn_idx",
+            F.col("role").alias("response_role"),
+            lines.alias("ctx_lines"),
+            F.col("text").alias("response"),
+        )
+        .filter(F.size("ctx_lines") > 0)
+        .select(
+            "conv_id",
+            "turn_idx",
+            "response_role",
+            F.concat_ws("\n", F.col("ctx_lines")).alias("context"),
+            "response",
+        )
+    )

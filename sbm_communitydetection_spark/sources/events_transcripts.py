@@ -349,3 +349,21 @@ def prompt_response_pairs_oracle_sql() -> str:
     FROM lagged
     WHERE prompt_role IS NOT NULL AND prompt_role != response_role
     """
+
+
+def context_windows_oracle_sql(k: int = 3) -> str:
+    """Mirror of operators/extract.context_windows."""
+    return f"""
+    WITH {transcripts_cte_sql()},
+    framed AS (
+        SELECT conv_id, turn_idx, role AS response_role,
+               string_agg(role || ': ' || text, chr(10)) OVER (
+                   PARTITION BY conv_id ORDER BY turn_idx
+                   ROWS BETWEEN {k} PRECEDING AND 1 PRECEDING
+               ) AS context,
+               text AS response
+        FROM transcripts
+    )
+    SELECT conv_id, turn_idx, response_role, context, response
+    FROM framed WHERE context IS NOT NULL
+    """

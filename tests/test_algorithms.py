@@ -413,3 +413,34 @@ def test_node2vec_walks_are_valid_paths(spark):
     assert p200[1] == 201 and max(p200) == 1
     # deterministic replay
     assert sorted(map(tuple, rows)) == sorted(map(tuple, run().collect()))
+
+
+def test_maximal_independent_set_properties(spark):
+    """Structural MIS contract on a mixed graph: no edge joins two
+    selected vertices (independence), every unselected vertex has a
+    selected neighbor (maximality), isolated/self-loop-only vertices are
+    always in, and the selection replays identically."""
+    from sbm_communitydetection_spark.operators.mis import maximal_independent_set
+
+    e = (
+        [(a, b, 1) for a in range(6) for b in range(6) if a < b]  # K6
+        + [(10 + i, 11 + i, 1) for i in range(8)]  # path
+        + [(50, 50, 1)]  # self-loop-only vertex
+    )
+    edges = spark.createDataFrame(e, "src long, dst long, weight long")
+    run = lambda: maximal_independent_set(spark, edges)
+    rows = run().collect()
+    mis = {r.id for r in rows}
+    adj: dict = {}
+    verts = set()
+    for s, d, _ in e:
+        verts |= {s, d}
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+            adj.setdefault(d, set()).add(s)
+    for v in mis:
+        assert not (adj.get(v, set()) & mis), f"edge inside MIS at {v}"
+    for v in verts - mis:
+        assert adj.get(v, set()) & mis, f"{v} excluded without a MIS neighbor"
+    assert 50 in mis
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, run().collect()))

@@ -220,3 +220,29 @@ def test_prompt_response_pairs_adjacent_cross_role(spark):
     assert set(got) == {("c1", 2), ("c1", 3)}
     assert got[("c1", 2)].prompt_text == "q1b" and got[("c1", 2)].response_text == "a1"
     assert got[("c1", 3)].prompt_role == "asst" and got[("c1", 3)].response_role == "user"
+
+
+def test_context_windows_frame_contents(spark):
+    """Context is exactly the previous ≤k turns as 'role: text' lines in
+    turn order; the first turn of each conversation emits no row."""
+    from sbm_communitydetection_spark.operators.extract import context_windows
+
+    rows = [
+        ("c1", 0, "user", "hi", None, 0),
+        ("c1", 1, "assistant", "hello", None, 1),
+        ("c1", 2, "user", "help", None, 2),
+        ("c1", 3, "assistant", "sure", None, 3),
+        ("c2", 0, "user", "solo", None, 0),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts long"
+    )
+    got = {
+        (r.conv_id, r.turn_idx): r
+        for r in context_windows(t, k=2).collect()
+    }
+    assert set(got) == {("c1", 1), ("c1", 2), ("c1", 3)}  # no context → no row
+    assert got[("c1", 1)].context == "user: hi"
+    assert got[("c1", 2)].context == "user: hi\nassistant: hello"
+    assert got[("c1", 3)].context == "assistant: hello\nuser: help"  # k=2 window slides
+    assert got[("c1", 3)].response == "sure" and got[("c1", 3)].response_role == "assistant"
