@@ -541,3 +541,47 @@ def context_windows(transcripts: DataFrame, k: int = 3) -> DataFrame:
             "response",
         )
     )
+
+
+def conv_novelty(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_bigrams, n_novel, novelty) — cross-conversation
+    novelty: the fraction of a conversation's distinct word bigrams whose
+    FIRST corpus occurrence (by conversation start time, conv_id
+    tie-break) is in this conversation.  Low novelty flags templated /
+    recycled conversations for the curation keep-list; the temporal
+    ownership rule makes the score stable under re-partitioning and
+    incremental ingest (later arrivals can only lose ownership races,
+    never steal bigrams already owned).
+
+    Scale shape: one distinct over (conv_id, bigram), one bigram-keyed
+    min-aggregate for the owner table (vocab-bounded), one broadcastable
+    start-time join — no self-joins, no windows over the corpus.
+    """
+    from ..textops.portable import shingles_col
+
+    bg = (
+        transcripts.select(
+            "conv_id", F.explode(shingles_col(F.col("text"), 2)).alias("g")
+        )
+        .distinct()
+    )
+    start = transcripts.groupBy("conv_id").agg(
+        F.unix_millis(F.min("ts").cast("timestamp")).alias("start_ms")
+    )
+    stamped = bg.join(start, "conv_id")
+    owner = stamped.groupBy("g").agg(
+        F.min(F.struct(F.col("start_ms"), F.col("conv_id"))).alias("first")
+    )
+    return (
+        stamped.join(owner, "g")
+        .groupBy("conv_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.when(F.col("first.conv_id") == F.col("conv_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_bigrams"), 6))
+    )

@@ -367,3 +367,39 @@ def context_windows_oracle_sql(k: int = 3) -> str:
     SELECT conv_id, turn_idx, response_role, context, response
     FROM framed WHERE context IS NOT NULL
     """
+
+
+def conv_novelty_oracle_sql() -> str:
+    """Mirror of operators/extract.conv_novelty (first-occurrence
+    ownership via ROW_NUMBER over the same (start_ms, conv_id) order)."""
+    from ..textops.portable import shingles_sql
+
+    return f"""
+    WITH {transcripts_cte_sql()},
+    bg AS (
+        SELECT DISTINCT conv_id, g FROM (
+            SELECT conv_id, unnest({shingles_sql("text", 2)}) AS g FROM transcripts
+        )
+    ),
+    cstart AS (
+        SELECT conv_id, epoch_ms(MIN(ts))::BIGINT AS start_ms
+        FROM transcripts GROUP BY conv_id
+    ),
+    stamped AS (
+        SELECT bg.conv_id, bg.g, s.start_ms FROM bg JOIN cstart s USING (conv_id)
+    ),
+    owner AS (
+        SELECT g, conv_id AS owner_conv FROM (
+            SELECT g, conv_id,
+                   ROW_NUMBER() OVER (PARTITION BY g ORDER BY start_ms, conv_id) AS rn
+            FROM stamped
+        ) WHERE rn = 1
+    )
+    SELECT st.conv_id,
+           COUNT(*)::BIGINT AS n_bigrams,
+           SUM(CASE WHEN o.owner_conv = st.conv_id THEN 1 ELSE 0 END)::BIGINT AS n_novel,
+           ROUND(SUM(CASE WHEN o.owner_conv = st.conv_id THEN 1 ELSE 0 END) / COUNT(*), 6)
+               AS novelty
+    FROM stamped st JOIN owner o USING (g)
+    GROUP BY st.conv_id
+    """

@@ -246,3 +246,27 @@ def test_context_windows_frame_contents(spark):
     assert got[("c1", 2)].context == "user: hi\nassistant: hello"
     assert got[("c1", 3)].context == "assistant: hello\nuser: help"  # k=2 window slides
     assert got[("c1", 3)].response == "sure" and got[("c1", 3)].response_role == "assistant"
+
+
+def test_conv_novelty_ownership_by_start_time(spark):
+    """The earlier conversation owns shared bigrams; later copies score 0;
+    unique content scores 1; ties break by conv_id."""
+    from sbm_communitydetection_spark.operators.extract import conv_novelty
+
+    rows = [
+        ("a", 0, "user", "red green blue", None, 1000),
+        ("b", 0, "user", "red green blue", None, 2000),   # later copy of a
+        ("c", 0, "user", "totally fresh words", None, 1500),
+        ("d", 0, "user", "red green yellow", None, 3000),  # shares 'red green'
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ms long",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool", F.timestamp_millis("ms").alias("ts")
+    )
+    got = {r.conv_id: r for r in conv_novelty(t).collect()}
+    assert got["a"].n_bigrams == 2 and got["a"].n_novel == 2  # owns both
+    assert got["b"].n_novel == 0 and got["b"].novelty == 0.0
+    assert got["c"].novelty == 1.0
+    assert got["d"].n_bigrams == 2 and got["d"].n_novel == 1  # 'green yellow' only
