@@ -172,3 +172,39 @@ def test_decontamination_big_benchmark_not_broadcast(spark):
         .toString()
     )
     assert "ShuffledHashJoin" in plan
+
+
+def test_dsir_importance_no_cartesian_blowup(spark):
+    """DSIR's only cross join is the 1-row totals broadcast; the scoring
+    join against the bucket models must be an equi-join (never a
+    cartesian over the corpus) and the totals side must broadcast."""
+    from sbm_communitydetection_spark.textops.analysis import dsir_importance
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b x y"), (2, "p q r s")], "doc_id long, text string"
+    )
+    plan = (
+        dsir_importance(docs, docs.filter("doc_id = 0"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row totals only
+
+
+def test_conv_novelty_has_no_self_join_on_transcripts(spark):
+    """Novelty ownership must come from the vocab-bounded owner aggregate
+    — the optimized plan may scan the (tiny, in-memory) transcript
+    relation for bigrams and start times, but never joins bigram rows
+    against bigram rows without the owner aggregate in between (no
+    cartesian, no broadcast-nested-loop)."""
+    from sbm_communitydetection_spark.operators.extract import conv_novelty
+
+    t = spark.createDataFrame(
+        [("c1", 0, "user", "a b c", None, 0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ms long",
+    ).select("conv_id", "turn_idx", "role", "text", "tool", F.timestamp_millis("ms").alias("ts"))
+    plan = conv_novelty(t)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
