@@ -444,3 +444,19 @@ def test_maximal_independent_set_properties(spark):
         assert adj.get(v, set()) & mis, f"{v} excluded without a MIS neighbor"
     assert 50 in mis
     assert sorted(map(tuple, rows)) == sorted(map(tuple, run().collect()))
+
+
+def test_densest_subgraph_finds_planted_clique(spark):
+    """Peeling must strip the sparse path and return exactly the planted
+    K8 (density 3.5); edgeless input yields an empty result."""
+    from sbm_communitydetection_spark.operators.densest import densest_subgraph
+
+    clique = [(a, b, 1) for a in range(8) for b in range(8) if a < b]
+    path = [(100 + i, 101 + i, 1) for i in range(20)]
+    edges = spark.createDataFrame(clique + path, "src long, dst long, weight long")
+    rows = densest_subgraph(spark, edges).collect()
+    assert {r.id for r in rows} == set(range(8))
+    assert all(r.best_density == 3.5 for r in rows)
+
+    empty = spark.createDataFrame([], "src long, dst long, weight long")
+    assert densest_subgraph(spark, empty).count() == 0
