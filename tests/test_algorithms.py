@@ -460,3 +460,31 @@ def test_densest_subgraph_finds_planted_clique(spark):
 
     empty = spark.createDataFrame([], "src long, dst long, weight long")
     assert densest_subgraph(spark, empty).count() == 0
+
+
+def test_maximal_matching_properties(spark):
+    """No two matched edges share a vertex; every unmatched edge has a
+    matched endpoint (maximality); deterministic replay; empty input."""
+    from sbm_communitydetection_spark.operators.matching import maximal_matching
+
+    e = (
+        [(a, b, 1) for a in range(6) for b in range(6) if a < b]  # K6
+        + [(10 + i, 11 + i, 1) for i in range(7)]  # odd path
+        + [(50, 50, 1)]  # self-loop: never matchable
+    )
+    edges = spark.createDataFrame(e, "src long, dst long, weight long")
+    run = lambda: maximal_matching(spark, edges)
+    rows = run().collect()
+    used: set = set()
+    for r in rows:
+        assert r.a not in used and r.b not in used, "vertex matched twice"
+        used |= {r.a, r.b}
+    pairs = {(min(s, d), max(s, d)) for s, d, _ in e if s != d}
+    matched = {(r.a, r.b) for r in rows}
+    for a, b in pairs - matched:
+        assert a in used or b in used, f"edge ({a},{b}) unmatched with free ends"
+    assert 50 not in used
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, run().collect()))
+
+    empty = spark.createDataFrame([], "src long, dst long, weight long")
+    assert maximal_matching(spark, empty).count() == 0
