@@ -630,3 +630,32 @@ reach(u, v) AS (
     SELECT r.u, k.dst FROM reach r JOIN kept k ON r.v = k.src
 )
 SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u"""
+
+
+def bipartite_check_sql() -> str:
+    """Per-component bipartiteness via the double cover (mirror of
+    operators/components.bipartite_check) on the symmetric `edges` CTE."""
+    return """verts AS (SELECT DISTINCT src AS id FROM edges),
+reach(u, v) AS (
+    SELECT id, id FROM verts
+    UNION
+    SELECT r.u, e.dst FROM reach r JOIN edges e ON r.v = e.src
+),
+ocomp AS (SELECT u AS id, MIN(v) AS component FROM reach GROUP BY u),
+cover AS (
+    SELECT 2 * src AS src, 2 * dst + 1 AS dst FROM edges WHERE src <> dst
+    UNION ALL
+    SELECT 2 * src + 1, 2 * dst FROM edges WHERE src <> dst
+),
+cverts AS (SELECT DISTINCT src AS id FROM cover),
+creach(u, v) AS (
+    SELECT id, id FROM cverts
+    UNION
+    SELECT r.u, c.dst FROM creach r JOIN cover c ON r.v = c.src
+),
+ccomp AS (SELECT u AS id, MIN(v) AS comp FROM creach GROUP BY u)
+SELECT o.component, BOOL_AND(c0.comp <> c1.comp) AS is_bipartite
+FROM ocomp o
+JOIN ccomp c0 ON c0.id = 2 * o.id
+JOIN ccomp c1 ON c1.id = 2 * o.id + 1
+GROUP BY o.component"""

@@ -503,3 +503,45 @@ def decremental_components(
     return untouched.select("id", "component").unionByName(
         recomputed.select("id", "component")
     )
+
+
+def bipartite_check(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(component, is_bipartite) — per connected component, whether the
+    component is bipartite (= contains no odd cycle), decided by the
+    DOUBLE-COVER construction: lift each undirected edge (u, v) to
+    (u₀, v₁) and (u₁, v₀) on two copies of the vertex set.  A component
+    is bipartite iff no vertex's two copies land in the same cover
+    component (an odd cycle is exactly a walk that returns to the other
+    side).  Pure composition of connected_components — the whole check
+    is two CC runs plus two component-scale joins, no new shuffle
+    shapes, and it inherits CC's O(log n) rounds at any scale.
+
+    Vertex ids must fit 62 bits (the lift encodes copies as 2·id and
+    2·id + 1); the id domain here is 60-bit portable hashes at most.
+    """
+    comps = connected_components(spark, edges, max_iterations=max_iterations)
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    cover = e.select(
+        (F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst")
+    ).unionByName(
+        e.select((F.col("src") * 2 + 1).alias("src"), (F.col("dst") * 2).alias("dst"))
+    )
+    cover_cc = connected_components(spark, cover, max_iterations=max_iterations)
+    side0 = cover_cc.filter(F.col("id") % 2 == 0).select(
+        F.floor(F.col("id") / 2).cast("long").alias("id"), F.col("component").alias("c0")
+    )
+    side1 = cover_cc.filter(F.col("id") % 2 == 1).select(
+        F.floor(F.col("id") / 2).cast("long").alias("id"), F.col("component").alias("c1")
+    )
+    return (
+        comps.join(side0, "id")
+        .join(side1, "id")
+        .groupBy("component")
+        .agg(
+            (F.min((F.col("c0") != F.col("c1")).cast("int")) == 1).alias("is_bipartite")
+        )
+    )

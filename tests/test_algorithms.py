@@ -488,3 +488,18 @@ def test_maximal_matching_properties(spark):
 
     empty = spark.createDataFrame([], "src long, dst long, weight long")
     assert maximal_matching(spark, empty).count() == 0
+
+
+def test_bipartite_check_even_vs_odd_cycles(spark):
+    """Even cycle → bipartite, odd cycle → not, tree → bipartite; one
+    verdict per component with the CC min-id component key."""
+    from sbm_communitydetection_spark.operators.components import bipartite_check
+
+    even = [(i, (i + 1) % 4, 1) for i in range(4)]  # C4 on 0-3
+    odd = [(10 + i, 10 + (i + 1) % 5, 1) for i in range(5)]  # C5 on 10-14
+    tree = [(20, 21, 1), (21, 22, 1), (20, 23, 1)]
+    edges = symmetrize(
+        spark.createDataFrame(even + odd + tree, "src long, dst long, weight long")
+    )
+    got = {r.component: r.is_bipartite for r in bipartite_check(spark, edges).collect()}
+    assert got == {0: True, 10: False, 20: True}
