@@ -306,6 +306,12 @@ DENSEST_ROUNDS = 24  # SQL unroll bound; Spark peels to exhaustion
 MATCHING_ROUNDS = 24  # SQL unroll bound; empty tail rounds no-op
 
 
+def _q_substring_dup_flags(spark, sf_dir):
+    """Exact substring-dedup signal at char-12-gram granularity (hashed
+    grams; the scalable form of suffix-array substring dedup)."""
+    return TD.substring_dup_flags(_docs(spark, sf_dir))
+
+
 def _q_bipartite_check(spark, sf_dir):
     """Per-component bipartiteness via double-cover CC composition."""
     from sbm_communitydetection_spark.operators.components import bipartite_check
@@ -1388,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "densest_subgraph": _q_densest_subgraph,  # parallel peeling approx
         "maximal_matching": _q_maximal_matching,  # mutual-min edge rounds
         "bipartite_check": _q_bipartite_check,  # double-cover CC composition
+        "substring_dup_flags": _q_substring_dup_flags,  # char-kgram exact dedup
         # (a) implementation changed this round (ADVICE/VERDICT fixes)
         "conv_influence": _q_conv_influence,  # left-join rank fix (ADVICE)
         "conv_keep_topk": _q_conv_keep_topk,  # downstream of conv_influence
@@ -1417,7 +1424,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_ivf_topk": _q_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
-        "multimodal_resize_meta": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
         # (c) headline perf canaries — CC contraction + PR crossover work
@@ -1441,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,  # judge-verified r2, untouched since
         "cosine_bucketed_dup_pairs": _q_cos_bucketed_dup_pairs,  # judge-verified r2
         "embedding_quantize": _q_quantize_embeddings,  # judge-verified r2
+        "multimodal_resize_meta": _q_multimodal_resize,  # r2 family, untouched
         "edge_extract_symmetrize": _q_edges,  # G2/G3
         "weighted_degree": _q_degree,  # A1
         "degree_histogram": _q_degree_histogram,  # skew probe
@@ -1550,6 +1557,7 @@ FROM deg GROUP BY bucket""",
         "bipartite_check": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + O.bipartite_check_sql(),
+        "substring_dup_flags": TD.substring_dup_flags_sql(),
         "neighbor_sample": edges_cte + ",\n" + _nbrsample_sql(NEIGHBOR_FANOUT),
         "distance_profile": edges_cte + ",\n" + _distprof_sql(SSSP_ROUNDS, SSSP_SRC_MOD),
         "degree_assortativity": edges_cte

@@ -775,3 +775,84 @@ def bloom_decontamination_sql(
            COALESCE(h.n_hit_shingles, 0)::BIGINT AS n_hit_shingles,
            COALESCE(h.n_hit_shingles, 0) > 0 AS contaminated
     FROM train t LEFT JOIN hits h USING (doc_id)"""
+
+
+# exact substring-level duplication (Lee et al., "Deduplicating Training
+# Data Makes Language Models Better", ACL 2022 — suffix-array substring
+# dedup; here the scalable hashed char-k-gram variant: a shared k-gram
+# IS a shared substring of length k, so flags are exact at granularity k)
+SUBSTR_K = 12
+
+
+def substring_dup_flags(docs: DataFrame, k: int = SUBSTR_K) -> DataFrame:
+    """(doc_id, n_grams, n_shared, substring_dup) — per doc, the number
+    of DISTINCT char k-grams it shares with at least one other doc, and
+    the dup flag (any shared substring of length ≥ k).  Docs shorter
+    than k have 0 grams and report False.
+
+    Scale shape: the gram table rides the scan (one transform+explode,
+    no Python); grams are 60-bit hashes so the frequency table is one
+    gram-keyed aggregate (hot grams are one build row each — AQE
+    skew-split applies); the per-doc rollup is one more aggregate.
+    Granularity-k exactness: flags neither miss any ≥k-char shared
+    substring nor fire on shorter overlaps; hash collisions are the
+    only false-positive source (2^-60 per pair).
+    """
+    grams = (
+        docs.select(
+            "doc_id",
+            # Spark sequence(1, 0) DESCENDS — guard sub-k docs explicitly
+            F.explode(
+                F.expr(
+                    f"case when length(text) >= {k} then"
+                    f" transform(sequence(1, length(text) - {k - 1}),"
+                    f" i -> substring(text, i, {k}))"
+                    f" else cast(array() as array<string>) end"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", md5_long(F.col("g")).alias("h"))
+        .distinct()
+    )
+    freq = grams.groupBy("h").agg(F.count("*").cast("long").alias("n_docs"))
+    per_doc = (
+        grams.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("substring_dup"),
+    )
+
+
+def substring_dup_flags_sql(k: int = SUBSTR_K, table: str = "documents") -> str:
+    """DuckDB twin (same hash, same k)."""
+    h = md5_long_sql("g")
+    return f"""
+WITH grams AS (
+    SELECT DISTINCT doc_id, {h} AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, GREATEST(length(text) - {k - 1}, 0)),
+                                     i -> substr(text, i, {k}))) AS g
+        FROM {table}
+    )
+),
+freq AS (SELECT h, COUNT(*)::BIGINT AS n_docs FROM grams GROUP BY h),
+per_doc AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+           SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+    FROM grams JOIN freq USING (h) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(p.n_shared, 0)::BIGINT AS n_shared,
+       COALESCE(p.n_shared, 0) > 0 AS substring_dup
+FROM {table} d LEFT JOIN per_doc p USING (doc_id)"""

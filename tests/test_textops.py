@@ -489,3 +489,25 @@ def test_dsir_importance_prefers_target_like_docs(spark):
     assert all(r.n_feats == 3 for r in out.values())
     assert out[1].dsir_logratio > out[2].dsir_logratio  # target-like wins
     assert out[0].dsir_logratio == out[1].dsir_logratio  # identical text ties
+
+
+def test_substring_dup_flags_exact_at_granularity(spark):
+    """Shared ≥k-char substrings flag both docs; shorter overlaps don't;
+    sub-k docs report 0 grams and False."""
+    from sbm_communitydetection_spark.textops.dedup import substring_dup_flags
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),
+            (1, "xx the quick brown cat"),   # shares 'the quick brown ' (16 > k)
+            (2, "totally different content here"),
+            (3, "short"),                    # < k chars
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in substring_dup_flags(docs, k=12).collect()}
+    assert got[0].substring_dup and got[1].substring_dup
+    assert not got[2].substring_dup
+    assert got[3].n_grams == 0 and not got[3].substring_dup
+    # doc 0 has len 25 → 14 grams, all distinct
+    assert got[0].n_grams == 14
