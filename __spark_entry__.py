@@ -958,6 +958,15 @@ def _q_conv_novelty(spark, sf_dir):
     return conv_novelty(events_transcripts(spark, sf_dir))
 
 
+def _q_stream_novelty(spark, sf_dir):
+    """Streaming novelty fold: 5 start-ordered micro-batches through the
+    owner store; union of emissions == the one-shot batch oracle."""
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+    from sbm_communitydetection_spark.streaming.stream_novelty import stream_conv_novelty
+
+    return stream_conv_novelty(spark, events_transcripts(spark, sf_dir), n_batches=5)
+
+
 CTX_TURNS = 3
 
 
@@ -1387,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prompt_response_pairs": _q_prompt_response_pairs,  # SFT pair extract
         "context_windows": _q_context_windows,  # multi-turn SFT assembly
         "conv_novelty": _q_conv_novelty,  # first-occurrence bigram ownership
+        "stream_novelty": _q_stream_novelty,  # incremental fold == batch op
         "stratum_topk_sample": _q_stratum_topk_sample,  # per-stratum quota WOR
         "dsir_importance": _q_dsir_importance,  # hashed-ngram importance weights
         "node2vec_walks": _q_node2vec_walks,  # second-order biased walks
@@ -1424,7 +1434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline: similarity search
         "ann_ivf_topk": _q_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
-        "multimodal_frame_sample": _q_multimodal_frames,
         "multimodal_features": _q_multimodal_features,
         # (c) headline perf canaries — CC contraction + PR crossover work
         # lands this round; keep their correctness under the hard signal
@@ -1448,6 +1457,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_bucketed_dup_pairs": _q_cos_bucketed_dup_pairs,  # judge-verified r2
         "embedding_quantize": _q_quantize_embeddings,  # judge-verified r2
         "multimodal_resize_meta": _q_multimodal_resize,  # r2 family, untouched
+        "multimodal_frame_sample": _q_multimodal_frames,  # r2 family, untouched
         "edge_extract_symmetrize": _q_edges,  # G2/G3
         "weighted_degree": _q_degree,  # A1
         "degree_histogram": _q_degree_histogram,  # skew probe
@@ -1856,6 +1866,8 @@ WITH injected AS (
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),
         "context_windows": ET.context_windows_oracle_sql(CTX_TURNS),
         "conv_novelty": ET.conv_novelty_oracle_sql(),
+        # streaming fold must equal the one-shot batch computation
+        "stream_novelty": ET.conv_novelty_oracle_sql(),
         "text_quality": TA.text_quality_sql(),
         "lang_id": TA.lang_id_sql(),
         "doc_fingerprint": TA.doc_fingerprint_sql(),

@@ -283,3 +283,38 @@ def test_stream_connected_components_equals_batch(spark):
         for r in connected_components(spark, stream.select("src", "dst", "weight")).collect()
     }
     assert got == exp == {i: 0 for i in range(n)}
+
+
+def test_stream_novelty_fold_equals_batch(spark):
+    """Folding start-ordered micro-batches through the bigram owner store
+    emits each conversation's FINAL novelty at its arrival batch; the
+    union equals the one-shot conv_novelty, including a cross-batch
+    ownership claim (batch-1 'red green' beats the batch-2 copy)."""
+    from pyspark.sql import functions as F
+    from sbm_communitydetection_spark.operators.extract import conv_novelty
+    from sbm_communitydetection_spark.streaming.stream_novelty import stream_conv_novelty
+
+    rows = [
+        ("a", 0, "user", "red green blue", None, 1000),
+        ("c", 0, "user", "totally fresh words", None, 1500),
+        ("b", 0, "user", "red green blue", None, 2000),  # later copy of a
+        ("d", 0, "user", "red green yellow", None, 3000),
+        ("e", 0, "user", "late but unique text", None, 4000),
+        ("f", 0, "user", "red green yellow", None, 5000),  # copy of d
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ms long",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool", F.timestamp_millis("ms").alias("ts")
+    )
+    got = {
+        r.conv_id: (r.n_bigrams, r.n_novel, r.novelty)
+        for r in stream_conv_novelty(spark, t, n_batches=3).collect()
+    }
+    exp = {
+        r.conv_id: (r.n_bigrams, r.n_novel, r.novelty)
+        for r in conv_novelty(t).collect()
+    }
+    assert got == exp
+    assert got["b"] == (2, 0, 0.0) and got["f"][1] == 0  # cross-batch losses
