@@ -86,6 +86,47 @@ l{i} AS (
     return ",\n".join(parts) + f"\nSELECT id, label FROM l{n_iterations}"
 
 
+def seeded_lpa_unrolled_sql(n_iterations: int, seed_mod: int = 100) -> str:
+    """Fixed-iteration seed-expansion LPA over the `edges` CTE: vertices
+    with id % seed_mod = 0 are frozen seeds labeled id // seed_mod;
+    others adopt the weighted argmax over LABELED neighbors (min-label
+    tie-break) or stay null until reached.  Mirrors
+    operators/label_propagation.seeded_label_propagation."""
+    parts = [
+        "verts AS (SELECT DISTINCT src AS id FROM edges)",
+        f"""seeds AS (
+    SELECT id, id // {seed_mod} AS label FROM verts WHERE id % {seed_mod} = 0
+)""",
+        """l0 AS (
+    SELECT v.id, s.label, s.label IS NOT NULL AS is_seed
+    FROM verts v LEFT JOIN seeds s USING (id)
+)""",
+    ]
+    for i in range(1, n_iterations + 1):
+        parts.append(
+            f"""s{i} AS (
+    SELECT e.src, l.label, SUM(e.weight) AS score
+    FROM edges e JOIN l{i - 1} l ON e.dst = l.id
+    WHERE l.label IS NOT NULL
+    GROUP BY e.src, l.label
+),
+l{i} AS (
+    SELECT p.id,
+           CASE WHEN p.is_seed THEN p.label ELSE COALESCE(b.label, p.label) END AS label,
+           p.is_seed
+    FROM l{i - 1} p
+    LEFT JOIN (
+        SELECT src AS id, label FROM (
+            SELECT src, label,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, label ASC) AS rn
+            FROM s{i}
+        ) WHERE rn = 1
+    ) b ON p.id = b.id
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, label FROM l{n_iterations}"
+
+
 def components_recursive_sql() -> str:
     """Exact components on the symmetric `edges` CTE: component = min
     reachable id, via recursive transitive closure (small-scale oracle

@@ -267,3 +267,83 @@ def label_propagation(
         unpersist_checkpoint(edges)
     unpersist_checkpoint(labels)
     return result
+
+
+def seeded_label_propagation(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iterations: int = 4,
+    driver: IterationDriver | None = None,
+    broadcast_rows_threshold: int = 250_000,
+) -> IterationResult:
+    """Semi-supervised seed expansion: `seeds`(id, label) are FROZEN;
+    every other vertex synchronously adopts the weighted argmax over its
+    LABELED neighbors (min-label tie-break), staying unlabeled (null)
+    until the frontier reaches it.  The TrustRank-shaped primitive —
+    propagate trusted/curated labels outward — the reference's plain LPA
+    (T2) cannot express because its labels all start mutable.
+
+    Exactly ``n_iterations`` synchronous rounds (deterministic, oracle-
+    mirrored by functions/sql_oracles.seeded_lpa_unrolled_sql).  Plan
+    shape matches label_propagation: edges pre-partitioned by dst once,
+    ONE exchange per superstep (repartition("src") feeds both the score
+    aggregate and the argmax partition-local), label vector broadcast
+    below the measured crossover.  The labeled-only filter makes early
+    rounds CHEAPER than plain LPA: the join's build side is the seed
+    frontier, not all |V| labels.
+    """
+    driver = driver or IterationDriver(spark, run_id="seeded_lpa")
+    edges = cache_partitioned(edges.repartition("dst"))
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    state0 = verts.join(
+        seeds.select("id", F.col("label").alias("seed_label")), "id", "left"
+    ).select(
+        "id",
+        F.col("seed_label").alias("label"),
+        F.col("seed_label").isNotNull().alias("is_seed"),
+    )
+    state0 = partition_preserving_checkpoint(state0.repartition("id"), key="id")
+    use_broadcast = state0.count() <= broadcast_rows_threshold
+
+    def step(state: DataFrame, i: int):
+        lbl_side = state.filter(F.col("label").isNotNull()).select(
+            F.col("id").alias("dst"), F.col("label").alias("nbr_label")
+        )
+        lbl_side = F.broadcast(lbl_side) if use_broadcast else lbl_side.hint("SHUFFLE_HASH")
+        best = (
+            edges.join(lbl_side, "dst")
+            .repartition("src")
+            .groupBy("src", "nbr_label")
+            .agg(F.sum("weight").alias("score"))
+            .groupBy("src")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("neg_score"),
+                        F.col("nbr_label").alias("lbl"),
+                    )
+                ).alias("m")
+            )
+            .select(F.col("src").alias("id"), F.col("m.lbl").alias("best_label"))
+        )
+        new = state.join(best.hint("SHUFFLE_HASH"), "id", "left").select(
+            "id",
+            F.when(F.col("is_seed"), F.col("label"))
+            .otherwise(F.coalesce("best_label", "label"))
+            .alias("label"),
+            "is_seed",
+        )
+        return new, float("inf")  # fixed-iteration mode
+
+    result = driver.run(
+        state0,
+        step,
+        max_iterations=n_iterations,
+        tolerance=-1.0,
+        metric_name="seed_rounds",
+        log_rows=False,
+    )
+    unpersist_checkpoint(edges)
+    unpersist_checkpoint(state0)
+    return result

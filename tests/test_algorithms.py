@@ -503,3 +503,30 @@ def test_bipartite_check_even_vs_odd_cycles(spark):
     )
     got = {r.component: r.is_bipartite for r in bipartite_check(spark, edges).collect()}
     assert got == {0: True, 10: False, 20: True}
+
+
+def test_seeded_lpa_frontier_and_frozen_seeds(spark):
+    """Path 0-1-2-3-4-5 with seeds at the ends: labels meet in the middle
+    (min-label tie at vertex reached by both), seeds never move, and a
+    vertex beyond the k-round frontier stays null."""
+    from sbm_communitydetection_spark.operators.label_propagation import (
+        seeded_label_propagation,
+    )
+
+    e = [(i, i + 1) for i in range(5)] + [(10, 11)]  # detached 10-11 edge
+    edges = symmetrize(
+        spark.createDataFrame([(s, d, 1) for s, d in e], "src long, dst long, weight long")
+    )
+    seeds = spark.createDataFrame([(0, 100), (5, 200)], "id long, label long")
+    got = {
+        r.id: r.label
+        for r in seeded_label_propagation(spark, edges, seeds, n_iterations=2)
+        .state.collect()
+    }
+    # seeds frozen
+    assert got[0] == 100 and got[5] == 200
+    # 2 rounds reach distance 2 from each seed
+    assert got[1] == 100 and got[2] == 100
+    assert got[4] == 200 and got[3] == 200
+    # disconnected unlabeled component: never reached
+    assert got[10] is None and got[11] is None
