@@ -543,6 +543,55 @@ def context_windows(transcripts: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def dpo_pair_candidates(
+    transcripts: DataFrame, k_per_prompt: int = 3
+) -> DataFrame:
+    """(prompt_text, conv_a, turn_a, response_a, conv_b, turn_b,
+    response_b) — preference-pair mining: conversations that answered
+    the SAME prompt with DIFFERENT responses yield candidate
+    chosen/rejected pairs for DPO/RLHF training.  Pairs are ordered
+    (rank_a < rank_b under the deterministic (conv_id, turn_idx)
+    order), capped at k_per_prompt responses per distinct prompt, and
+    identical responses never pair.
+
+    Scale shape: the per-prompt window ranks at most the duplicate set
+    of one prompt per partition and the rank<=k cap bounds the pair
+    fan-out at k(k-1)/2 per prompt BEFORE the self-join (the join runs
+    on the capped representative table, never the corpus).  A viral
+    prompt with 10^8 duplicates still funnels into one window
+    partition; at that scale compose with a deterministic hash
+    pre-sample on (prompt, conv) — the sample_edges machinery — to
+    bound the per-prompt sort.
+    """
+    pairs = prompt_response_pairs(transcripts)
+    w = Window.partitionBy("prompt_text").orderBy("conv_id", "turn_idx")
+    reps = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k_per_prompt)
+        .select("prompt_text", "conv_id", "turn_idx", "response_text", "rk")
+    )
+    a = reps.select(
+        "prompt_text",
+        F.col("conv_id").alias("conv_a"),
+        F.col("turn_idx").alias("turn_a"),
+        F.col("response_text").alias("response_a"),
+        F.col("rk").alias("rk_a"),
+    )
+    b = reps.select(
+        "prompt_text",
+        F.col("conv_id").alias("conv_b"),
+        F.col("turn_idx").alias("turn_b"),
+        F.col("response_text").alias("response_b"),
+        F.col("rk").alias("rk_b"),
+    )
+    return (
+        a.join(b, "prompt_text")
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .filter(F.col("response_a") != F.col("response_b"))
+        .drop("rk_a", "rk_b")
+    )
+
+
 def conv_novelty(transcripts: DataFrame) -> DataFrame:
     """(conv_id, n_bigrams, n_novel, novelty) — cross-conversation
     novelty: the fraction of a conversation's distinct word bigrams whose

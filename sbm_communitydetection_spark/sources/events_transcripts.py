@@ -351,6 +351,38 @@ def prompt_response_pairs_oracle_sql() -> str:
     """
 
 
+def dpo_pairs_oracle_sql(k_per_prompt: int = 3) -> str:
+    """Mirror of operators/extract.dpo_pair_candidates."""
+    return f"""
+    WITH {transcripts_cte_sql()},
+    lagged AS (
+        SELECT conv_id, turn_idx,
+               LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prompt_role,
+               role AS response_role,
+               LAG(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prompt_text,
+               text AS response_text
+        FROM transcripts
+    ),
+    pairs AS (
+        SELECT conv_id, turn_idx, prompt_text, response_text
+        FROM lagged
+        WHERE prompt_role IS NOT NULL AND prompt_role != response_role
+    ),
+    reps AS (
+        SELECT prompt_text, conv_id, turn_idx, response_text,
+               ROW_NUMBER() OVER (PARTITION BY prompt_text
+                                  ORDER BY conv_id, turn_idx) AS rk
+        FROM pairs
+        QUALIFY rk <= {k_per_prompt}
+    )
+    SELECT a.prompt_text,
+           a.conv_id AS conv_a, a.turn_idx AS turn_a, a.response_text AS response_a,
+           b.conv_id AS conv_b, b.turn_idx AS turn_b, b.response_text AS response_b
+    FROM reps a JOIN reps b ON a.prompt_text = b.prompt_text AND a.rk < b.rk
+    WHERE a.response_text != b.response_text
+    """
+
+
 def context_windows_oracle_sql(k: int = 3) -> str:
     """Mirror of operators/extract.context_windows."""
     return f"""

@@ -270,3 +270,28 @@ def test_conv_novelty_ownership_by_start_time(spark):
     assert got["b"].n_novel == 0 and got["b"].novelty == 0.0
     assert got["c"].novelty == 1.0
     assert got["d"].n_bigrams == 2 and got["d"].n_novel == 1  # 'green yellow' only
+
+
+def test_dpo_pairs_same_prompt_different_responses(spark):
+    """Identical prompts across conversations pair up; identical
+    responses never pair; the k-cap bounds representatives per prompt."""
+    from sbm_communitydetection_spark.operators.extract import dpo_pair_candidates
+
+    rows = []
+    for i, resp in enumerate(["yes", "no", "maybe", "yes"]):  # c3 repeats c0's resp
+        rows += [(f"c{i}", 0, "user", "how", None, 1000 * (i + 1)),
+                 (f"c{i}", 1, "assistant", resp, None, 1000 * (i + 1) + 1)]
+    rows += [("c9", 0, "user", "unique prompt", None, 9000),
+             ("c9", 1, "assistant", "solo", None, 9001)]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ms long",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool", F.timestamp_millis("ms").alias("ts")
+    )
+    got = {(r.conv_a, r.conv_b) for r in dpo_pair_candidates(t, k_per_prompt=3).collect()}
+    # reps capped at c0,c1,c2 (conv order); c3 beyond cap, c9 has no pair
+    assert got == {("c0", "c1"), ("c0", "c2"), ("c1", "c2")}
+    full = {(r.conv_a, r.conv_b) for r in dpo_pair_candidates(t, k_per_prompt=10).collect()}
+    # with the cap lifted, c3 pairs with c1/c2 but NOT c0 (same response)
+    assert ("c0", "c3") not in full and ("c1", "c3") in full and ("c2", "c3") in full
