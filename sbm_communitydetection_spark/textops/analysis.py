@@ -743,3 +743,86 @@ SELECT f.doc_id, COUNT(*)::BIGINT AS n_feats,
                - LN((cr.cr + 1.0) / (tot.rt + {buckets}))), 6) AS dsir_logratio
 FROM feat f JOIN cr USING (b) LEFT JOIN ct USING (b), tot
 GROUP BY f.doc_id"""
+
+
+def token_pmi(docs: DataFrame, min_count: int = 20) -> DataFrame:
+    """(a, b, pair_count, pmi) — pointwise mutual information of ADJACENT
+    token pairs across the corpus: pmi = ln(p(a,b) / (p(a)·p(b))) with
+    p(a,b) over the bigram total and p(·) over the unigram total.  High
+    PMI surfaces collocations (phrases that travel together); low/negative
+    PMI flags template glue.  ``min_count`` drops noise pairs (classic
+    PMI degenerates at count 1).
+
+    Scale shape: one bigram count aggregate and one unigram count
+    aggregate, both map-side combinable; the unigram table is
+    vocab-bounded and broadcast onto the pair table twice — no corpus
+    self-join, no window, no Python.  Output is value-filtered (no
+    float ranking), so cross-engine ordering cannot flip rows."""
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("t_total"))
+    bi = (
+        docs.select(F.explode(shingles_col(F.col("text"), 2)).alias("g"))
+        .select(
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("a"),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("b"),
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    ptotal = (
+        docs.select(F.explode(shingles_col(F.col("text"), 2)).alias("g"))
+        .agg(F.count("*").alias("p_total"))
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bi.join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(ptotal))
+        .select(
+            "a",
+            "b",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count").cast("double") * F.col("t_total") * F.col("t_total"))
+                    / (F.col("c_a").cast("double") * F.col("c_b") * F.col("p_total"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+def token_pmi_sql(table: str = "documents", min_count: int = 20) -> str:
+    from .portable import shingles_sql
+
+    return f"""
+    WITH uni AS (
+        SELECT t, COUNT(*)::BIGINT AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM {table})
+        GROUP BY t
+    ),
+    tot AS (SELECT SUM(c)::BIGINT AS t_total FROM uni),
+    grams AS (SELECT unnest({shingles_sql("text", 2)}) AS g FROM {table}),
+    ptot AS (SELECT COUNT(*)::BIGINT AS p_total FROM grams),
+    bi AS (
+        SELECT split_part(g, ' ', 1) AS a, split_part(g, ' ', 2) AS b,
+               COUNT(*)::BIGINT AS pair_count
+        FROM grams GROUP BY 1, 2
+        HAVING COUNT(*) >= {min_count}
+    )
+    SELECT bi.a, bi.b, bi.pair_count,
+           ROUND(ln((bi.pair_count::DOUBLE * t.t_total * t.t_total)
+                    / (ua.c::DOUBLE * ub.c * p.p_total)), 6) AS pmi
+    FROM bi
+    JOIN uni ua ON bi.a = ua.t
+    JOIN uni ub ON bi.b = ub.t
+    CROSS JOIN tot t CROSS JOIN ptot p
+    """
