@@ -1392,6 +1392,11 @@ def _q_token_pmi(spark, sf_dir):
     return TA.token_pmi(_docs(spark, sf_dir), min_count=20)
 
 
+def _q_boilerplate_strip(spark, sf_dir):
+    """C4-style frequent-ngram strip (min_df=5 ≈ 1% of sf0.01 corpus)."""
+    return TA.boilerplate_strip(_docs(spark, sf_dir), min_df=5)
+
+
 def _q_text_quality(spark, sf_dir):
     return TA.text_quality(_docs(spark, sf_dir))
 
@@ -1515,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is attested by the full-suite driver_sim gate (and the judge
         # can re-run `tools/driver_sim.py --only token_pmi`)
         "token_pmi": _q_token_pmi,
+        "boilerplate_strip": _q_boilerplate_strip,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -1951,6 +1957,7 @@ WITH injected AS (
         "temperature_sample": TA.temperature_sample_sql(MIX_BUDGET),
         "ngram_lm_score": TA.ngram_lm_score_sql(),
         "token_pmi": TA.token_pmi_sql(min_count=20),
+        "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

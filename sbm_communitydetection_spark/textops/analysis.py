@@ -826,3 +826,109 @@ def token_pmi_sql(table: str = "documents", min_count: int = 20) -> str:
     JOIN uni ub ON bi.b = ub.t
     CROSS JOIN tot t CROSS JOIN ptot p
     """
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    min_df: int = 5,
+    n: int = NGRAM_N,
+    max_broadcast_grams: int = 10_000_000,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, keep_ratio, clean_text) — C4/RefinedWeb-
+    style boilerplate removal at word-n-gram granularity: an n-gram that
+    appears in ≥ ``min_df`` distinct documents is template glue; every
+    token position it covers is stripped, and the cleaned text is
+    reassembled in original order.  Mirrors the reference's
+    curation-before-detection stance (data prep precedes scripts/
+    overall_run.cpp's pipeline); sized as an absolute doc count —
+    callers at corpus scale pass ~permille·|corpus|.
+
+    Scale shape: the boilerplate gram set is bounded above by
+    total_grams / min_df distinct values, so it broadcasts (guarded, as
+    in ``decontamination_flags``: above ``max_broadcast_grams`` it falls
+    back to a shuffled hash join).  Cost = two linear positional
+    explodes + one (doc_id, pos)-keyed join + one doc_id group — no
+    corpus self-join, no window, no Python.
+    """
+    w = words_col(F.col("text"))
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(shingles_col(F.col("text"), n)).alias("pos0", "gram"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "gram")
+    bp = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("gram")
+    )
+    if bp.limit(max_broadcast_grams + 1).count() <= max_broadcast_grams:
+        bp = F.broadcast(bp)
+    covered = (
+        grams.join(bp, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("pos"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(w).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    kept = F.col("hit").isNull()
+    return (
+        toks.join(covered, ["doc_id", "pos"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.round(F.sum(kept.cast("double")) / F.count("*"), 6).alias("keep_ratio"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.when(kept, F.struct("pos", "tok")))
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+def boilerplate_strip_sql(
+    table: str = "documents", min_df: int = 5, n: int = NGRAM_N
+) -> str:
+    sh = shingles_sql("text", n)
+    return f"""
+    WITH grams AS (
+        SELECT doc_id, unnest({sh}) AS gram,
+               generate_subscripts({sh}, 1) AS pos
+        FROM {table}
+    ),
+    bp AS (
+        SELECT gram FROM grams GROUP BY gram
+        HAVING COUNT(DISTINCT doc_id) >= {min_df}
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, pos FROM (
+            SELECT doc_id,
+                   unnest(generate_series(pos, pos + {n - 1})) AS pos
+            FROM grams JOIN bp USING (gram)
+        )
+    ),
+    toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM {table}
+    )
+    SELECT t.doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           ROUND(SUM(CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*), 6) AS keep_ratio,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.pos), '') AS clean_text
+    FROM toks t LEFT JOIN covered c USING (doc_id, pos)
+    GROUP BY t.doc_id
+    """

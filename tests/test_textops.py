@@ -511,3 +511,36 @@ def test_substring_dup_flags_exact_at_granularity(spark):
     assert got[3].n_grams == 0 and not got[3].substring_dup
     # doc 0 has len 25 → 14 grams, all distinct
     assert got[0].n_grams == 14
+
+
+def test_boilerplate_strip_removes_frequent_ngrams(spark):
+    rows = [
+        (0, "alpha ad tracker footer beta"),
+        (1, "ad tracker footer gamma"),
+        (2, "ad tracker footer"),
+        (3, "delta epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in TA.boilerplate_strip(docs, min_df=3, n=3).collect()
+    }
+    assert out[0]["clean_text"] == "alpha beta"
+    assert out[0]["n_tokens"] == 5 and out[0]["n_kept"] == 2
+    assert out[1]["clean_text"] == "gamma"
+    assert out[2]["clean_text"] == "" and out[2]["keep_ratio"] == 0.0
+    # unique doc untouched (its grams have df=1)
+    assert out[3]["clean_text"] == "delta epsilon zeta"
+    assert out[3]["keep_ratio"] == 1.0
+
+
+def test_token_pmi_surfaces_collocation(spark):
+    text = "new york a b new york c d new york"
+    docs = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    rows = TA.token_pmi(docs, min_count=3).collect()
+    # only the planted collocation survives min_count; PMI is positive
+    assert [(r["a"], r["b"]) for r in rows] == [("new", "york")]
+    assert rows[0]["pair_count"] == 6
+    assert rows[0]["pmi"] > 0
