@@ -62,6 +62,7 @@ from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     lineitem_directed_edges_sql,
     lineitem_edges,
     lineitem_edges_sql,
+    lineitem_mixed_digraph_sql,
 )
 from sbm_communitydetection_spark.sources import events_transcripts as ET  # noqa: E402
 from sbm_communitydetection_spark.textops import analysis as TA  # noqa: E402
@@ -699,6 +700,16 @@ def _q_actor_scc(spark, sf_dir):
         F.col("role_from").alias("src"), F.col("role_to").alias("dst")
     )
     return strongly_connected_components(spark, d)
+
+
+def _q_condensation_layers(spark, sf_dir):
+    """SCC condensation DAG of a mixed digraph (cyclic strata + strictly
+    ordered cross-edges), each core stratified by its longest-path layer
+    from the DAG sources — the scheduling order for per-SCC work."""
+    from sbm_communitydetection_spark.operators.components import condensation_layers
+    from sbm_communitydetection_spark.sources.tpch_graph import lineitem_mixed_digraph
+
+    return condensation_layers(spark, lineitem_mixed_digraph(spark, sf_dir))
 
 
 def _q_triad_census(spark, sf_dir):
@@ -1521,6 +1532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # can re-run `tools/driver_sim.py --only token_pmi`)
         "token_pmi": _q_token_pmi,
         "boilerplate_strip": _q_boilerplate_strip,
+        "condensation_layers": _q_condensation_layers,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -1793,6 +1805,42 @@ FROM s""",
     SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
     FROM verts v LEFT JOIN mutual m ON m.u = v.id
     GROUP BY v.id""",
+        "condensation_layers": "WITH RECURSIVE "
+        + lineitem_mixed_digraph_sql()
+        + """,
+    verts AS (SELECT src AS id FROM dedges UNION SELECT dst FROM dedges),
+    reach(src, dst) AS (
+        SELECT src, dst FROM dedges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN dedges e ON r.dst = e.src
+    ),
+    mutual AS (
+        SELECT a.src AS u, a.dst AS v
+        FROM reach a JOIN reach b ON a.src = b.dst AND a.dst = b.src
+    ),
+    sccmap AS (
+        SELECT v.id, LEAST(v.id, COALESCE(MIN(m.v), v.id)) AS scc
+        FROM verts v LEFT JOIN mutual m ON m.u = v.id
+        GROUP BY v.id
+    ),
+    cedges AS (
+        SELECT DISTINCT s.scc AS src, d.scc AS dst
+        FROM dedges e JOIN sccmap s ON e.src = s.id
+                      JOIN sccmap d ON e.dst = d.id
+        WHERE s.scc <> d.scc
+    ),
+    cnodes AS (SELECT DISTINCT scc FROM sccmap),
+    paths(node, depth) AS (
+        SELECT scc, 0 FROM cnodes
+        WHERE scc NOT IN (SELECT dst FROM cedges)
+        UNION ALL
+        SELECT e.dst, p.depth + 1 FROM paths p JOIN cedges e ON e.src = p.node
+    )
+    SELECT p.node AS scc, MAX(p.depth)::BIGINT AS layer, m.n_members
+    FROM paths p
+    JOIN (SELECT scc, COUNT(*)::BIGINT AS n_members FROM sccmap GROUP BY scc) m
+      ON m.scc = p.node
+    GROUP BY p.node, m.n_members""",
         "tool_cooccurrence": ET.tool_cooccurrence_oracle_sql(),
         "conv_influence": "WITH "
         + ET.actor_edges_cte_sql()

@@ -545,3 +545,70 @@ def bipartite_check(
             (F.min((F.col("c0") != F.col("c1")).cast("int")) == 1).alias("is_bipartite")
         )
     )
+
+
+def condensation_layers(
+    spark: SparkSession, edges: DataFrame, max_depth: int = 200
+) -> DataFrame:
+    """(scc, layer, n_members) — contract a digraph to its SCC
+    condensation DAG and assign every condensed node its LONGEST-path
+    layer from the DAG's sources (layer 0 = no incoming condensation
+    edge; layer(v) = 1 + max over predecessors).  The layering is the
+    standard topological stratification: layer-k nodes depend only on
+    layers < k, so it orders reply-graph cores into "who can influence
+    whom" strata and is the scheduling order for any downstream
+    per-SCC computation.
+
+    Scale shape: one SCC run (see strongly_connected_components), then
+    per round ONE keyed equi-join + max-aggregate on the CONDENSED
+    node set — which is orders of magnitude smaller than the input
+    graph (every nontrivial SCC collapses).  Rounds = DAG depth; the
+    fixpoint raises at ``max_depth`` rather than returning a partial
+    layering (ADVICE r2 convergence stance).  No driver-side data.
+    """
+    scc = strongly_connected_components(spark, edges)
+    m_src = scc.select(F.col("id").alias("src"), F.col("scc").alias("cs"))
+    m_dst = scc.select(F.col("id").alias("dst"), F.col("scc").alias("cd"))
+    cedges = (
+        edges.select("src", "dst")
+        .join(m_src, "src")
+        .join(m_dst, "dst")
+        .filter(F.col("cs") != F.col("cd"))
+        .select(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layers = (
+        scc.select("scc").distinct().withColumn("layer", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_depth):
+        prop = (
+            cedges.join(layers.withColumnRenamed("scc", "src"), "src")
+            .groupBy(F.col("dst").alias("scc"))
+            .agg((F.max("layer") + 1).alias("cand"))
+        )
+        new = (
+            layers.join(prop, "scc", "left")
+            .select(
+                "scc",
+                F.greatest("layer", F.coalesce("cand", F.lit(0))).cast("long").alias("layer"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(layers.withColumnRenamed("layer", "old"), "scc")
+            .filter(F.col("layer") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        layers = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"condensation_layers: layering still changing after max_depth="
+            f"{max_depth} rounds (DAG deeper than max_depth; raise it)"
+        )
+    members = scc.groupBy("scc").agg(F.count("*").alias("n_members"))
+    return layers.join(members, "scc")

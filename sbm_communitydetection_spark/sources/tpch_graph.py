@@ -136,3 +136,60 @@ def bench_edges(
         )
     )
     return symmetrize(raw)
+
+
+STRATUM_SIZE = 100
+
+
+def lineitem_mixed_digraph(
+    spark: SparkSession,
+    sf_dir: str,
+    n_verts: int = N_VERTS,
+    stratum: int = STRATUM_SIZE,
+) -> DataFrame:
+    """edges(src, dst) — deterministic digraph with BOTH cyclic cores and
+    DAG structure, for condensation/topological operators: edges whose
+    endpoints share a stratum (``id // stratum``) are kept in both
+    directions (symmetric ⇒ they collapse into SCCs), edges across
+    strata are oriented strictly low → high (⇒ the condensation is a
+    layered DAG of depth ≈ n_verts/stratum)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    raw = (
+        li.select(
+            F.pmod(F.col("l_orderkey"), F.lit(n_verts)).cast("long").alias("a"),
+            F.pmod(F.col("l_partkey"), F.lit(n_verts)).cast("long").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    sa, sb = F.floor(F.col("a") / stratum), F.floor(F.col("b") / stratum)
+    intra = raw.filter(sa == sb)
+    sym = intra.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        intra.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    cross = raw.filter(sa != sb).select(
+        F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst")
+    )
+    return sym.unionByName(cross).distinct()
+
+
+def lineitem_mixed_digraph_sql(
+    n_verts: int = N_VERTS, stratum: int = STRATUM_SIZE
+) -> str:
+    """DuckDB twin of lineitem_mixed_digraph as a CTE body named `dedges`."""
+    return f"""
+    raw AS (
+        SELECT l_orderkey % {n_verts} AS a, l_partkey % {n_verts} AS b
+        FROM lineitem
+        WHERE l_orderkey % {n_verts} <> l_partkey % {n_verts}
+    ),
+    dedges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT a AS src, b AS dst FROM raw WHERE a // {stratum} = b // {stratum}
+            UNION ALL
+            SELECT b AS src, a AS dst FROM raw WHERE a // {stratum} = b // {stratum}
+            UNION ALL
+            SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst
+            FROM raw WHERE a // {stratum} <> b // {stratum}
+        )
+    )
+    """

@@ -530,3 +530,34 @@ def test_seeded_lpa_frontier_and_frozen_seeds(spark):
     assert got[4] == 200 and got[3] == 200
     # disconnected unlabeled component: never reached
     assert got[10] is None and got[11] is None
+
+
+def test_condensation_layers_two_cycles_and_tail(spark):
+    """Two 3-cycles bridged by one directed edge, plus a sink tail:
+    condensation = cycleA(layer 0) -> cycleB(layer 1) -> tail(layer 2)."""
+    from sbm_communitydetection_spark.operators.components import condensation_layers
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0),          # cycle A = {0,1,2}, scc 0
+         (10, 11), (11, 12), (12, 10),    # cycle B = {10,11,12}, scc 10
+         (2, 10),                          # A -> B
+         (12, 99)],                        # B -> tail
+        "src long, dst long",
+    )
+    got = {r.scc: (r.layer, r.n_members)
+           for r in condensation_layers(spark, edges).collect()}
+    assert got == {0: (0, 3), 10: (1, 3), 99: (2, 1)}
+
+
+def test_condensation_layers_depth_guard_raises(spark):
+    """A DAG chain deeper than max_depth must raise, never return a
+    partial layering (ADVICE r2 convergence stance)."""
+    import pytest as _pytest
+
+    from sbm_communitydetection_spark.operators.components import condensation_layers
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    with _pytest.raises(RuntimeError, match="max_depth"):
+        condensation_layers(spark, chain, max_depth=3)
