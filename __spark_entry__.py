@@ -1403,6 +1403,11 @@ def _q_token_pmi(spark, sf_dir):
     return TA.token_pmi(_docs(spark, sf_dir), min_count=20)
 
 
+def _q_corpus_stats(spark, sf_dir):
+    """One-row corpus health card (Zipf slope, hapax share, top1 mass)."""
+    return TA.corpus_stats(_docs(spark, sf_dir))
+
+
 def _q_boilerplate_strip(spark, sf_dir):
     """C4-style frequent-ngram strip (min_df=5 ≈ 1% of sf0.01 corpus)."""
     return TA.boilerplate_strip(_docs(spark, sf_dir), min_df=5)
@@ -1533,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_pmi": _q_token_pmi,
         "boilerplate_strip": _q_boilerplate_strip,
         "condensation_layers": _q_condensation_layers,
+        "corpus_stats": _q_corpus_stats,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -2006,6 +2012,7 @@ WITH injected AS (
         "ngram_lm_score": TA.ngram_lm_score_sql(),
         "token_pmi": TA.token_pmi_sql(min_count=20),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
+        "corpus_stats": TA.corpus_stats_sql(),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

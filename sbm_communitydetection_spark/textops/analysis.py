@@ -932,3 +932,91 @@ def boilerplate_strip_sql(
     FROM toks t LEFT JOIN covered c USING (doc_id, pos)
     GROUP BY t.doc_id
     """
+
+
+ZIPF_TOP_RANKS = 100
+
+
+def corpus_stats(docs: DataFrame, top_ranks: int = ZIPF_TOP_RANKS) -> DataFrame:
+    """One-row corpus-health card: (n_tokens, vocab_size, hapax_frac,
+    top1_share, zipf_slope) — total token mass, distinct vocabulary,
+    fraction of vocabulary seen exactly once (Heaps-law tail; a high
+    hapax share on web text usually means OCR noise or boilerplate IDs),
+    share of the single most frequent token, and the OLS slope of
+    ln(freq) ~ ln(rank) over the top ``top_ranks`` ranks (healthy
+    natural-language corpora sit near -1; templated corpora are much
+    flatter).
+
+    Scale shape: ONE map-side-combinable token count aggregate over the
+    corpus; everything after runs on the vocab-bounded count table (the
+    rank window sorts only ``top_ranks`` rows after a count-desc top-k,
+    never the corpus).  Ties rank deterministically by (count desc,
+    token asc) in both engines.
+    """
+    counts = (
+        docs.select(F.explode(words_col(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    totals = counts.agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+        F.max("c").alias("top1"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy(F.col("c").desc(), F.col("t").asc())
+    top = (
+        counts.orderBy(F.col("c").desc(), F.col("t").asc())
+        .limit(top_ranks)
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.log(F.col("rank").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    slope = top.agg(
+        (
+            (F.count("*") * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (F.count("*") * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x"))
+        ).alias("zipf_slope")
+    )
+    return totals.crossJoin(slope).select(
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("vocab_size").cast("long").alias("vocab_size"),
+        F.round(F.col("n_hapax") / F.col("vocab_size"), 6).alias("hapax_frac"),
+        F.round(F.col("top1") / F.col("n_tokens"), 6).alias("top1_share"),
+        F.round("zipf_slope", 6).alias("zipf_slope"),
+    )
+
+
+def corpus_stats_sql(table: str = "documents", top_ranks: int = ZIPF_TOP_RANKS) -> str:
+    return f"""
+    WITH counts AS (
+        SELECT t, COUNT(*)::BIGINT AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM {table})
+        GROUP BY t
+    ),
+    totals AS (
+        SELECT SUM(c)::BIGINT AS n_tokens, COUNT(*)::BIGINT AS vocab_size,
+               SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+               MAX(c) AS top1
+        FROM counts
+    ),
+    top AS (
+        SELECT ln(ROW_NUMBER() OVER (ORDER BY c DESC, t ASC)) AS x,
+               ln(c::DOUBLE) AS y
+        FROM counts ORDER BY c DESC, t ASC LIMIT {top_ranks}
+    ),
+    slope AS (
+        SELECT (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+               / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) AS zipf_slope
+        FROM top
+    )
+    SELECT t.n_tokens, t.vocab_size,
+           ROUND(t.n_hapax::DOUBLE / t.vocab_size, 6) AS hapax_frac,
+           ROUND(t.top1::DOUBLE / t.n_tokens, 6) AS top1_share,
+           ROUND(s.zipf_slope, 6) AS zipf_slope
+    FROM totals t CROSS JOIN slope s
+    """

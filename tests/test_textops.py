@@ -544,3 +544,19 @@ def test_token_pmi_surfaces_collocation(spark):
     assert [(r["a"], r["b"]) for r in rows] == [("new", "york")]
     assert rows[0]["pair_count"] == 6
     assert rows[0]["pmi"] > 0
+
+
+def test_corpus_stats_known_counts(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c")], "doc_id long, text string"
+    )
+    r = TA.corpus_stats(docs).collect()[0]
+    assert r["n_tokens"] == 6 and r["vocab_size"] == 3
+    assert r["hapax_frac"] == round(1 / 3, 6)
+    assert r["top1_share"] == 0.5
+    # OLS slope of ln(freq) ~ ln(rank) over ranks (1,2,3), freqs (3,2,1)
+    x = np.log([1.0, 2.0, 3.0])
+    y = np.log([3.0, 2.0, 1.0])
+    slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+             / (len(x) * (x * x).sum() - x.sum() ** 2))
+    assert r["zipf_slope"] == round(float(slope), 6)
