@@ -1403,6 +1403,13 @@ def _q_token_pmi(spark, sf_dir):
     return TA.token_pmi(_docs(spark, sf_dir), min_count=20)
 
 
+def _q_quality_lr_fit(spark, sf_dir):
+    """Full-batch GD logistic fit (is-English on length features) —
+    one map-side-combinable aggregate per step, 3 scalar floats to the
+    driver per step, unrolled-CTE oracle walks the same trajectory."""
+    return TA.quality_lr_fit(_docs(spark, sf_dir))
+
+
 def _q_corpus_stats(spark, sf_dir):
     """One-row corpus health card (Zipf slope, hapax share, top1 mass)."""
     return TA.corpus_stats(_docs(spark, sf_dir))
@@ -1539,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate_strip": _q_boilerplate_strip,
         "condensation_layers": _q_condensation_layers,
         "corpus_stats": _q_corpus_stats,
+        "quality_lr_fit": _q_quality_lr_fit,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -2013,6 +2021,7 @@ WITH injected AS (
         "token_pmi": TA.token_pmi_sql(min_count=20),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),
+        "quality_lr_fit": TA.quality_lr_fit_sql(),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

@@ -1020,3 +1020,109 @@ def corpus_stats_sql(table: str = "documents", top_ranks: int = ZIPF_TOP_RANKS) 
            ROUND(s.zipf_slope, 6) AS zipf_slope
     FROM totals t CROSS JOIN slope s
     """
+
+
+LR_ITERS = 10
+LR_RATE = 0.5
+GRAD_ROUND = 10  # per-iteration gradient rounding: quashes summation-order
+#                  float noise so Spark and the unrolled-SQL oracle walk
+#                  the exact same IEEE trajectory
+
+
+def _lr_features(docs: DataFrame):
+    """Deterministic (y, x1, x2): label = doc is English; features are
+    scaled char/token lengths.  Shared by quality_lr_fit and its oracle
+    builder (the SQL twin mirrors these expressions verbatim)."""
+    return docs.select(
+        (F.col("lang") == "en").cast("double").alias("y"),
+        (F.length("text") / F.lit(100.0)).alias("x1"),
+        (F.size(words_col(F.col("text"))) / F.lit(20.0)).alias("x2"),
+    )
+
+
+def quality_lr_fit(
+    docs: DataFrame, iters: int = LR_ITERS, lr: float = LR_RATE
+) -> DataFrame:
+    """One-row (wb, w1, w2, logloss) — logistic-regression fit of an
+    is-English quality classifier on two scaled length features, by
+    ``iters`` full-batch gradient-descent steps from zero init.
+
+    Spark-first shape: each step is ONE map-side-combinable aggregate
+    over the corpus (sigmoid + residual stay in whole-stage codegen);
+    the only driver traffic is the 3-float gradient per step — the same
+    scalar-per-iteration pattern as MLlib's own gradient descent, so the
+    op is a single corpus pass per iteration at any scale.  The gradient
+    is rounded to {GRAD_ROUND} dp each step, making the weight
+    trajectory bit-identical to the unrolled-SQL oracle regardless of
+    partial-aggregation order.
+    """
+    feats = _lr_features(docs).persist()
+    try:
+        wb = w1 = w2 = 0.0
+        for _ in range(iters):
+            z = F.lit(wb) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            r = feats.agg(
+                F.round(F.avg(p - F.col("y")), GRAD_ROUND).alias("gb"),
+                F.round(F.avg((p - F.col("y")) * F.col("x1")), GRAD_ROUND).alias("g1"),
+                F.round(F.avg((p - F.col("y")) * F.col("x2")), GRAD_ROUND).alias("g2"),
+            ).collect()[0]
+            wb, w1, w2 = wb - lr * r["gb"], w1 - lr * r["g1"], w2 - lr * r["g2"]
+        z = F.lit(wb) + F.lit(w1) * F.col("x1") + F.lit(w2) * F.col("x2")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        return feats.agg(
+            F.round(F.lit(wb), 6).alias("wb"),
+            F.round(F.lit(w1), 6).alias("w1"),
+            F.round(F.lit(w2), 6).alias("w2"),
+            F.round(
+                F.avg(-(F.col("y") * F.log(p) + (1 - F.col("y")) * F.log(1 - p))), 6
+            ).alias("logloss"),
+        )
+    finally:
+        feats.unpersist()
+
+
+def quality_lr_fit_sql(
+    table: str = "documents", iters: int = LR_ITERS, lr: float = LR_RATE
+) -> str:
+    """Unrolled gradient-descent oracle: one gradient CTE + one weight CTE
+    per iteration (pagerank_unrolled_sql pattern), gradients rounded
+    identically to the Spark side."""
+    feats = f"""feats AS (
+        SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               length(text) / 100.0 AS x1,
+               len(string_split(text, ' ')) / 20.0 AS x2
+        FROM {table}
+    )"""
+    parts = [feats, "w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""g{i} AS (
+        SELECT ROUND(AVG(p - y), {GRAD_ROUND}) AS gb,
+               ROUND(AVG((p - y) * x1), {GRAD_ROUND}) AS g1,
+               ROUND(AVG((p - y) * x2), {GRAD_ROUND}) AS g2
+        FROM (SELECT y, x1, x2,
+                     1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))) AS p
+              FROM feats CROSS JOIN w{i - 1} w)
+    ),
+    w{i} AS (
+        SELECT w.wb - {lr} * g.gb AS wb, w.w1 - {lr} * g.g1 AS w1,
+               w.w2 - {lr} * g.g2 AS w2
+        FROM w{i - 1} w CROSS JOIN g{i} g
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    scored AS (
+        SELECT y, 1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))) AS p,
+               w.wb, w.w1, w.w2
+        FROM feats CROSS JOIN w{iters} w
+    )
+    SELECT ROUND(ANY_VALUE(wb), 6) AS wb, ROUND(ANY_VALUE(w1), 6) AS w1,
+           ROUND(ANY_VALUE(w2), 6) AS w2,
+           ROUND(AVG(-(y * ln(p) + (1 - y) * ln(1 - p))), 6) AS logloss
+    FROM scored
+    """
+    )

@@ -560,3 +560,18 @@ def test_corpus_stats_known_counts(spark):
     slope = ((len(x) * (x * y).sum() - x.sum() * y.sum())
              / (len(x) * (x * x).sum() - x.sum() ** 2))
     assert r["zipf_slope"] == round(float(slope), 6)
+
+
+def test_quality_lr_fit_learns_separable_labels(spark):
+    """English docs are long, others short: after 10 GD steps the loss
+    must beat the zero-init ln(2) and the length weight must be
+    positive."""
+    long_t = " ".join(["word"] * 80)
+    short_t = "tiny doc"
+    rows = [(i, long_t, "en") for i in range(10)] + [
+        (10 + i, short_t, "de") for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    r = TA.quality_lr_fit(docs).collect()[0]
+    assert r["logloss"] < 0.693147
+    assert r["w1"] > 0 and r["w2"] > 0
