@@ -1253,6 +1253,11 @@ def _q_minhash_lsh(spark, sf_dir):
     return TD.minhash_lsh_dup_pairs(_docs(spark, sf_dir))
 
 
+def _q_cross_source_dup_matrix(spark, sf_dir):
+    """Train/eval leakage signal: near-dup pair counts per source pair."""
+    return TD.cross_source_dup_matrix(_docs(spark, sf_dir))
+
+
 def _q_near_dup_clusters(spark, sf_dir):
     return TD.near_dup_clusters(spark, _docs(spark, sf_dir))
 
@@ -1547,6 +1552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensation_layers": _q_condensation_layers,
         "corpus_stats": _q_corpus_stats,
         "quality_lr_fit": _q_quality_lr_fit,
+        "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -2022,6 +2028,7 @@ WITH injected AS (
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),
         "quality_lr_fit": TA.quality_lr_fit_sql(),
+        "cross_source_dup_matrix": TD.cross_source_dup_matrix_sql(),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

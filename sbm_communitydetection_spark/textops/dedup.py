@@ -856,3 +856,58 @@ SELECT d.doc_id,
        COALESCE(p.n_shared, 0)::BIGINT AS n_shared,
        COALESCE(p.n_shared, 0) > 0 AS substring_dup
 FROM {table} d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+def cross_source_dup_matrix(
+    docs: DataFrame,
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    n: int = NGRAM_N,
+) -> DataFrame:
+    """(source_a, source_b, n_pairs, avg_jaccard) — the CONTAMINATION
+    MATRIX: how many near-dup pairs cross each (ordered-canonical)
+    source pair.  The off-diagonal cells are the train/eval leakage
+    signal a pipeline must drive to zero before a benchmark split is
+    trustworthy; the diagonal measures within-source redundancy.
+
+    Scale shape: rides minhash_lsh_dup_pairs (banded candidates +
+    candidate-restricted verify), then two joins against the (doc_id →
+    source) projection — a tiny dimension relative to the corpus — and
+    one source×source aggregate whose output is |sources|² bounded.
+    """
+    pairs = minhash_lsh_dup_pairs(docs, threshold, num_hashes, rows_per_band, n)
+    src = docs.select("doc_id", "source")
+    annotated = (
+        pairs.join(src.select(F.col("doc_id").alias("a"), F.col("source").alias("s_a")), "a")
+        .join(src.select(F.col("doc_id").alias("b"), F.col("source").alias("s_b")), "b")
+        .select(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+            "jaccard",
+        )
+    )
+    return annotated.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs"),
+        F.round(F.avg("jaccard"), 6).alias("avg_jaccard"),
+    )
+
+
+def cross_source_dup_matrix_sql(
+    table: str = "documents",
+    threshold: float = 0.4,
+    num_hashes: int = MINHASH_NUM,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
+    n: int = NGRAM_N,
+) -> str:
+    return f"""
+    WITH {_lsh_ctes_sql(table, threshold, num_hashes, rows_per_band, n)}
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*)::BIGINT AS n_pairs,
+           ROUND(AVG(jaccard), 6) AS avg_jaccard
+    FROM dup
+    JOIN {table} da ON dup.a = da.doc_id
+    JOIN {table} db ON dup.b = db.doc_id
+    GROUP BY 1, 2
+    """

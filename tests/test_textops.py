@@ -575,3 +575,17 @@ def test_quality_lr_fit_learns_separable_labels(spark):
     r = TA.quality_lr_fit(docs).collect()[0]
     assert r["logloss"] < 0.693147
     assert r["w1"] > 0 and r["w2"] > 0
+
+
+def test_cross_source_dup_matrix_flags_leak(spark):
+    rows = [
+        (0, BASE, "en", "train", len(BASE)),
+        (1, BASE, "en", "eval", len(BASE)),   # exact dup across the split
+        (2, FAR, "en", "train", len(FAR)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r.source_a, r.source_b): r.n_pairs
+           for r in TD.cross_source_dup_matrix(docs).collect()}
+    assert got == {("eval", "train"): 1}
