@@ -538,6 +538,14 @@ def _q_triangles_per_vertex(spark, sf_dir):
 # -- transcript extraction (input_hint pipeline, driver-gated) --------------
 
 
+def _q_conv_entropy(spark, sf_dir):
+    """Role-distribution Shannon entropy per conversation (diversity cut)."""
+    from sbm_communitydetection_spark.operators.extract import conv_entropy
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return conv_entropy(events_transcripts(spark, sf_dir))
+
+
 def _q_conv_stats(spark, sf_dir):
     from sbm_communitydetection_spark.operators.extract import conv_stats
     from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
@@ -1553,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "quality_lr_fit": _q_quality_lr_fit,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
+        "conv_entropy": _q_conv_entropy,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -2029,6 +2038,7 @@ WITH injected AS (
         "corpus_stats": TA.corpus_stats_sql(),
         "quality_lr_fit": TA.quality_lr_fit_sql(),
         "cross_source_dup_matrix": TD.cross_source_dup_matrix_sql(),
+        "conv_entropy": ET.conv_entropy_oracle_sql(),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

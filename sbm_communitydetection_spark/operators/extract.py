@@ -634,3 +634,40 @@ def conv_novelty(transcripts: DataFrame) -> DataFrame:
         )
         .withColumn("novelty", F.round(F.col("n_novel") / F.col("n_bigrams"), 6))
     )
+
+
+def conv_entropy(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, n_turns, role_entropy) — Shannon entropy (nats) of the
+    per-conversation role distribution.  Near-zero entropy = monologue
+    or template (one actor dominates); high entropy = balanced
+    multi-party dialogue — a standard diversity cut for SFT curation.
+
+    Two stacked hash aggregates keyed on conv_id ((conv,role) counts,
+    then per-conv entropy) — map-side combinable, no window, no join
+    except none; at 10^12 turns it is the same shuffle shape as
+    conv_stats.  The inner term is summed in deterministic value form
+    (p·ln p per role, rounded once at the end).
+    """
+    per_role = transcripts.groupBy("conv_id", "role").agg(
+        F.count("*").alias("c")
+    )
+    return (
+        per_role.groupBy("conv_id")
+        .agg(
+            F.sum("c").alias("n_turns"),
+            F.sum(F.col("c") * F.log(F.col("c").cast("double"))).alias("clogc"),
+        )
+        .select(
+            "conv_id",
+            F.col("n_turns").cast("long").alias("n_turns"),
+            # H = ln(n) - (1/n)·Σ c·ln(c), algebraically -Σ p·ln p but in
+            # a form both engines evaluate with identical association
+            F.round(
+                F.log(F.col("n_turns").cast("double"))
+                - F.col("clogc") / F.col("n_turns"),
+                6,
+            ).alias("role_entropy"),
+        )
+    )
+
+

@@ -435,3 +435,22 @@ def conv_novelty_oracle_sql() -> str:
     FROM stamped st JOIN owner o USING (g)
     GROUP BY st.conv_id
     """
+
+
+def conv_entropy_oracle_sql() -> str:
+    """DuckDB twin of operators.extract.conv_entropy (same H-form:
+    ln(n) - Σ c·ln(c)/n, rounded once)."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + """,
+    per_role AS (
+        SELECT conv_id, role, COUNT(*)::BIGINT AS c
+        FROM transcripts GROUP BY conv_id, role
+    )
+    SELECT conv_id, SUM(c)::BIGINT AS n_turns,
+           ROUND(ln(SUM(c)::DOUBLE) - SUM(c * ln(c::DOUBLE)) / SUM(c), 6)
+               AS role_entropy
+    FROM per_role GROUP BY conv_id
+    """
+    )

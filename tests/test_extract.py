@@ -295,3 +295,23 @@ def test_dpo_pairs_same_prompt_different_responses(spark):
     full = {(r.conv_a, r.conv_b) for r in dpo_pair_candidates(t, k_per_prompt=10).collect()}
     # with the cap lifted, c3 pairs with c1/c2 but NOT c0 (same response)
     assert ("c0", "c3") not in full and ("c1", "c3") in full and ("c2", "c3") in full
+
+
+def test_conv_entropy_uniform_vs_monologue(spark):
+    """Uniform 2-role conv → ln 2; monologue → 0."""
+    import math
+
+    from sbm_communitydetection_spark.operators.extract import conv_entropy
+
+    rows = [
+        ("c0", 0, "a", "t", None, None), ("c0", 1, "b", "t", None, None),
+        ("c0", 2, "a", "t", None, None), ("c0", 3, "b", "t", None, None),
+        ("c1", 0, "a", "t", None, None), ("c1", 1, "a", "t", None, None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r.conv_id: (r.n_turns, r.role_entropy) for r in conv_entropy(t).collect()}
+    assert got["c0"] == (4, round(math.log(2), 6))
+    assert got["c1"] == (2, 0.0)
