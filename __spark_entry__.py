@@ -64,6 +64,7 @@ from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     lineitem_edges_sql,
     lineitem_mixed_digraph_sql,
 )
+from sbm_communitydetection_spark.operators.katz import katz_unrolled_sql  # noqa: E402
 from sbm_communitydetection_spark.sources import events_transcripts as ET  # noqa: E402
 from sbm_communitydetection_spark.textops import analysis as TA  # noqa: E402
 from sbm_communitydetection_spark.textops import dedup as TD  # noqa: E402
@@ -192,6 +193,14 @@ def _q_personalized_pagerank(spark, sf_dir):
         reset_ids=members,
     )
     return ranks.select("id", F.round("rank", 8).alias("rank"))
+
+
+def _q_katz(spark, sf_dir):
+    """Fixed-iteration Katz centrality over the DIRECTED derived graph."""
+    from sbm_communitydetection_spark.operators.katz import katz_centrality
+    from sbm_communitydetection_spark.sources.tpch_graph import lineitem_directed_edges
+
+    return katz_centrality(spark, lineitem_directed_edges(spark, sf_dir))
 
 
 def _q_hits(spark, sf_dir):
@@ -1562,6 +1571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_lr_fit": _q_quality_lr_fit,
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "conv_entropy": _q_conv_entropy,
+        "katz_centrality": _q_katz,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -1675,6 +1685,10 @@ FROM deg GROUP BY bucket""",
         + lineitem_directed_edges_sql()
         + ",\n"
         + O.hits_unrolled_sql(HITS_ITERS),
+        "katz_centrality": "WITH "
+        + lineitem_directed_edges_sql()
+        + ",\n"
+        + katz_unrolled_sql(),
         "local_clustering": edges_cte + ",\n" + O.local_clustering_sql(),
         "adamic_adar": edges_cte + ",\n" + _aa_sql(AA_PROBE_MOD),
         "jaccard_linkpred": edges_cte + ",\n" + _jac_sql(AA_PROBE_MOD),

@@ -561,3 +561,15 @@ def test_condensation_layers_depth_guard_raises(spark):
     )
     with _pytest.raises(RuntimeError, match="max_depth"):
         condensation_layers(spark, chain, max_depth=3)
+
+
+def test_katz_centrality_path_graph_hand_values(spark):
+    """a->b->c with alpha=0.5, beta=1, 3 iters: x(a)=1, x(b)=1.5,
+    x(c)=1+0.5*x(b)=1.75 (walk counts of length 1 and 2 damped)."""
+    from sbm_communitydetection_spark.operators.katz import katz_centrality
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    got = {r.id: r.katz
+           for r in katz_centrality(spark, edges, alpha=0.5, beta=1.0,
+                                    iterations=3).collect()}
+    assert got == {0: 1.0, 1: 1.5, 2: 1.75}
