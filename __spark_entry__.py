@@ -1425,6 +1425,12 @@ def _q_token_pmi(spark, sf_dir):
     return TA.token_pmi(_docs(spark, sf_dir), min_count=20)
 
 
+def _q_label_centroids(spark, sf_dir):
+    """Per-label element-wise embedding mean (the IVF coarse quantizer
+    table), pos-exploded so values hash identically across engines."""
+    return TS.label_centroids(_embs(spark, sf_dir))
+
+
 def _q_quality_lr_fit(spark, sf_dir):
     """Full-batch GD logistic fit (is-English on length features) —
     one map-side-combinable aggregate per step, 3 scalar floats to the
@@ -1572,6 +1578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_source_dup_matrix": _q_cross_source_dup_matrix,
         "conv_entropy": _q_conv_entropy,
         "katz_centrality": _q_katz,
+        "label_centroids": _q_label_centroids,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -2053,6 +2060,7 @@ WITH injected AS (
         "quality_lr_fit": TA.quality_lr_fit_sql(),
         "cross_source_dup_matrix": TD.cross_source_dup_matrix_sql(),
         "conv_entropy": ET.conv_entropy_oracle_sql(),
+        "label_centroids": TS.label_centroids_oracle_sql(),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

@@ -322,3 +322,20 @@ def quantize_embeddings_sql(table: str = "embeddings", round_to: int = 6) -> str
                 ELSE 0.0 END AS max_abs_err
     FROM q
     """
+
+
+def label_centroids_sql(table: str = "embeddings") -> str:
+    """DuckDB twin of label_centroids (pos-exploded in lockstep)."""
+    return f"""
+    SELECT label, generate_subscripts(embedding, 1) - 1 AS d,
+           unnest(embedding)::DOUBLE AS val
+    FROM {table}
+    """
+
+
+def label_centroids_oracle_sql(table: str = "embeddings") -> str:
+    return f"""
+    WITH exploded AS ({label_centroids_sql(table)})
+    SELECT label, d, ROUND(AVG(val), 6) AS c
+    FROM exploded GROUP BY label, d
+    """
