@@ -547,6 +547,14 @@ def _q_triangles_per_vertex(spark, sf_dir):
 # -- transcript extraction (input_hint pipeline, driver-gated) --------------
 
 
+def _q_latency_quantiles(spark, sf_dir):
+    """Exact reply-gap p50/p90/p99 via histogram CDF (no global sort)."""
+    from sbm_communitydetection_spark.operators.extract import latency_quantiles
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return latency_quantiles(events_transcripts(spark, sf_dir))
+
+
 def _q_conv_entropy(spark, sf_dir):
     """Role-distribution Shannon entropy per conversation (diversity cut)."""
     from sbm_communitydetection_spark.operators.extract import conv_entropy
@@ -1579,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_entropy": _q_conv_entropy,
         "katz_centrality": _q_katz,
         "label_centroids": _q_label_centroids,
+        "latency_quantiles": _q_latency_quantiles,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -2061,6 +2070,7 @@ WITH injected AS (
         "cross_source_dup_matrix": TD.cross_source_dup_matrix_sql(),
         "conv_entropy": ET.conv_entropy_oracle_sql(),
         "label_centroids": TS.label_centroids_oracle_sql(),
+        "latency_quantiles": ET.latency_quantiles_oracle_sql(),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

@@ -671,3 +671,40 @@ def conv_entropy(transcripts: DataFrame) -> DataFrame:
     )
 
 
+
+LATENCY_QS = (0.5, 0.9, 0.99)
+
+
+def latency_quantiles(
+    transcripts: DataFrame, qs: tuple[float, ...] = LATENCY_QS
+) -> DataFrame:
+    """(q, gap_ms) — EXACT reply-gap quantiles (lower / disc semantics:
+    the smallest gap whose cumulative count reaches ceil(q·n)).
+
+    Exact quantiles normally force a global sort; this computes them
+    scale-safely via a histogram CDF instead: one conv-window lag pass
+    (shared shape with reply_latency_stats), ONE map-side-combinable
+    count per DISTINCT gap value, then a cumulative window over the
+    distinct-value table only — bounded by value cardinality, not row
+    count (ms-granularity gaps repeat heavily; for continuous values
+    bucket first).  The quantile probe cross-joins the tiny qs list.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    gaps = (
+        transcripts.select((ms - F.lag(ms).over(w)).alias("gap_ms"))
+        .filter(F.col("gap_ms").isNotNull())
+    )
+    hist = gaps.groupBy("gap_ms").agg(F.count("*").alias("c"))
+    cw = Window.orderBy("gap_ms").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.select("gap_ms", F.sum("c").over(cw).alias("cum")).crossJoin(
+        gaps.agg(F.count("*").alias("n"))
+    )
+    spark = transcripts.sparkSession
+    qdf = spark.createDataFrame([(float(q),) for q in qs], "q double")
+    return (
+        cdf.crossJoin(F.broadcast(qdf))
+        .filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("q")
+        .agg(F.min("gap_ms").cast("long").alias("gap_ms"))
+    )

@@ -454,3 +454,33 @@ def conv_entropy_oracle_sql() -> str:
     FROM per_role GROUP BY conv_id
     """
     )
+
+
+def latency_quantiles_oracle_sql(qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
+    """DuckDB twin of operators.extract.latency_quantiles."""
+    qvals = ", ".join(f"({q})" for q in qs)
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + f""",
+    gaps AS (
+        SELECT epoch_ms(ts) - LAG(epoch_ms(ts))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_ms
+        FROM transcripts
+    ),
+    g AS (SELECT gap_ms FROM gaps WHERE gap_ms IS NOT NULL),
+    hist AS (SELECT gap_ms, COUNT(*)::BIGINT AS c FROM g GROUP BY gap_ms),
+    cdf AS (
+        SELECT gap_ms,
+               SUM(c) OVER (ORDER BY gap_ms
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               (SELECT COUNT(*) FROM g) AS n
+        FROM hist
+    ),
+    qs(q) AS (VALUES {qvals})
+    SELECT q, MIN(gap_ms)::BIGINT AS gap_ms
+    FROM cdf CROSS JOIN qs
+    WHERE cum >= CEIL(q * n)
+    GROUP BY q
+    """
+    )

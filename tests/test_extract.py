@@ -315,3 +315,23 @@ def test_conv_entropy_uniform_vs_monologue(spark):
     got = {r.conv_id: (r.n_turns, r.role_entropy) for r in conv_entropy(t).collect()}
     assert got["c0"] == (4, round(math.log(2), 6))
     assert got["c1"] == (2, 0.0)
+
+
+def test_latency_quantiles_exact_disc_semantics(spark):
+    """Gaps 10..100 by 10 (n=10): p50 = 5th value = 50, p90 = 9th = 90,
+    p99 = ceil(9.9) = 10th = 100."""
+    from datetime import datetime, timedelta
+
+    from sbm_communitydetection_spark.operators.extract import latency_quantiles
+
+    t0 = datetime(2024, 1, 1)
+    rows, ts = [], t0
+    for i in range(11):  # 11 turns -> 10 gaps of 10,20,...,100 ms
+        rows.append(("c0", i, "a", "t", None, ts))
+        ts = ts + timedelta(milliseconds=10 * (i + 1))
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    got = {r.q: r.gap_ms for r in latency_quantiles(t).collect()}
+    assert got == {0.5: 50, 0.9: 90, 0.99: 100}
