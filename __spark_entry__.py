@@ -65,6 +65,7 @@ from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     lineitem_mixed_digraph_sql,
 )
 from sbm_communitydetection_spark.operators.katz import katz_unrolled_sql  # noqa: E402
+from sbm_communitydetection_spark.operators import funnels as FN  # noqa: E402
 from sbm_communitydetection_spark.sources import events_transcripts as ET  # noqa: E402
 from sbm_communitydetection_spark.textops import analysis as TA  # noqa: E402
 from sbm_communitydetection_spark.textops import dedup as TD  # noqa: E402
@@ -545,6 +546,20 @@ def _q_triangles_per_vertex(spark, sf_dir):
 
 
 # -- transcript extraction (input_hint pipeline, driver-gated) --------------
+
+
+def _q_event_funnel(spark, sf_dir):
+    """Strictly-ordered view->click->purchase conversion funnel."""
+    from sbm_communitydetection_spark.operators.funnels import event_funnel
+
+    return event_funnel(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_retention_cohorts(spark, sf_dir):
+    """Weekly retention matrix on integer epoch-week arithmetic."""
+    from sbm_communitydetection_spark.operators.funnels import retention_cohorts
+
+    return retention_cohorts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _q_latency_quantiles(spark, sf_dir):
@@ -1592,6 +1607,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": _q_katz,
         "label_centroids": _q_label_centroids,
         "latency_quantiles": _q_latency_quantiles,
+        "event_funnel": _q_event_funnel,
+        "retention_cohorts": _q_retention_cohorts,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -2075,6 +2092,8 @@ WITH injected AS (
         "conv_entropy": ET.conv_entropy_oracle_sql(),
         "label_centroids": TS.label_centroids_oracle_sql(),
         "latency_quantiles": ET.latency_quantiles_oracle_sql(),
+        "event_funnel": FN.event_funnel_sql(),
+        "retention_cohorts": FN.retention_cohorts_sql(),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

@@ -335,3 +335,42 @@ def test_latency_quantiles_exact_disc_semantics(spark):
     )
     got = {r.q: r.gap_ms for r in latency_quantiles(t).collect()}
     assert got == {0.5: 50, 0.9: 90, 0.99: 100}
+
+
+def test_event_funnel_strict_ordering(spark):
+    """User 1 converts in order; user 2 has all events but purchase
+    precedes click, so it must NOT count for the purchase step."""
+    from datetime import datetime
+
+    from sbm_communitydetection_spark.operators.funnels import event_funnel
+
+    def ev(uid, etype, sec):
+        return (uid, etype, datetime(2024, 1, 1, 0, 0, sec))
+
+    rows = [
+        ev(1, "view", 1), ev(1, "click", 2), ev(1, "purchase", 3),
+        ev(2, "view", 1), ev(2, "purchase", 2), ev(2, "click", 3),
+        ev(3, "view", 5),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    got = {r.step: r.n_users for r in event_funnel(events).collect()}
+    assert got == {"view": 3, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_week_offsets(spark):
+    """One user active in epoch-weeks w and w+2 yields offsets 0 and 2."""
+    from datetime import datetime, timedelta
+
+    from sbm_communitydetection_spark.operators.funnels import retention_cohorts
+
+    base = datetime(2024, 1, 4)
+    rows = [
+        (1, "view", base),
+        (1, "view", base + timedelta(days=14)),
+        (2, "view", base),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {(r.cohort_week, r.week_offset): r.n_users
+           for r in retention_cohorts(events).collect()}
+    (w,) = {k[0] for k in out}
+    assert out == {(w, 0): 2, (w, 2): 1}
