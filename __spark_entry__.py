@@ -635,6 +635,11 @@ def _q_conductance(spark, sf_dir):
     )
 
 
+def _q_rich_club(spark, sf_dir):
+    """Rich-club coefficient at exponentially spaced degree cuts."""
+    return G.rich_club(lineitem_edges(spark, sf_dir))
+
+
 def _q_graph_summary(spark, sf_dir):
     return G.graph_summary(lineitem_edges(spark, sf_dir)).select(
         "n_vertices",
@@ -1609,6 +1614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latency_quantiles": _q_latency_quantiles,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
+        "rich_club": _q_rich_club,
         "conductance": _q_conductance,
         "pagerank_fixed_iters": _q_pagerank,
         # rotated out for the r3 sketches + canonical_relabel: each has a
@@ -2094,6 +2100,7 @@ WITH injected AS (
         "latency_quantiles": ET.latency_quantiles_oracle_sql(),
         "event_funnel": FN.event_funnel_sql(),
         "retention_cohorts": FN.retention_cohorts_sql(),
+        "rich_club": edges_cte + G.rich_club_sql(),
         "dsir_importance": TA.dsir_importance_sql(DSIR_TARGET_PERMILLE),
         "stratum_topk_sample": TA.stratum_topk_sample_sql(STRATUM_TOPK),
         "prompt_response_pairs": ET.prompt_response_pairs_oracle_sql(),

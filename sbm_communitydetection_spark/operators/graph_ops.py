@@ -407,3 +407,75 @@ def sample_edges(edges: DataFrame, permille: int, seed: int = 0) -> DataFrame:
         )
     )
     return edges.filter(F.pmod(pri, F.lit(1000)) < permille)
+
+
+RICH_CLUB_KS = (2, 4, 8, 16, 32)
+
+
+def rich_club(edges: DataFrame, ks: tuple[int, ...] = RICH_CLUB_KS) -> DataFrame:
+    """(k, n_club, e_club, phi) — rich-club coefficient per degree cut:
+    among vertices with distinct-neighbor degree > k, phi(k) =
+    2·E_club / (N_club·(N_club−1)) — do the hubs wire to each other more
+    than chance?  Rising phi with k is the "rich club" signature of
+    reply graphs (agents/tools that everyone talks to also talk to each
+    other); flat phi means hub links are user-mediated.
+
+    Scale shape: one distinct-degree aggregate, then per cut two
+    semi-join-like broadcast-ins of the (shrinking) club membership
+    onto the edge table and one count — the club side is hub-only,
+    orders of magnitude smaller than the graph, and NO hub self-join
+    is ever materialized (only membership filtering + counting).
+    """
+    e = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    out = None
+    for k in ks:
+        club = deg.filter(F.col("deg") > k).select(F.col("src").alias("id"))
+        n_club = club.agg(F.count("*").alias("n"))
+        e_club = (
+            e.join(club.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(club.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .agg((F.count("*") / 2).cast("long").alias("e"))
+        )
+        row = n_club.crossJoin(e_club).select(
+            F.lit(k).cast("long").alias("k"),
+            F.col("n").cast("long").alias("n_club"),
+            F.col("e").alias("e_club"),
+            F.when(
+                F.col("n") >= 2,
+                F.round(
+                    2.0 * F.col("e") / (F.col("n").cast("double") * (F.col("n") - 1)),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("phi"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def rich_club_sql(ks: tuple[int, ...] = RICH_CLUB_KS) -> str:
+    """DuckDB twin over the `edges` CTE (symmetrized, so each undirected
+    club edge appears twice and is halved exactly like the Spark side)."""
+    kvals = ", ".join(f"({k})" for k in ks)
+    return f""",
+    de AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+    deg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM de GROUP BY src),
+    ks(k) AS (VALUES {kvals}),
+    club AS (SELECT k, id FROM ks JOIN deg ON deg.deg > ks.k),
+    nc AS (
+        SELECT ks.k, COUNT(deg.id)::BIGINT AS n
+        FROM ks LEFT JOIN deg ON deg.deg > ks.k GROUP BY ks.k
+    ),
+    ec AS (
+        SELECT c1.k, (COUNT(*) / 2)::BIGINT AS e
+        FROM de
+        JOIN club c1 ON de.src = c1.id
+        JOIN club c2 ON de.dst = c2.id AND c2.k = c1.k
+        GROUP BY c1.k
+    )
+    SELECT nc.k::BIGINT AS k, nc.n AS n_club, COALESCE(ec.e, 0) AS e_club,
+           CASE WHEN nc.n >= 2
+                THEN ROUND(2.0 * COALESCE(ec.e, 0) / (nc.n::DOUBLE * (nc.n - 1)), 6)
+                ELSE 0.0 END AS phi
+    FROM nc LEFT JOIN ec ON nc.k = ec.k
+    """

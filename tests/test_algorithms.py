@@ -573,3 +573,19 @@ def test_katz_centrality_path_graph_hand_values(spark):
            for r in katz_centrality(spark, edges, alpha=0.5, beta=1.0,
                                     iterations=3).collect()}
     assert got == {0: 1.0, 1: 1.5, 2: 1.75}
+
+
+def test_rich_club_star_vs_clique(spark):
+    """4-clique + pendant leaves: at k=2 the club is exactly the clique
+    (leaves have degree 1, clique members 3+) and phi = 1.0."""
+    from sbm_communitydetection_spark.operators.graph_ops import rich_club, symmetrize
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    leaves = [(0, 10), (1, 11), (2, 12)]
+    e = spark.createDataFrame(
+        [(a, b, 1) for a, b in clique + leaves], "src long, dst long, weight long"
+    )
+    got = {r.k: (r.n_club, r.e_club, r.phi)
+           for r in rich_club(symmetrize(e), ks=(2, 100)).collect()}
+    assert got[2] == (4, 6, 1.0)
+    assert got[100] == (0, 0, 0.0)  # empty club still emits a row
