@@ -208,3 +208,34 @@ def test_conv_novelty_has_no_self_join_on_transcripts(spark):
     plan = conv_novelty(t)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_gram_set_is_broadcast(spark):
+    """The high-DF gram set must broadcast onto the positional gram
+    table (it is bounded by total_grams/min_df); the corpus may never
+    shuffle on the gram."""
+    from sbm_communitydetection_spark.textops.analysis import boilerplate_strip
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f") for i in range(4)], "doc_id long, text string"
+    )
+    plan = (
+        boilerplate_strip(docs, min_df=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rich_club_filters_via_semi_joins(spark):
+    """Club membership must restrict the edge table with semi-joins —
+    no hub×hub join output is ever materialized."""
+    from sbm_communitydetection_spark.operators.graph_ops import rich_club
+
+    e = spark.createDataFrame(
+        [(a, b) for a in range(6) for b in range(6) if a != b],
+        "src long, dst long",
+    )
+    plan = rich_club(e, ks=(2,))._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
