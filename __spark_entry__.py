@@ -64,7 +64,14 @@ from sbm_communitydetection_spark.sources.tpch_graph import (  # noqa: E402
     lineitem_edges_sql,
     lineitem_mixed_digraph_sql,
 )
-from sbm_communitydetection_spark.operators.katz import katz_unrolled_sql  # noqa: E402
+from sbm_communitydetection_spark.operators.katz import (  # noqa: E402
+    eigenvector_unrolled_sql,
+    katz_unrolled_sql,
+)
+from sbm_communitydetection_spark.operators.extract import (  # noqa: E402
+    agent_loops_oracle_sql as _agentloops_sql,
+    tool_chains_oracle_sql as _toolchains_sql,
+)
 from sbm_communitydetection_spark.operators import funnels as FN  # noqa: E402
 from sbm_communitydetection_spark.sources import events_transcripts as ET  # noqa: E402
 from sbm_communitydetection_spark.textops import analysis as TA  # noqa: E402
@@ -568,6 +575,43 @@ def _q_latency_quantiles(spark, sf_dir):
     from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
 
     return latency_quantiles(events_transcripts(spark, sf_dir))
+
+
+def _q_tool_chains(spark, sf_dir):
+    """Frequent length-2 tool-call sequences (agent trajectory mining)."""
+    from sbm_communitydetection_spark.operators.extract import tool_chains
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return tool_chains(events_transcripts(spark, sf_dir), n=2, min_count=2)
+
+
+def _q_agent_loops(spark, sf_dir):
+    """Stuck-agent detector: max consecutive same-tool run per conv×tool."""
+    from sbm_communitydetection_spark.operators.extract import agent_loops
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return agent_loops(events_transcripts(spark, sf_dir), min_repeats=2)
+
+
+def _q_sbm_block_matrix(spark, sf_dir):
+    """k×k SBM connectivity-matrix MLE given the derived partition."""
+    from sbm_communitydetection_spark.functions.metrics import sbm_block_matrix
+
+    edges, pred, _ = _metric_partitions(spark, sf_dir)
+    return sbm_block_matrix(edges, pred)
+
+
+def _q_eigenvector(spark, sf_dir):
+    """Fixed-iteration power-iteration eigenvector centrality (mean-1 norm)."""
+    from sbm_communitydetection_spark.operators.katz import eigenvector_centrality
+    from sbm_communitydetection_spark.sources.tpch_graph import lineitem_directed_edges
+
+    return eigenvector_centrality(spark, lineitem_directed_edges(spark, sf_dir))
+
+
+def _q_ngram_coverage(spark, sf_dir):
+    """Held-out-split n-gram coverage by the train split (leakage dual)."""
+    return TA.ngram_coverage(_docs(spark, sf_dir))
 
 
 def _q_conv_entropy(spark, sf_dir):
@@ -1612,6 +1656,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": _q_katz,
         "label_centroids": _q_label_centroids,
         "latency_quantiles": _q_latency_quantiles,
+        # Entries below are the round-3 session-2 additions — same queue.
+        "tool_chains": _q_tool_chains,
+        "agent_loops": _q_agent_loops,
+        "sbm_block_matrix": _q_sbm_block_matrix,
+        "eigenvector_centrality": _q_eigenvector,
+        "ngram_coverage": _q_ngram_coverage,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "rich_club": _q_rich_club,
@@ -2098,6 +2148,20 @@ WITH injected AS (
         "conv_entropy": ET.conv_entropy_oracle_sql(),
         "label_centroids": TS.label_centroids_oracle_sql(),
         "latency_quantiles": ET.latency_quantiles_oracle_sql(),
+        "tool_chains": "WITH "
+        + ET.transcripts_cte_sql()
+        + ",\n"
+        + _toolchains_sql(n=2, min_count=2),
+        "agent_loops": "WITH "
+        + ET.transcripts_cte_sql()
+        + ",\n"
+        + _agentloops_sql(min_repeats=2),
+        "sbm_block_matrix": edges_cte + ",\n" + O.sbm_block_matrix_sql(N_LABELS),
+        "eigenvector_centrality": "WITH "
+        + lineitem_directed_edges_sql()
+        + ",\n"
+        + eigenvector_unrolled_sql(),
+        "ngram_coverage": TA.ngram_coverage_sql(),
         "event_funnel": FN.event_funnel_sql(),
         "retention_cohorts": FN.retention_cohorts_sql(),
         "rich_club": edges_cte + G.rich_club_sql(),

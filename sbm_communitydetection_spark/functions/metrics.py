@@ -321,6 +321,71 @@ def log_likelihood_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def sbm_block_matrix(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(r_label, s_label, block_edges, block_pairs, p_hat) for r ≤ s —
+    the FULL k×k SBM connectivity-matrix MLE given a partition, the
+    generalization of log_likelihood_df's 2-parameter (intra/inter)
+    plug-in to per-block probabilities.
+
+    Recovers the generator's parameters from data: on a planted-partition
+    graph (sources/sbm.py, reference src/sbm.cpp:60-103) the diagonal
+    estimates p_in and the off-diagonal p_out — the model-checking query
+    every SBM study runs after inference (Q4's likelihood is this table
+    folded to 2 cells).
+
+    Semantics on the SYMMETRIZED unweighted edge table: each undirected
+    edge appears as 2 directed rows, so r<s blocks count each edge once
+    via the (sl=r, dl=s) orientation, and the diagonal halves its count.
+    block_pairs = n_r·n_s off-diagonal, C(n_r, 2) on it.  Blocks with no
+    observed edge still appear (p_hat = 0) via the size-table cross
+    product — absence of edges between two blocks is signal, not a
+    missing row.
+
+    Scale shape: two id-keyed label joins (the J1 shape shared with
+    modularity) + one k×k aggregate; the pair table is built from the
+    O(k) size table's self cross-join — driver-trivial for any real k."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("sl"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("dl"))
+    el = edges.join(ls, "src").join(ld, "dst")
+    # orient each undirected edge once: keep rows with sl < dl, and halve sl = dl
+    obs = (
+        el.filter(F.col("sl") <= F.col("dl"))
+        .groupBy(F.col("sl").alias("r_label"), F.col("dl").alias("s_label"))
+        .agg(
+            F.sum(F.when(F.col("sl") == F.col("dl"), 0.5).otherwise(1.0))
+            .cast("long")
+            .alias("block_edges")
+        )
+    )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("c"))
+    a = sizes.select(F.col("label").alias("r_label"), F.col("c").alias("cr"))
+    b = sizes.select(F.col("label").alias("s_label"), F.col("c").alias("cs"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("r_label") <= F.col("s_label"))
+        .select(
+            "r_label",
+            "s_label",
+            F.when(
+                F.col("r_label") == F.col("s_label"),
+                F.col("cr") * (F.col("cr") - 1) / 2,
+            )
+            .otherwise(F.col("cr") * F.col("cs"))
+            .cast("long")
+            .alias("block_pairs"),
+        )
+    )
+    return pairs.join(obs, ["r_label", "s_label"], "left").select(
+        "r_label",
+        "s_label",
+        F.coalesce("block_edges", F.lit(0)).cast("long").alias("block_edges"),
+        "block_pairs",
+        F.round(
+            F.coalesce("block_edges", F.lit(0)) / F.col("block_pairs"), 8
+        ).alias("p_hat"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver-side greedy / Hungarian matching over the contingency table
 # ---------------------------------------------------------------------------

@@ -274,6 +274,34 @@ FROM mi, hp, ht"""
     )
 
 
+def sbm_block_matrix_sql(n_labels: int) -> str:
+    """k×k SBM connectivity-matrix MLE (mirror of metrics.sbm_block_matrix):
+    (r_label, s_label, block_edges, block_pairs, p_hat) for r <= s over the
+    symmetrized unweighted `edges` CTE with derived labels id % n."""
+    return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),
+el AS (
+    SELECT ls.label AS sl, ld.label AS dl
+    FROM edges e JOIN labels ls ON e.src = ls.id JOIN labels ld ON e.dst = ld.id
+),
+obs AS (
+    SELECT sl AS r_label, dl AS s_label,
+           CAST(SUM(CASE WHEN sl = dl THEN 0.5 ELSE 1.0 END) AS BIGINT) AS block_edges
+    FROM el WHERE sl <= dl GROUP BY 1, 2
+),
+sizes AS (SELECT label, COUNT(*) AS c FROM labels GROUP BY label),
+bpairs AS (
+    SELECT a.label AS r_label, b.label AS s_label,
+           CAST(CASE WHEN a.label = b.label THEN a.c * (a.c - 1) / 2
+                ELSE a.c * b.c END AS BIGINT) AS block_pairs
+    FROM sizes a, sizes b WHERE a.label <= b.label
+)
+SELECT p.r_label, p.s_label,
+       COALESCE(o.block_edges, 0)::BIGINT AS block_edges,
+       p.block_pairs,
+       ROUND(COALESCE(o.block_edges, 0) / CAST(p.block_pairs AS DOUBLE), 8) AS p_hat
+FROM bpairs p LEFT JOIN obs o ON p.r_label = o.r_label AND p.s_label = o.s_label"""
+
+
 def embeddedness_sql(n_labels: int) -> str:
     """Q5: Σ_v intra-neighbor-entries / total-neighbor-entries."""
     return f"""labels AS (SELECT DISTINCT src AS id, src % {n_labels} AS label FROM edges),

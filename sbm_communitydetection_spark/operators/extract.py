@@ -708,3 +708,106 @@ def latency_quantiles(
         .groupBy("q")
         .agg(F.min("gap_ms").cast("long").alias("gap_ms"))
     )
+
+
+def tool_chains(
+    transcripts: DataFrame, n: int = 2, min_count: int = 2
+) -> DataFrame:
+    """(chain, n_convs, n_occurrences) — frequent length-``n`` TOOL-CALL
+    sequences across conversations: consecutive tool-bearing turns under
+    stable turn ordering, skipping non-tool turns in between (the
+    standard "tool trajectory" view of an agent transcript).
+
+    Agent-pipeline use: the support table for trajectory mining —
+    which tool pipelines (search→fetch, fetch→fetch, …) dominate the
+    corpus, the input to curriculum balancing over agentic behaviors.
+
+    Scale shape: ONE conv-window exchange (shared with every other
+    turn-ordered op) computes the within-conversation tool ordinal;
+    the chain column is built by ``n-1`` further lead()s over the SAME
+    window spec, so no additional exchange; the count is a map-side-
+    combinable groupBy on the chain string. Output is bounded by the
+    tool-vocabulary^n, not the turn count. ``min_count`` prunes the
+    long tail at the aggregate (HAVING, after the combine)."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = transcripts.filter(F.col("tool").isNotNull())
+    parts = [F.col("tool")] + [F.lead("tool", i).over(w) for i in range(1, n)]
+    chains = t.select(
+        "conv_id", F.concat_ws(">", *parts).alias("chain"), parts[-1].alias("_last")
+    ).filter(F.col("_last").isNotNull())
+    return (
+        chains.groupBy("chain")
+        .agg(
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.count("*").cast("long").alias("n_occurrences"),
+        )
+        .filter(F.col("n_occurrences") >= min_count)
+    )
+
+
+def agent_loops(transcripts: DataFrame, min_repeats: int = 3) -> DataFrame:
+    """(conv_id, tool, max_run) — STUCK-AGENT detector: conversations
+    where the SAME tool is invoked ``min_repeats``+ times consecutively
+    (consecutive among the conversation's tool-bearing turns).
+
+    Training-data curation use: long same-tool runs are the signature
+    of an agent retry-looping on a failing call; such conversations are
+    down-weighted or truncated before SFT.
+
+    Scale shape: the classic gaps-and-islands formulation on the shared
+    conv-window exchange — run id = tool-ordinal minus per-tool ordinal
+    (constant within a consecutive same-tool run), then two aggregates
+    (run length, max run per conv×tool). All three window functions ride
+    ONE exchange; output rows only for offending (conv, tool) pairs."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wt = Window.partitionBy("conv_id", "tool").orderBy("turn_idx")
+    t = transcripts.filter(F.col("tool").isNotNull()).select(
+        "conv_id",
+        "tool",
+        (F.row_number().over(w) - F.row_number().over(wt)).alias("run_id"),
+    )
+    runs = t.groupBy("conv_id", "tool", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return (
+        runs.groupBy("conv_id", "tool")
+        .agg(F.max("run_len").cast("long").alias("max_run"))
+        .filter(F.col("max_run") >= min_repeats)
+    )
+
+
+def tool_chains_oracle_sql(n: int = 2, min_count: int = 2) -> str:
+    """DuckDB mirror of tool_chains over the `transcripts` CTE (n=2)."""
+    assert n == 2, "oracle mirrors the n=2 gate configuration"
+    return f"""
+    tl AS (
+        SELECT conv_id,
+               tool || '>' || LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   AS chain,
+               LEAD(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt
+        FROM transcripts WHERE tool IS NOT NULL
+    )
+    SELECT chain, COUNT(DISTINCT conv_id)::BIGINT AS n_convs,
+           COUNT(*)::BIGINT AS n_occurrences
+    FROM tl WHERE nxt IS NOT NULL
+    GROUP BY chain HAVING COUNT(*) >= {min_count}
+    """
+
+
+def agent_loops_oracle_sql(min_repeats: int = 2) -> str:
+    """DuckDB mirror of agent_loops (gaps-and-islands) over `transcripts`."""
+    return f"""
+    tl AS (
+        SELECT conv_id, tool,
+               ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+             - ROW_NUMBER() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+                   AS run_id
+        FROM transcripts WHERE tool IS NOT NULL
+    ),
+    runs AS (
+        SELECT conv_id, tool, run_id, COUNT(*) AS run_len
+        FROM tl GROUP BY conv_id, tool, run_id
+    )
+    SELECT conv_id, tool, MAX(run_len)::BIGINT AS max_run
+    FROM runs GROUP BY conv_id, tool HAVING MAX(run_len) >= {min_repeats}
+    """

@@ -1126,3 +1126,66 @@ def quality_lr_fit_sql(
     FROM scored
     """
     )
+
+
+def ngram_coverage(
+    docs: DataFrame, n: int = NGRAM_N, val_permille: int = 100, seed: int = 17
+) -> DataFrame:
+    """One row (val_shingles, covered, coverage) — the fraction of the
+    held-out split's DISTINCT word n-grams that also occur in the train
+    split, under the same portable-hash doc-level split rule as
+    holdout_split.
+
+    Pipeline use: the coverage side of the train/eval divide — low
+    coverage means the eval slice probes genuinely unseen text (good for
+    generalization measurement), near-1.0 coverage means the split is
+    redundant with training data. The dual of decontamination (which
+    asks the same question and wants the answer ZERO at the doc level).
+
+    Scale shape: two explode+distinct passes (each a map-side-combinable
+    aggregate on the shingle hash); the coverage probe is a LEFT SEMI
+    join of the val shingle set (small: permille of the corpus) against
+    the train set keyed on the same 60-bit hash — shuffle bounded by
+    distinct-shingle cardinality, never the corpus row count; final agg
+    is 2 scalars."""
+    coin = md5_long(F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))) % 1000
+    tagged = docs.select(
+        (coin < val_permille).alias("is_val"),
+        F.explode(shingles_col(F.col("text"), n)).alias("shingle"),
+    ).select("is_val", md5_long(F.col("shingle")).alias("h"))
+    train = tagged.filter(~F.col("is_val")).select("h").distinct()
+    val = tagged.filter(F.col("is_val")).select("h").distinct()
+    covered = val.join(train, "h", "left_semi")
+    return (
+        val.agg(F.count("*").alias("val_shingles"))
+        .crossJoin(covered.agg(F.count("*").alias("covered")))
+        .select(
+            F.col("val_shingles").cast("long").alias("val_shingles"),
+            F.col("covered").cast("long").alias("covered"),
+            F.round(F.col("covered") / F.col("val_shingles"), 6).alias("coverage"),
+        )
+    )
+
+
+def ngram_coverage_sql(
+    n: int = NGRAM_N,
+    val_permille: int = 100,
+    seed: int = 17,
+    table: str = "documents",
+) -> str:
+    coin = md5_long_sql(f"'{seed}:' || CAST(doc_id AS VARCHAR)") + " % 1000"
+    sh = shingles_sql("text", n)
+    return f"""
+    WITH tagged AS (
+        SELECT ({coin}) < {val_permille} AS is_val,
+               {md5_long_sql("s.shingle")} AS h
+        FROM {table}, UNNEST({sh}) AS s(shingle)
+    ),
+    train AS (SELECT DISTINCT h FROM tagged WHERE NOT is_val),
+    val AS (SELECT DISTINCT h FROM tagged WHERE is_val),
+    cov AS (SELECT COUNT(*) AS covered FROM val WHERE h IN (SELECT h FROM train)),
+    vn AS (SELECT COUNT(*) AS val_shingles FROM val)
+    SELECT val_shingles::BIGINT AS val_shingles, covered::BIGINT AS covered,
+           ROUND(covered / CAST(val_shingles AS DOUBLE), 6) AS coverage
+    FROM vn, cov
+    """

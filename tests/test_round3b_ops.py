@@ -1,0 +1,175 @@
+"""Round-3 session-2 operators: tool chains, agent loops, SBM block
+matrix, eigenvector centrality, n-gram coverage.
+
+Hand-checkable micro-fixtures; the sf0.01 DuckDB oracle parity for each
+op lives in __spark_entry__ (driver gates of the same names).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _transcript_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+
+T0 = dt.datetime(2026, 1, 1)
+
+
+def test_tool_chains_skips_non_tool_turns(spark):
+    from sbm_communitydetection_spark.operators.extract import tool_chains
+
+    rows = [
+        # c1: search, (no tool), fetch, search  -> chains search>fetch, fetch>search
+        ("c1", 0, "a", "x", "search", T0),
+        ("c1", 1, "b", "x", None, T0),
+        ("c1", 2, "a", "x", "fetch", T0),
+        ("c1", 3, "a", "x", "search", T0),
+        # c2: search, fetch -> search>fetch again (support 2)
+        ("c2", 0, "a", "x", "search", T0),
+        ("c2", 1, "a", "x", "fetch", T0),
+    ]
+    got = {
+        r.chain: (r.n_convs, r.n_occurrences)
+        for r in tool_chains(_transcript_df(spark, rows), n=2, min_count=1).collect()
+    }
+    assert got == {"search>fetch": (2, 2), "fetch>search": (1, 1)}
+    # min_count prunes the singleton chain
+    pruned = {
+        r.chain
+        for r in tool_chains(_transcript_df(spark, rows), n=2, min_count=2).collect()
+    }
+    assert pruned == {"search>fetch"}
+
+
+def test_tool_chains_trigrams(spark):
+    from sbm_communitydetection_spark.operators.extract import tool_chains
+
+    rows = [("c1", i, "a", "x", t, T0) for i, t in enumerate(["s", "f", "s", "f"])]
+    got = {
+        r.chain: r.n_occurrences
+        for r in tool_chains(_transcript_df(spark, rows), n=3, min_count=1).collect()
+    }
+    assert got == {"s>f>s": 1, "f>s>f": 1}
+
+
+def test_agent_loops_gaps_and_islands(spark):
+    from sbm_communitydetection_spark.operators.extract import agent_loops
+
+    rows = [
+        # c1 tools: f f f s f f  -> max_run(f)=3 (the later ff is a NEW run)
+        ("c1", 0, "a", "x", "f", T0),
+        ("c1", 1, "a", "x", "f", T0),
+        ("c1", 2, "a", "x", "f", T0),
+        ("c1", 3, "a", "x", "s", T0),
+        ("c1", 4, "a", "x", "f", T0),
+        ("c1", 5, "a", "x", "f", T0),
+        # c2: no repeats
+        ("c2", 0, "a", "x", "f", T0),
+        ("c2", 1, "a", "x", "s", T0),
+    ]
+    got = {
+        (r.conv_id, r.tool): r.max_run
+        for r in agent_loops(_transcript_df(spark, rows), min_repeats=2).collect()
+    }
+    assert got == {("c1", "f"): 3}
+    # threshold 4 filters everything
+    assert agent_loops(_transcript_df(spark, rows), min_repeats=4).count() == 0
+
+
+def test_sbm_block_matrix_planted_recovery(spark):
+    """On a planted 2-block graph the diagonal recovers p_in, the
+    off-diagonal p_out."""
+    from sbm_communitydetection_spark.functions.metrics import sbm_block_matrix
+    from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+
+    # block 0 = {0,1,2}, block 1 = {3,4,5}; intra 0: all 3 pairs; intra 1:
+    # 1 of 3 pairs; inter: 2 of 9 pairs
+    raw = [(0, 1), (0, 2), (1, 2), (3, 4), (0, 3), (2, 5)]
+    e = symmetrize(
+        spark.createDataFrame([(a, b, 1) for a, b in raw], "src long, dst long, weight long")
+    )
+    labels = spark.createDataFrame(
+        [(i, i // 3) for i in range(6)], "id long, label long"
+    )
+    got = {
+        (r.r_label, r.s_label): (r.block_edges, r.block_pairs, r.p_hat)
+        for r in sbm_block_matrix(e, labels).collect()
+    }
+    assert got[(0, 0)] == (3, 3, 1.0)
+    assert got[(1, 1)] == (1, 3, pytest.approx(1 / 3, abs=1e-6))
+    assert got[(0, 1)] == (2, 9, pytest.approx(2 / 9, abs=1e-6))
+
+
+def test_sbm_block_matrix_empty_block_pair_present(spark):
+    from sbm_communitydetection_spark.functions.metrics import sbm_block_matrix
+    from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+
+    e = symmetrize(
+        spark.createDataFrame([(0, 1, 1), (2, 3, 1)], "src long, dst long, weight long")
+    )
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 1)], "id long, label long"
+    )
+    got = {
+        (r.r_label, r.s_label): (r.block_edges, r.p_hat)
+        for r in sbm_block_matrix(e, labels).collect()
+    }
+    # no inter-block edge, but the (0,1) cell still appears with p_hat 0
+    assert got[(0, 1)] == (0, 0.0)
+
+
+def test_eigenvector_centrality_star(spark):
+    """Directed star a->hub (x3): hub absorbs all mass, spokes decay to 0."""
+    from sbm_communitydetection_spark.operators.katz import eigenvector_centrality
+
+    e = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 0)], "src long, dst long"
+    )
+    got = {r.id: r.eig for r in eigenvector_centrality(spark, e, iterations=1).collect()}
+    # after 1 step: hub 3, spokes 0 -> normalized hub = 4.0 (mean 1 over 4 verts)
+    assert got[0] == pytest.approx(4.0, abs=1e-6)
+    assert got[1] == got[2] == got[3] == 0.0
+    # a DAG's mass goes extinct at step 2: zero vector, no crash
+    got3 = {r.id: r.eig for r in eigenvector_centrality(spark, e, iterations=3).collect()}
+    assert got3 == {0: 0.0, 1: 0.0, 2: 0.0, 3: 0.0}
+
+
+def test_eigenvector_centrality_cycle_uniform(spark):
+    from sbm_communitydetection_spark.operators.katz import eigenvector_centrality
+
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    got = {r.id: r.eig for r in eigenvector_centrality(spark, e, iterations=5).collect()}
+    assert got == {0: 1.0, 1: 1.0, 2: 1.0}
+
+
+def test_ngram_coverage_bounds_and_determinism(spark):
+    from sbm_communitydetection_spark.textops.analysis import ngram_coverage
+
+    docs = spark.createDataFrame(
+        [(i, "w%d common tail of words here now" % (i % 4)) for i in range(40)],
+        "doc_id long, text string",
+    )
+    r1 = ngram_coverage(docs, n=3, val_permille=250).collect()[0]
+    r2 = ngram_coverage(docs, n=3, val_permille=250).collect()[0]
+    assert r1 == r2  # hash split, no RNG
+    assert 0.0 <= r1.coverage <= 1.0
+    assert r1.covered <= r1.val_shingles
+
+
+def test_ngram_coverage_full_overlap(spark):
+    from sbm_communitydetection_spark.textops.analysis import ngram_coverage
+
+    # identical text everywhere -> every val shingle is covered
+    docs = spark.createDataFrame(
+        [(i, "the same five word sentence") for i in range(30)],
+        "doc_id long, text string",
+    )
+    r = ngram_coverage(docs, n=3, val_permille=300).collect()[0]
+    assert r.coverage == 1.0
