@@ -239,3 +239,32 @@ def test_rich_club_filters_via_semi_joins(spark):
     )
     plan = rich_club(e, ks=(2,))._jdf.queryExecution().optimizedPlan().toString()
     assert "LeftSemi" in plan
+
+
+def test_agent_loops_single_exchange(spark):
+    """Both gaps-and-islands row_numbers AND the two run aggregates must
+    all ride ONE hashpartitioning(conv_id) exchange — partitioning by
+    conv_id clusters every (conv_id, tool[, run_id]) key too."""
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import agent_loops
+
+    t = spark.createDataFrame(
+        [("c1", 0, "a", "x", "f", dt.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    assert physical_exchange_count(agent_loops(t)) == 1
+
+
+def test_tool_chains_two_exchanges(spark):
+    """Minimal shape: one conv-window exchange + one chain-agg exchange;
+    the n-1 lead()s must NOT add per-lead exchanges."""
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import tool_chains
+
+    t = spark.createDataFrame(
+        [("c1", 0, "a", "x", "f", dt.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    assert physical_exchange_count(tool_chains(t, n=4)) == 2
