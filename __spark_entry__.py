@@ -109,6 +109,7 @@ BP_P_IN, BP_P_OUT, BP_NOISE = 0.7, 0.05, 0.3
 N_TRUTH = 7  # second derived partition for pred-vs-truth metrics
 COS_DUP_THRESHOLD = 0.35
 ANN_K = 5
+SEMDEDUP_THRESHOLD = 0.9
 QUALITY_MIN = 0.3
 # events-derived conversations are random flows over 5 roles × 7 tools, so
 # genuine templates don't exist in the synthetic data; a low threshold with
@@ -612,6 +613,11 @@ def _q_eigenvector(spark, sf_dir):
 def _q_ngram_coverage(spark, sf_dir):
     """Held-out-split n-gram coverage by the train split (leakage dual)."""
     return TA.ngram_coverage(_docs(spark, sf_dir))
+
+
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup semantic dedup: centroid-cell rank + better-ranked cosine."""
+    return TS.semdedup(_embs(spark, sf_dir), threshold=SEMDEDUP_THRESHOLD)
 
 
 def _q_conv_entropy(spark, sf_dir):
@@ -1662,6 +1668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sbm_block_matrix": _q_sbm_block_matrix,
         "eigenvector_centrality": _q_eigenvector,
         "ngram_coverage": _q_ngram_coverage,
+        "semdedup": _q_semdedup,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "rich_club": _q_rich_club,
@@ -2162,6 +2169,7 @@ WITH injected AS (
         + ",\n"
         + eigenvector_unrolled_sql(),
         "ngram_coverage": TA.ngram_coverage_sql(),
+        "semdedup": TS.semdedup_sql(threshold=SEMDEDUP_THRESHOLD),
         "event_funnel": FN.event_funnel_sql(),
         "retention_cohorts": FN.retention_cohorts_sql(),
         "rich_club": edges_cte + G.rich_club_sql(),

@@ -161,21 +161,11 @@ def kmeans_centroids(
     return embs.sparkSession.createDataFrame(rows, "label long, d int, c double")
 
 
-def ivf_topk(
-    embs: DataFrame, k: int = 5, dim: int = IVF_DIM, centroids: DataFrame | None = None
-) -> DataFrame:
-    """(vec_id, neighbor_id, rank, cos) — IVF ANN with 1-probe.
-
-    `centroids`: optional trained coarse quantizer (label, d, c) — pass
-    `kmeans_centroids(embs, ...)` for the label-free production path.
-    Default = per-`label` means, the deterministic stand-in that keeps
-    the DuckDB oracle exact.
-
-    Plan shape at scale: centroid assignment = narrow explode + broadcast
-    join on the tiny centroid table; the search join shuffles on `cell`
-    only, so the quadratic term is per-cell."""
-    cents = centroids if centroids is not None else label_centroids(embs, dim)
-    # centroid norms
+def _assign_cells(embs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell, csim) — nearest-centroid (max-cosine) assignment of
+    every vector against the (label, d, c) centroid table; tie-break on
+    the smaller label.  Plan shape: narrow explode + BROADCAST join on
+    the tiny centroid table — the 10^12-row side never shuffles."""
     cnorm = cents.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
     # vector ⋅ centroid via the exploded representation (portable & exact)
     vexp = embs.select(
@@ -195,9 +185,28 @@ def ivf_topk(
     assign_rank = F.row_number().over(
         Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("label"))
     )
-    cells = sim.select("vec_id", "label", assign_rank.alias("r")).filter(F.col("r") == 1).select(
-        "vec_id", F.col("label").alias("cell")
+    return (
+        sim.select("vec_id", "label", "csim", assign_rank.alias("r"))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("label").alias("cell"), "csim")
     )
+
+
+def ivf_topk(
+    embs: DataFrame, k: int = 5, dim: int = IVF_DIM, centroids: DataFrame | None = None
+) -> DataFrame:
+    """(vec_id, neighbor_id, rank, cos) — IVF ANN with 1-probe.
+
+    `centroids`: optional trained coarse quantizer (label, d, c) — pass
+    `kmeans_centroids(embs, ...)` for the label-free production path.
+    Default = per-`label` means, the deterministic stand-in that keeps
+    the DuckDB oracle exact.
+
+    Plan shape at scale: centroid assignment = narrow explode + broadcast
+    join on the tiny centroid table; the search join shuffles on `cell`
+    only, so the quadratic term is per-cell."""
+    cents = centroids if centroids is not None else label_centroids(embs, dim)
+    cells = _assign_cells(embs, cents).select("vec_id", "cell")
     # intra-cell exact search
     w = _norm_vec(embs).join(cells, "vec_id")
     la = w.select("cell", F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
@@ -338,4 +347,116 @@ def label_centroids_oracle_sql(table: str = "embeddings") -> str:
     WITH exploded AS ({label_centroids_sql(table)})
     SELECT label, d, ROUND(AVG(val), 6) AS c
     FROM exploded GROUP BY label, d
+    """
+
+
+def semdedup(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    dim: int = IVF_DIM,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, cell, nn_cos, is_dup) — SemDeDup-style SEMANTIC dedup
+    (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings via the
+    coarse quantizer, rank each cell's members by closeness to their
+    centroid, and flag a vector as a semantic duplicate when its cosine
+    to any BETTER-RANKED cell member reaches ``threshold`` — keepers are
+    the cluster-representative (centroid-nearest) exemplars, the
+    deduplicated corpus is ``is_dup = false``.
+
+    This is the declarative variant of the paper's greedy scan: "dup if
+    near any better-ranked member" (kept or not), which over-drops
+    slightly vs the sequential keep-chain but is order-free, exactly
+    reproducible, and embarrassingly parallel. nn_cos is the max cosine
+    to a better-ranked member (0.0 for each cell's top-ranked vector).
+
+    Scale shape: assignment = broadcast centroid join (plan-guarded via
+    _assign_cells); the only shuffle keys on ``cell``; the pairwise term
+    is per-cell quadratic — EXACTLY the bound the paper engineered for
+    (they run k-means with k sized so cells fit; at 10^12 rows pick
+    n_cells ~ rows/50k and the per-cell work is constant). Rank + max
+    ride the same cell-keyed exchange."""
+    cents = centroids if centroids is not None else label_centroids(embs, dim)
+    assign = _assign_cells(embs, cents)
+    rank = F.row_number().over(
+        Window.partitionBy("cell").orderBy(F.desc("csim"), F.asc("vec_id"))
+    )
+    w = (
+        _norm_vec(embs)
+        .join(assign, "vec_id")
+        .select("cell", "vec_id", "v", "nrm", "csim")
+        .withColumn("rank", rank)
+    )
+    la = w.select(
+        "cell", "vec_id", F.col("v").alias("va"), F.col("nrm").alias("na"), F.col("rank").alias("ra")
+    )
+    lb = w.select(
+        F.col("cell").alias("cell_b"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+        F.col("rank").alias("rb"),
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    best = (
+        la.join(lb, (F.col("cell") == F.col("cell_b")) & (F.col("rb") < F.col("ra")))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("nn_cos"))
+    )
+    return (
+        w.join(best, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("nn_cos", F.lit(0.0)).alias("nn_cos"),
+            (F.coalesce("nn_cos", F.lit(0.0)) >= threshold).alias("is_dup"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str = "embeddings", threshold: float = 0.95, dim: int = IVF_DIM
+) -> str:
+    """DuckDB mirror of semdedup with label_centroids as the quantizer."""
+    return f"""
+    WITH vexp AS (
+        SELECT vec_id, label, g.d, CAST(embedding[g.d + 1] AS DOUBLE) AS val
+        FROM {table}, (SELECT unnest(generate_series(0, {dim - 1})) AS d) g
+    ),
+    cents AS (
+        SELECT label, d, ROUND(AVG(val), 6) AS c FROM vexp GROUP BY label, d
+    ),
+    cnorm AS (SELECT label, sqrt(SUM(c * c)) AS cn FROM cents GROUP BY label),
+    vnorm AS (SELECT vec_id, sqrt(SUM(val * val)) AS vn FROM vexp GROUP BY vec_id),
+    dots AS (
+        SELECT v.vec_id, cents.label, SUM(v.val * cents.c) AS dot
+        FROM vexp v JOIN cents ON v.d = cents.d
+        GROUP BY v.vec_id, cents.label
+    ),
+    sim AS (
+        SELECT dots.vec_id, dots.label, ROUND(dot / (cn * vn), 6) AS csim
+        FROM dots JOIN cnorm ON dots.label = cnorm.label JOIN vnorm ON dots.vec_id = vnorm.vec_id
+    ),
+    assign AS (
+        SELECT vec_id, label AS cell, csim FROM (
+            SELECT vec_id, label, csim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY csim DESC, label ASC) AS r
+            FROM sim
+        ) WHERE r = 1
+    ),
+    w AS (
+        SELECT t.vec_id, a.cell,
+               CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+               ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY a.csim DESC, t.vec_id ASC) AS rank
+        FROM {table} t JOIN assign a ON t.vec_id = a.vec_id
+    ),
+    best AS (
+        SELECT l.vec_id, MAX(ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6)) AS nn_cos
+        FROM w l JOIN w r ON l.cell = r.cell AND r.rank < l.rank
+        GROUP BY l.vec_id
+    )
+    SELECT w.vec_id, w.cell, COALESCE(best.nn_cos, 0.0) AS nn_cos,
+           COALESCE(best.nn_cos, 0.0) >= {threshold} AS is_dup
+    FROM w LEFT JOIN best ON w.vec_id = best.vec_id
     """

@@ -173,3 +173,48 @@ def test_ngram_coverage_full_overlap(spark):
     )
     r = ngram_coverage(docs, n=3, val_permille=300).collect()[0]
     assert r.coverage == 1.0
+
+
+def test_semdedup_flags_near_identical_in_cell(spark):
+    """Two well-separated clusters; b is a near-copy of a -> b flagged,
+    cluster exemplars and the far-off member kept."""
+    from sbm_communitydetection_spark.textops.similarity import semdedup
+
+    rows = [
+        # cluster 0 around e1
+        (1, [1.0, 0.0, 0.0, 0.0], 0),     # exemplar (closest to centroid)
+        (2, [0.999, 0.01, 0.0, 0.0], 0),  # near-copy of 1 -> dup
+        (3, [0.7, 0.7, 0.0, 0.0], 0),     # same cell, dissimilar -> kept
+        # cluster 1 around e3
+        (4, [0.0, 0.0, 1.0, 0.0], 1),
+        (5, [0.0, 0.0, 0.999, 0.01], 1),  # near-copy of 4 -> dup
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: (r.cell, r.is_dup, r.nn_cos) for r in semdedup(embs, threshold=0.99, dim=4).collect()}
+    # exactly one of the near-copy pair {1,2} survives (the one nearer the
+    # centroid ranks first); the dup's nn_cos is their mutual cosine
+    assert got[1][1] != got[2][1]
+    dup12 = got[1] if got[1][1] else got[2]
+    keep12 = got[2] if got[1][1] else got[1]
+    assert dup12[2] >= 0.99
+    assert keep12[2] < 0.99  # kept: nothing better-ranked is that close
+    assert not got[3][1]  # same cell, dissimilar -> kept
+    assert got[4][1] != got[5][1]  # one of the second pair flagged too
+    assert got[2][0] == got[1][0] and got[5][0] == got[4][0]
+    # each cell's rank-1 exemplar reports nn_cos 0.0
+    assert sorted(v[2] for v in got.values())[:1] == [0.0]
+    # dedup keeps 3 of 5
+    assert sum(1 for c, d, _ in got.values() if not d) == 3
+
+
+def test_semdedup_deterministic_and_threshold_monotone(spark):
+    from sbm_communitydetection_spark.textops.similarity import semdedup
+
+    rows = [(i, [float(i % 3 == 0), 1.0, float(i) / 10, 0.5], i % 2) for i in range(12)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    a = sorted(map(tuple, semdedup(embs, threshold=0.9, dim=4).collect()))
+    b = sorted(map(tuple, semdedup(embs, threshold=0.9, dim=4).collect()))
+    assert a == b
+    loose = sum(r.is_dup for r in semdedup(embs, threshold=0.8, dim=4).collect())
+    tight = sum(r.is_dup for r in semdedup(embs, threshold=0.999, dim=4).collect())
+    assert loose >= tight
