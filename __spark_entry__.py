@@ -72,6 +72,9 @@ from sbm_communitydetection_spark.operators.extract import (  # noqa: E402
     agent_loops_oracle_sql as _agentloops_sql,
     tool_chains_oracle_sql as _toolchains_sql,
 )
+from sbm_communitydetection_spark.operators.triangles import (  # noqa: E402
+    butterfly_count_sql as _butterfly_sql,
+)
 from sbm_communitydetection_spark.operators import funnels as FN  # noqa: E402
 from sbm_communitydetection_spark.sources import events_transcripts as ET  # noqa: E402
 from sbm_communitydetection_spark.textops import analysis as TA  # noqa: E402
@@ -618,6 +621,16 @@ def _q_ngram_coverage(spark, sf_dir):
 def _q_semdedup(spark, sf_dir):
     """SemDeDup semantic dedup: centroid-cell rank + better-ranked cosine."""
     return TS.semdedup(_embs(spark, sf_dir), threshold=SEMDEDUP_THRESHOLD)
+
+
+def _q_butterflies(spark, sf_dir):
+    """Bipartite 4-cycle count over the actor×tool incidence graph."""
+    from sbm_communitydetection_spark.operators.triangles import butterfly_count
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    t = events_transcripts(spark, sf_dir).filter(F.col("tool").isNotNull())
+    inc = t.select(F.col("role").alias("left"), F.col("tool").alias("right"))
+    return butterfly_count(inc)
 
 
 def _q_conv_entropy(spark, sf_dir):
@@ -1669,6 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eigenvector_centrality": _q_eigenvector,
         "ngram_coverage": _q_ngram_coverage,
         "semdedup": _q_semdedup,
+        "butterfly_count": _q_butterflies,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "rich_club": _q_rich_club,
@@ -2170,6 +2184,15 @@ WITH injected AS (
         + eigenvector_unrolled_sql(),
         "ngram_coverage": TA.ngram_coverage_sql(),
         "semdedup": TS.semdedup_sql(threshold=SEMDEDUP_THRESHOLD),
+        "butterfly_count": "WITH "
+        + ET.transcripts_cte_sql()
+        + """,
+    incidence AS (
+        SELECT role AS "left", tool AS "right" FROM transcripts
+        WHERE tool IS NOT NULL
+    ),
+"""
+        + _butterfly_sql(),
         "event_funnel": FN.event_funnel_sql(),
         "retention_cohorts": FN.retention_cohorts_sql(),
         "rich_club": edges_cte + G.rich_club_sql(),

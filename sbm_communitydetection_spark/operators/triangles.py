@@ -163,3 +163,69 @@ def directed_triad_census(edges: DataFrame, max_out_degree: int | None = None) -
     return cyc.select(F.col("n").alias("n_cyclic")).crossJoin(
         tra.select(F.col("n").alias("n_transitive"))
     )
+
+
+# ---------------------------------------------------------------------------
+# bipartite 4-cycle (butterfly) counting
+# ---------------------------------------------------------------------------
+
+
+def butterfly_count(
+    incidence: DataFrame, max_right_degree: int | None = None
+) -> DataFrame:
+    """One row (n_wedge_pairs, n_butterflies) over a BIPARTITE incidence
+    table ``(left, right)`` — butterflies are the 4-cycles
+    (l1–r1–l2–r2–l1), the bipartite analogue of the triangle and the
+    standard cohesion motif for two-mode networks (Sanei-Mehri et al.
+    2018): b = Σ_{l1<l2} C(|N(l1) ∩ N(l2)|, 2).
+
+    On the transcript graph the natural incidence is actor×tool (who
+    invokes what): butterflies measure tool-usage overlap structure —
+    two actors sharing two tools — which pure projections lose.
+    n_wedge_pairs = Σ C(common, 1 choose pairs) intermediate (the
+    co-occurrence pair mass), reported because it is the op's true cost.
+
+    Scale shape: ONE self-join on the distinct incidence keyed by the
+    RIGHT vertex (wedge center) + one (l1, l2) count aggregate + one
+    scalar fold — the wedge formulation, never materializing 4-tuples.
+    Right-hub vertices drive the cost quadratically (a tool invoked by
+    10^5 actors yields 10^10 wedges), so ``max_right_degree`` removes
+    right hubs before the join (exact on the filtered subgraph, as in
+    directed_triad_census). Left hubs are harmless: a left vertex
+    enters a wedge only via its co-membership, cost linear in degree."""
+    inc = incidence.select("left", "right").distinct()
+    if max_right_degree is not None:
+        hubs = (
+            inc.groupBy("right")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") > max_right_degree)
+            .select("right")
+        )
+        inc = inc.join(hubs, "right", "left_anti")
+    a = inc.select(F.col("left").alias("l1"), "right")
+    b = inc.select(F.col("left").alias("l2"), "right")
+    common = (
+        a.join(b, "right")
+        .filter(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(F.count("*").alias("c"))
+    )
+    return common.agg(
+        F.sum("c").cast("long").alias("n_wedge_pairs"),
+        F.sum(F.col("c") * (F.col("c") - 1) / 2).cast("long").alias("n_butterflies"),
+    )
+
+
+def butterfly_count_sql() -> str:
+    """DuckDB mirror over an `incidence(left, right)` CTE."""
+    return """
+    inc AS (SELECT DISTINCT "left", "right" FROM incidence),
+    common AS (
+        SELECT a."left" AS l1, b."left" AS l2, COUNT(*) AS c
+        FROM inc a JOIN inc b ON a."right" = b."right" AND a."left" < b."left"
+        GROUP BY 1, 2
+    )
+    SELECT SUM(c)::BIGINT AS n_wedge_pairs,
+           SUM(c * (c - 1) / 2)::BIGINT AS n_butterflies
+    FROM common
+    """

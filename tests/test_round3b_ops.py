@@ -218,3 +218,38 @@ def test_semdedup_deterministic_and_threshold_monotone(spark):
     loose = sum(r.is_dup for r in semdedup(embs, threshold=0.8, dim=4).collect())
     tight = sum(r.is_dup for r in semdedup(embs, threshold=0.999, dim=4).collect())
     assert loose >= tight
+
+
+def test_butterfly_count_hand_graph(spark):
+    """K_{2,2} = exactly one butterfly; adding a pendant edge adds none."""
+    from sbm_communitydetection_spark.operators.triangles import butterfly_count
+
+    inc = spark.createDataFrame(
+        [("u1", "w1"), ("u1", "w2"), ("u2", "w1"), ("u2", "w2"), ("u3", "w3")],
+        "left string, right string",
+    )
+    r = butterfly_count(inc).collect()[0]
+    # common(u1,u2) = 2 -> wedge pairs 2, butterflies C(2,2)=1
+    assert (r.n_wedge_pairs, r.n_butterflies) == (2, 1)
+
+    # K_{2,3}: common = 3 -> C(3,2) = 3 butterflies
+    k23 = spark.createDataFrame(
+        [(u, w) for u in ("a", "b") for w in ("x", "y", "z")], "left string, right string"
+    )
+    r2 = butterfly_count(k23).collect()[0]
+    assert (r2.n_wedge_pairs, r2.n_butterflies) == (3, 3)
+
+
+def test_butterfly_count_right_hub_guard(spark):
+    """A right hub above the cap is excluded; counts shrink accordingly."""
+    from sbm_communitydetection_spark.operators.triangles import butterfly_count
+
+    rows = [("u%d" % i, "hub") for i in range(50)] + [
+        ("u0", "w1"), ("u1", "w1"), ("u0", "w2"), ("u1", "w2")
+    ]
+    inc = spark.createDataFrame(rows, "left string, right string")
+    full = butterfly_count(inc).collect()[0]
+    capped = butterfly_count(inc, max_right_degree=10).collect()[0]
+    assert full.n_wedge_pairs == 50 * 49 // 2 + 2
+    assert capped.n_wedge_pairs == 2  # hub wedges gone
+    assert capped.n_butterflies == 1
