@@ -380,9 +380,13 @@ def sbm_block_matrix(edges: DataFrame, labels: DataFrame) -> DataFrame:
         "s_label",
         F.coalesce("block_edges", F.lit(0)).cast("long").alias("block_edges"),
         "block_pairs",
-        F.round(
-            F.coalesce("block_edges", F.lit(0)) / F.col("block_pairs"), 8
-        ).alias("p_hat"),
+        # singleton blocks have C(1,2) = 0 possible intra pairs: p_hat 0
+        F.when(
+            F.col("block_pairs") > 0,
+            F.round(F.coalesce("block_edges", F.lit(0)) / F.col("block_pairs"), 8),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("p_hat"),
     )
 
 

@@ -298,7 +298,9 @@ bpairs AS (
 SELECT p.r_label, p.s_label,
        COALESCE(o.block_edges, 0)::BIGINT AS block_edges,
        p.block_pairs,
-       ROUND(COALESCE(o.block_edges, 0) / CAST(p.block_pairs AS DOUBLE), 8) AS p_hat
+       CASE WHEN p.block_pairs > 0
+            THEN ROUND(COALESCE(o.block_edges, 0) / CAST(p.block_pairs AS DOUBLE), 8)
+            ELSE 0.0 END AS p_hat
 FROM bpairs p LEFT JOIN obs o ON p.r_label = o.r_label AND p.s_label = o.s_label"""
 
 

@@ -133,3 +133,101 @@ def test_pairwise_f1_matches_bruteforce(spark, pt):
     tdf = spark.createDataFrame(list(truth.items()), "id long, label long")
     got = pairwise_f1(pdf, tdf)
     assert abs(got - _py_pairwise_f1(pred, truth)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-3 session-2 ops: butterfly census, block matrix, loops
+# ---------------------------------------------------------------------------
+
+bipartite_lists = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6), st.integers(min_value=0, max_value=6)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _py_butterflies(rows):
+    from itertools import combinations
+
+    nbrs: dict = defaultdict(set)
+    for l, r in rows:
+        nbrs[l].add(r)
+    wedge_pairs = 0
+    butterflies = 0
+    for a, b in combinations(sorted(nbrs), 2):
+        c = len(nbrs[a] & nbrs[b])
+        wedge_pairs += c
+        butterflies += c * (c - 1) // 2
+    return wedge_pairs, butterflies
+
+
+@given(bipartite_lists)
+@SETTINGS
+def test_butterfly_count_matches_bruteforce(spark, rows):
+    from sbm_communitydetection_spark.operators.triangles import butterfly_count
+
+    df = spark.createDataFrame(rows, "left long, right long")
+    got = butterfly_count(df).collect()[0]
+    wp, bf = _py_butterflies(set(rows))
+    assert (got.n_wedge_pairs or 0, got.n_butterflies or 0) == (wp, bf)
+
+
+@given(edge_lists)
+@SETTINGS
+def test_sbm_block_matrix_marginals(spark, rows):
+    """Σ block_edges = undirected edge count; Σ block_pairs = C(n, 2)."""
+    from sbm_communitydetection_spark.functions.metrics import sbm_block_matrix
+
+    df = symmetrize(
+        spark.createDataFrame([(s, d, 1) for s, d, _ in rows], "src long, dst long, weight long")
+    )
+    if df.count() == 0:
+        return
+    verts = sorted({r.src for r in df.select("src").distinct().collect()})
+    labels = spark.createDataFrame([(v, v % 3) for v in verts], "id long, label long")
+    out = sbm_block_matrix(df, labels).collect()
+    n_undirected = df.count() // 2
+    n = len(verts)
+    assert sum(r.block_edges for r in out) == n_undirected
+    assert sum(r.block_pairs for r in out) == n * (n - 1) // 2
+    assert all(0.0 <= r.p_hat <= 1.0 for r in out if r.block_pairs > 0)
+
+
+tool_seqs = st.lists(
+    st.lists(st.sampled_from(["f", "s", "g", None]), min_size=1, max_size=8),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(tool_seqs)
+@SETTINGS
+def test_agent_loops_matches_python_scan(spark, convs):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.extract import agent_loops
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (f"c{ci}", ti, "a", "x", tool, t0)
+        for ci, seq in enumerate(convs)
+        for ti, tool in enumerate(seq)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    # python reference: max consecutive same-tool run among tool turns
+    expect: dict = {}
+    for ci, seq in enumerate(convs):
+        tools = [t for t in seq if t is not None]
+        run, prev = 0, None
+        best: dict = defaultdict(int)
+        for t in tools:
+            run = run + 1 if t == prev else 1
+            prev = t
+            best[t] = max(best[t], run)
+        for t, b in best.items():
+            if b >= 2:
+                expect[(f"c{ci}", t)] = b
+    got = {(r.conv_id, r.tool): r.max_run for r in agent_loops(df, min_repeats=2).collect()}
+    assert got == expect
