@@ -623,6 +623,35 @@ def _q_semdedup(spark, sf_dir):
     return TS.semdedup(_embs(spark, sf_dir), threshold=SEMDEDUP_THRESHOLD)
 
 
+def _q_node_overlap(spark, sf_dir):
+    """Q6 greedy max-intersection matching accuracy — Spark computes the
+    k×k contingency, the greedy scan is driver-side on that tiny table
+    (mirroring the reference); gated vs an unrolled greedy-pick oracle."""
+    from sbm_communitydetection_spark.functions.metrics import node_overlap_accuracy
+
+    _, pred, truth = _metric_partitions(spark, sf_dir)
+    v = node_overlap_accuracy(pred, truth)
+    return spark.createDataFrame([(round(v, 6),)], "node_overlap double")
+
+
+def _q_symmetric_difference(spark, sf_dir):
+    """Q2 greedy-matched symmetric difference / n."""
+    from sbm_communitydetection_spark.functions.metrics import symmetric_difference
+
+    _, pred, truth = _metric_partitions(spark, sf_dir)
+    v = symmetric_difference(pred, truth)
+    return spark.createDataFrame([(round(v, 6),)], "symmetric_difference double")
+
+
+def _q_max_jaccard(spark, sf_dir):
+    """Q7 greedy max-Jaccard matching, mean over max(k_t, k_p)."""
+    from sbm_communitydetection_spark.functions.metrics import max_jaccard_sum
+
+    _, pred, truth = _metric_partitions(spark, sf_dir)
+    v = max_jaccard_sum(pred, truth)
+    return spark.createDataFrame([(round(v, 6),)], "max_jaccard double")
+
+
 def _q_butterflies(spark, sf_dir):
     """Bipartite 4-cycle count over the actor×tool incidence graph."""
     from sbm_communitydetection_spark.operators.triangles import butterfly_count
@@ -1683,6 +1712,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_coverage": _q_ngram_coverage,
         "semdedup": _q_semdedup,
         "butterfly_count": _q_butterflies,
+        "node_overlap_accuracy": _q_node_overlap,
+        "symmetric_difference": _q_symmetric_difference,
+        "max_jaccard_sum": _q_max_jaccard,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "rich_club": _q_rich_club,
@@ -2193,6 +2225,13 @@ WITH injected AS (
     ),
 """
         + _butterfly_sql(),
+        "node_overlap_accuracy": edges_cte
+        + ",\n"
+        + O.node_overlap_accuracy_sql(N_LABELS, N_TRUTH),
+        "symmetric_difference": edges_cte
+        + ",\n"
+        + O.symmetric_difference_sql(N_LABELS, N_TRUTH),
+        "max_jaccard_sum": edges_cte + ",\n" + O.max_jaccard_sum_sql(N_LABELS, N_TRUTH),
         "event_funnel": FN.event_funnel_sql(),
         "retention_cohorts": FN.retention_cohorts_sql(),
         "rich_club": edges_cte + G.rich_club_sql(),

@@ -274,6 +274,89 @@ FROM mi, hp, ht"""
     )
 
 
+def _greedy_match_ctes(n_pred: int, n_truth: int, jaccard: bool) -> str:
+    """Unrolled greedy max-score matching over the FULL truth×pred label
+    cross product (unobserved pairs score 0, exactly like the Python
+    loop's inter.get((t,p), 0)), min(n_truth, n_pred) picks.  Tie-break
+    mirrors metrics._greedy_match's iteration order (strict > update
+    over p-sorted-outer / t-sorted-inner): score DESC, p ASC, t ASC.
+    Each pick CTE is MATERIALIZED — the chain references each level
+    twice (anti-filter + union), which plain inlining would make
+    exponential."""
+    score = (
+        "CAST(i AS DOUBLE) / (ts + ps - i)" if jaccard else "CAST(i AS DOUBLE)"
+    )
+    steps = min(n_pred, n_truth)
+    parts = [
+        labels_pair_cte_sql(n_pred, n_truth),
+        f"""ct AS (
+    SELECT t.label AS t_label, p.label AS p_label, COUNT(*) AS cnt
+    FROM truth t JOIN pred p ON t.id = p.id GROUP BY 1, 2
+),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts),
+tsz AS (SELECT t_label, SUM(cnt) AS ts FROM ct GROUP BY t_label),
+psz AS (SELECT p_label, SUM(cnt) AS ps FROM ct GROUP BY p_label),
+allp AS MATERIALIZED (
+    SELECT tsz.t_label, psz.p_label, tsz.ts, psz.ps,
+           COALESCE(ct.cnt, 0) AS i
+    FROM tsz CROSS JOIN psz
+    LEFT JOIN ct ON ct.t_label = tsz.t_label AND ct.p_label = psz.p_label
+),
+scored AS MATERIALIZED (
+    SELECT t_label, p_label, ps, {score} AS s FROM allp
+),
+m1 AS MATERIALIZED (
+    SELECT t_label, p_label, ps, s FROM scored
+    ORDER BY s DESC, p_label ASC, t_label ASC LIMIT 1
+)""",
+    ]
+    for i in range(2, steps + 1):
+        parts.append(
+            f"""m{i} AS MATERIALIZED (
+    SELECT * FROM m{i - 1}
+    UNION ALL
+    (SELECT c.t_label, c.p_label, c.ps, c.s FROM scored c
+     WHERE c.t_label NOT IN (SELECT t_label FROM m{i - 1})
+       AND c.p_label NOT IN (SELECT p_label FROM m{i - 1})
+     ORDER BY c.s DESC, c.p_label ASC, c.t_label ASC LIMIT 1)
+)"""
+        )
+    return ",\n".join(parts) + f",\nmatched AS (SELECT * FROM m{steps})"
+
+
+def node_overlap_accuracy_sql(n_pred: int, n_truth: int) -> str:
+    """Q6: greedy max-intersection matching; Σ matched common / n."""
+    return (
+        _greedy_match_ctes(n_pred, n_truth, jaccard=False)
+        + """
+SELECT ROUND(SUM(s) / (SELECT n FROM nn), 6) AS node_overlap FROM matched"""
+    )
+
+
+def symmetric_difference_sql(n_pred: int, n_truth: int) -> str:
+    """Q2: Σ_matched (|p| − common) + Σ_unmatched-p |p|, / n  (= 1 −
+    node_overlap algebraically; computed in the reference's own terms)."""
+    return (
+        _greedy_match_ctes(n_pred, n_truth, jaccard=False)
+        + """
+SELECT ROUND((
+    (SELECT SUM(ps - s) FROM matched)
+    + COALESCE((SELECT SUM(ps) FROM psz
+                WHERE p_label NOT IN (SELECT p_label FROM matched)), 0)
+) / (SELECT n FROM nn), 6) AS symmetric_difference"""
+    )
+
+
+def max_jaccard_sum_sql(n_pred: int, n_truth: int) -> str:
+    """Q7: greedy max-Jaccard matching, mean over max(k_t, k_p) pairs."""
+    denom = max(n_pred, n_truth)
+    return (
+        _greedy_match_ctes(n_pred, n_truth, jaccard=True)
+        + f"""
+SELECT ROUND(SUM(s) / {denom}, 6) AS max_jaccard FROM matched"""
+    )
+
+
 def sbm_block_matrix_sql(n_labels: int) -> str:
     """k×k SBM connectivity-matrix MLE (mirror of metrics.sbm_block_matrix):
     (r_label, s_label, block_edges, block_pairs, p_hat) for r <= s over the
