@@ -652,6 +652,16 @@ def _q_max_jaccard(spark, sf_dir):
     return spark.createDataFrame([(round(v, 6),)], "max_jaccard double")
 
 
+def _q_matching_accuracy(spark, sf_dir):
+    """Q9 optimal (Hungarian) assignment accuracy — gated vs an unrolled
+    assignment-DP oracle (exact optimum, no greedy)."""
+    from sbm_communitydetection_spark.functions.metrics import maximal_matching_accuracy
+
+    _, pred, truth = _metric_partitions(spark, sf_dir)
+    v = maximal_matching_accuracy(pred, truth)
+    return spark.createDataFrame([(round(v, 6),)], "matching_accuracy double")
+
+
 def _q_butterflies(spark, sf_dir):
     """Bipartite 4-cycle count over the actor×tool incidence graph."""
     from sbm_communitydetection_spark.operators.triangles import butterfly_count
@@ -1715,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "node_overlap_accuracy": _q_node_overlap,
         "symmetric_difference": _q_symmetric_difference,
         "max_jaccard_sum": _q_max_jaccard,
+        "maximal_matching_accuracy": _q_matching_accuracy,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "rich_club": _q_rich_club,
@@ -2232,6 +2243,9 @@ WITH injected AS (
         + ",\n"
         + O.symmetric_difference_sql(N_LABELS, N_TRUTH),
         "max_jaccard_sum": edges_cte + ",\n" + O.max_jaccard_sum_sql(N_LABELS, N_TRUTH),
+        "maximal_matching_accuracy": edges_cte
+        + ",\n"
+        + O.maximal_matching_accuracy_sql(N_LABELS, N_TRUTH),
         "event_funnel": FN.event_funnel_sql(),
         "retention_cohorts": FN.retention_cohorts_sql(),
         "rich_club": edges_cte + G.rich_club_sql(),

@@ -357,6 +357,46 @@ SELECT ROUND(SUM(s) / {denom}, 6) AS max_jaccard FROM matched"""
     )
 
 
+def maximal_matching_accuracy_sql(n_pred: int, n_truth: int) -> str:
+    """Q9: OPTIMAL assignment value on the truth×pred intersection
+    matrix, / n — the Hungarian result reproduced as an unrolled
+    assignment-problem DP over pred-label subsets (f_i(S) = best value
+    assigning the first i truth labels to distinct pred labels in
+    bitmask S): level i joins f_{i-1} with the score row of truth label
+    i and folds MAX per new mask. State ≤ 2^k_p rows per level —
+    driver-trivial for any real community count, exact optimum (no
+    greedy)."""
+    steps = min(n_pred, n_truth)
+    # truth labels processed in sorted order 0..steps-1 (id % n covers all)
+    parts = [
+        labels_pair_cte_sql(n_pred, n_truth),
+        """ct AS (
+    SELECT t.label AS t_label, p.label AS p_label, COUNT(*) AS cnt
+    FROM truth t JOIN pred p ON t.id = p.id GROUP BY 1, 2
+),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM verts),
+cols AS MATERIALIZED (SELECT DISTINCT p_label FROM ct),
+f0 AS (SELECT 0::BIGINT AS mask, 0.0 AS v)""",
+    ]
+    for i in range(1, steps + 1):
+        t = i - 1
+        parts.append(
+            f"""f{i} AS MATERIALIZED (
+    SELECT f.mask | (1::BIGINT << c.p_label) AS mask,
+           MAX(f.v + COALESCE(ct.cnt, 0)) AS v
+    FROM f{i - 1} f
+    JOIN cols c ON (f.mask & (1::BIGINT << c.p_label)) = 0
+    LEFT JOIN ct ON ct.t_label = {t} AND ct.p_label = c.p_label
+    GROUP BY 1
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT ROUND(MAX(v) / (SELECT n FROM nn), 6) AS matching_accuracy FROM f{steps}"""
+    )
+
+
 def sbm_block_matrix_sql(n_labels: int) -> str:
     """k×k SBM connectivity-matrix MLE (mirror of metrics.sbm_block_matrix):
     (r_label, s_label, block_edges, block_pairs, p_hat) for r <= s over the
