@@ -652,6 +652,26 @@ def _q_max_jaccard(spark, sf_dir):
     return spark.createDataFrame([(round(v, 6),)], "max_jaccard double")
 
 
+STREAM_PR_BOUNDARIES = [250, 500, 750, 1001]
+STREAM_PR_ITERS = 3
+
+
+def _q_stream_pagerank(spark, sf_dir):
+    """Warm-start batched PageRank: 4 cumulative prefixes of the ordered
+    stream, carry-forward init, 3 power supersteps per batch."""
+    from sbm_communitydetection_spark.streaming.stream_driver import stream_pagerank
+    from sbm_communitydetection_spark.textops.portable import md5_long
+
+    edges = lineitem_edges(spark, sf_dir).withColumn(
+        "edge_seq",
+        md5_long(F.concat_ws(":", F.col("src").cast("string"), F.col("dst").cast("string")))
+        % 1000,
+    )
+    return stream_pagerank(
+        spark, edges, boundaries=STREAM_PR_BOUNDARIES, iters_per_batch=STREAM_PR_ITERS
+    )
+
+
 def _q_matching_accuracy(spark, sf_dir):
     """Q9 optimal (Hungarian) assignment accuracy — gated vs an unrolled
     assignment-DP oracle (exact optimum, no greedy)."""
@@ -1726,6 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "symmetric_difference": _q_symmetric_difference,
         "max_jaccard_sum": _q_max_jaccard,
         "maximal_matching_accuracy": _q_matching_accuracy,
+        "stream_pagerank": _q_stream_pagerank,
         "event_funnel": _q_event_funnel,
         "retention_cohorts": _q_retention_cohorts,
         "rich_club": _q_rich_club,
@@ -2246,6 +2267,13 @@ WITH injected AS (
         "maximal_matching_accuracy": edges_cte
         + ",\n"
         + O.maximal_matching_accuracy_sql(N_LABELS, N_TRUTH),
+        "stream_pagerank": edges_cte
+        + ",\n"
+        + "sedges AS (SELECT src, dst, weight, "
+        + md5_long_sql("concat(CAST(src AS VARCHAR), ':', CAST(dst AS VARCHAR))")
+        + " % 1000 AS edge_seq FROM edges)"
+        + ",\n"
+        + O.stream_pagerank_unrolled_sql(STREAM_PR_BOUNDARIES, STREAM_PR_ITERS),
         "event_funnel": FN.event_funnel_sql(),
         "retention_cohorts": FN.retention_cohorts_sql(),
         "rich_club": edges_cte + G.rich_club_sql(),

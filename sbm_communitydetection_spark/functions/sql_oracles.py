@@ -56,6 +56,70 @@ def pagerank_unrolled_sql(
     return ",\n".join(parts) + "\n" + final
 
 
+def stream_pagerank_unrolled_sql(
+    boundaries: list[int],
+    iters_per_batch: int,
+    damping: float = 0.85,
+    round_to: int = 8,
+) -> str:
+    """Warm-start batched PageRank over a `sedges(src, dst, weight,
+    edge_seq)` CTE — mirror of streaming.stream_driver.stream_pagerank
+    with EXPLICIT batch boundaries. Per batch: cumulative edge prefix,
+    carry-forward init (new vertices 1/n_b, renormalized to sum 1), then
+    ``iters_per_batch`` plain power supersteps."""
+    parts = []
+    prev_final = None
+    for b, bound in enumerate(boundaries):
+        e, v, nv, a = f"e{b}", f"v{b}", f"nv{b}", f"a{b}"
+        parts.append(
+            f"{e} AS MATERIALIZED (SELECT src, dst, weight FROM sedges WHERE edge_seq < {bound})"
+        )
+        parts.append(
+            f"{v} AS MATERIALIZED (SELECT src AS id FROM {e} UNION SELECT dst FROM {e})"
+        )
+        parts.append(f"{nv} AS (SELECT COUNT(*)::DOUBLE AS n FROM {v})")
+        parts.append(
+            f"""{a} AS MATERIALIZED (
+    SELECT e.src, e.dst, e.weight / o.out_w AS frac
+    FROM {e} e JOIN (SELECT src, SUM(weight)::DOUBLE AS out_w FROM {e} GROUP BY src) o
+      ON e.src = o.src
+)"""
+        )
+        if prev_final is None:
+            parts.append(
+                f"b{b}r0 AS (SELECT id, 1.0 / (SELECT n FROM {nv}) AS rank FROM {v})"
+            )
+        else:
+            parts.append(
+                f"""b{b}raw AS MATERIALIZED (
+    SELECT v.id, COALESCE(p.rank, 1.0 / (SELECT n FROM {nv})) AS rank
+    FROM {v} v LEFT JOIN {prev_final} p ON v.id = p.id
+)"""
+            )
+            parts.append(
+                f"b{b}r0 AS (SELECT id, rank / (SELECT SUM(rank) FROM b{b}raw) AS rank FROM b{b}raw)"
+            )
+        for i in range(1, iters_per_batch + 1):
+            parts.append(
+                f"""b{b}r{i} AS MATERIALIZED (
+    SELECT v.id,
+           (1.0 - {damping}) / (SELECT n FROM {nv})
+             + {damping} * COALESCE(s.c, 0.0) AS rank
+    FROM {v} v
+    LEFT JOIN (
+        SELECT a.dst AS id, SUM(a.frac * r.rank) AS c
+        FROM {a} a JOIN b{b}r{i - 1} r ON a.src = r.id
+        GROUP BY a.dst
+    ) s ON v.id = s.id
+)"""
+            )
+        prev_final = f"b{b}r{iters_per_batch}"
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM {prev_final}"
+    )
+
+
 def lpa_unrolled_sql(n_iterations: int) -> str:
     """Fixed-iteration synchronous LPA (plain variant, min-label tie-break)
     over the `edges` CTE; labels init to vertex id; returns (id, label)."""

@@ -318,3 +318,107 @@ def stream_connected_components(
         # labels are vertex-scale; sever the per-batch star-round lineage
         labels = labels.localCheckpoint(eager=True)
     return labels
+
+
+def stream_pagerank(
+    spark: SparkSession,
+    edge_stream: DataFrame,
+    boundaries: list[int] | None = None,
+    n_batches: int = 3,
+    iters_per_batch: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Warm-start batched PageRank over an ordered edge stream — the
+    dynamic counterpart of operators/pagerank for the flagship
+    centrality, completing the engine's dynamic family (stream LPA / BP
+    / CC / dedup / novelty) in the reference's streaming semantics
+    (ordered ``addedEdges`` consumption, src/dynamic_community_detection
+    .cpp:32-49 — batched here as everywhere in §2.10).
+
+    Per batch b (cumulative edge set = all rows with edge_seq below the
+    batch bound): carry the previous rank vector forward — new vertices
+    seed at 1/n_b, the vector renormalizes to sum 1 — then run exactly
+    ``iters_per_batch`` plain power supersteps ((1−d)/n + d·Σ frac·rank,
+    no dangling redistribution: the recurrence form of the fixed-iter
+    oracle). Warm-starting means each batch needs only enough supersteps
+    to absorb the DELTA, not to re-converge from uniform — the property
+    that matters when the stream is 10^12 turns and batches are small.
+
+    Deterministic given boundaries (defaults: n_batches equal spans of
+    the observed edge_seq range, as stream_connected_components) and
+    SQL-mirrorable (stream_pagerank_unrolled_sql). At convergence-tight
+    iters the final vector equals batch pagerank on the final graph
+    (test_stream_pagerank_converges_to_batch).
+
+    Scale shape per batch: identical to pagerank's superstep (cached
+    src-partitioned cumulative adjacency, only the O(n) vector moves);
+    the carry-forward join is id-keyed and co-partitioned with the
+    state. Each batch's adjacency cache is released before the next."""
+    from ..plans.iterate import cache_partitioned
+
+    if boundaries is None:
+        bounds = edge_stream.agg(
+            F.min("edge_seq").alias("lo"), F.max("edge_seq").alias("hi"), F.count("*").alias("n")
+        ).collect()[0]
+        if bounds.n == 0:
+            raise ValueError("empty edge stream")
+        span = (bounds.hi - bounds.lo + 1) / n_batches
+        boundaries = [
+            bounds.hi + 1 if b == n_batches - 1 else bounds.lo + int((b + 1) * span)
+            for b in range(n_batches)
+        ]
+
+    state: DataFrame | None = None
+    prev_adj = None
+    for bound in boundaries:
+        cum = edge_stream.filter(F.col("edge_seq") < bound)
+        verts = (
+            cum.select(F.col("src").alias("id"))
+            .unionByName(cum.select(F.col("dst").alias("id")))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        n = verts.count()
+        if n == 0:
+            raise ValueError(f"batch bound {bound}: empty cumulative edge set")
+        out_w = cum.groupBy("src").agg(F.sum("weight").cast("double").alias("out_w"))
+        adj = cache_partitioned(
+            cum.join(out_w, "src")
+            .select("src", "dst", (F.col("weight") / F.col("out_w")).alias("frac"))
+            .repartition("src")
+        )
+        if state is None:
+            init = verts.select("id", F.lit(1.0 / n).alias("rank"))
+        else:
+            raw = verts.join(
+                state.withColumnRenamed("rank", "prank"), "id", "left"
+            ).select("id", F.coalesce("prank", F.lit(1.0 / n)).alias("rank"))
+            raw = raw.localCheckpoint(eager=True)
+            unpersist_checkpoint(state)
+            tot = raw.agg(F.sum("rank")).collect()[0][0]
+            init = raw.select("id", (F.col("rank") / F.lit(float(tot))).alias("rank"))
+        cur = init.repartition("id").localCheckpoint(eager=True)
+        for _ in range(iters_per_batch):
+            contrib = (
+                adj.join(cur.withColumnRenamed("id", "src").hint("SHUFFLE_HASH"), "src")
+                .groupBy("dst")
+                .agg(F.sum(F.col("frac") * F.col("rank")).alias("c"))
+                .withColumnRenamed("dst", "id")
+            )
+            nxt = verts.join(contrib.hint("SHUFFLE_HASH"), "id", "left").select(
+                "id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                ).alias("rank"),
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            unpersist_checkpoint(cur)
+            cur = nxt
+        if prev_adj is not None:
+            prev_adj.unpersist()
+        prev_adj = adj
+        state = cur
+    if prev_adj is not None:
+        prev_adj.unpersist()
+    return state.select("id", F.round("rank", 8).alias("rank"))
