@@ -42,6 +42,7 @@ from sbm_communitydetection_spark.operators.walks import (  # noqa: E402
     node2vec_walks_sql as _n2v_sql,
 )
 from sbm_communitydetection_spark.operators.mis import (  # noqa: E402
+    greedy_coloring_sql as _coloring_sql,
     maximal_independent_set_sql as _mis_sql,
 )
 from sbm_communitydetection_spark.operators.densest import (  # noqa: E402
@@ -367,6 +368,25 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(
         spark, lineitem_edges(spark, sf_dir), max_rounds=MIS_ROUNDS
     )
+
+
+COLOR_ROUNDS = 24
+COLOR_SAMPLE_PERMILLE = 30
+
+
+def _q_coloring(spark, sf_dir):
+    """Jones–Plassmann greedy coloring with fixed portable-hash
+    priorities (conflict-free update scheduling for batched mutations) —
+    gated on the hash-sparsified subgraph (the dense 1000-vertex gate
+    graph needs >100 colors, which would make the unrolled twin
+    enormous; the op itself is parameter-free and general).  The
+    unrolled DuckDB twin replays the identical rounds."""
+    from sbm_communitydetection_spark.operators.mis import greedy_coloring
+
+    sampled = G.sample_edges(
+        lineitem_edges(spark, sf_dir), permille=COLOR_SAMPLE_PERMILLE
+    )
+    return greedy_coloring(spark, sampled, max_rounds=COLOR_ROUNDS)
 
 
 NEIGHBOR_FANOUT = 3
@@ -1643,6 +1663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
+        "greedy_coloring": _q_coloring,  # Jones–Plassmann, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -1886,6 +1907,15 @@ FROM deg GROUP BY bucket""",
         + ",\n"
         + _n2v_sql(WALK_START_MOD, WALKS_PER_VERTEX, WALK_LENGTH),
         "maximal_independent_set": edges_cte + ",\n" + _mis_sql(MIS_ROUNDS),
+        "greedy_coloring": edges_cte
+        + f""",
+sedges AS (
+    SELECT src, dst, weight FROM edges
+    WHERE CAST(concat('0x', substr(md5('0' || ':' || CAST(src AS VARCHAR) || ':'
+          || CAST(dst AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < {COLOR_SAMPLE_PERMILLE}
+),
+"""
+        + _coloring_sql(COLOR_ROUNDS, edges_table="sedges"),
         "densest_subgraph": edges_cte + ",\n" + _densest_sql(DENSEST_ROUNDS),
         "maximal_matching": edges_cte + ",\n" + _matching_sql(MATCHING_ROUNDS),
         "bipartite_check": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)

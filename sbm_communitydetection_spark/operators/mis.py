@@ -112,6 +112,191 @@ def maximal_independent_set(
     return result
 
 
+def greedy_coloring(
+    spark: SparkSession,
+    edges: DataFrame,
+    max_rounds: int = 20,
+) -> DataFrame:
+    """(id, color) — Jones–Plassmann greedy coloring (Jones & Plassmann,
+    SIAM J. Sci. Comput. 1993) with a FIXED portable-hash priority per
+    vertex: in each round, every uncolored vertex whose priority is a
+    strict minimum over its uncolored neighborhood takes the smallest
+    color not used by its already-colored neighbors (the mex).  The
+    winner set per round is an independent set of the live subgraph, so
+    concurrent assignments never conflict, and the fixed priority makes
+    the full coloring a pure function of the edge set — bit-identical in
+    the unrolled DuckDB twin.
+
+    Each round is one neighbor-min aggregate + one mex join over the
+    static adjacency + two anti-joins — the Luby/LPA exchange shapes.
+    Rounds = the longest priority-decreasing path, O(log n / log log n)
+    w.h.p. for hash priorities.  The live edge set shrinks every round;
+    raises if vertices remain uncolored after ``max_rounds`` (silent
+    truncation would return a partial coloring).  Colors are dense
+    0..k-1 per neighborhood by construction (greedy mex ≤ degree).
+    No reference analogue (north-star §2.13 scope: standard link-graph
+    algorithm; conflict-free update scheduling for the batched ops).
+    """
+    pri = lambda col: md5_long(F.concat_ws(":", F.lit("color"), col.cast("string")))  # noqa: E731
+    sym = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .unionByName(
+            edges.filter(F.col("src") != F.col("dst")).select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+    ).localCheckpoint(eager=True)
+    all_ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    contested = sym.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    # self-loop-only vertices have no constraints: color 0 immediately
+    colored = all_ids.join(contested, "id", "left_anti").select(
+        "id", F.lit(0).alias("color")
+    )
+    live = sym
+    unc = contested  # uncolored vertices — live.src loses vertices whose
+    # uncolored neighborhood empties, but those still need a color
+    owned = [sym, contested]
+    for r in range(1, max_rounds + 1):
+        if unc.limit(1).count() == 0:
+            break
+        nbr_min = live.groupBy("src").agg(
+            F.min(F.struct(pri(F.col("dst")).alias("p"), F.col("dst").alias("i"))).alias("nmin")
+        )
+        minima = nbr_min.filter(
+            F.struct(pri(F.col("src")).alias("p"), F.col("src").alias("i")) < F.col("nmin")
+        ).select(F.col("src").alias("id"))
+        # uncolored vertices with NO uncolored neighbor left win by vacuity
+        vacuous = unc.join(
+            live.select(F.col("src").alias("id")).distinct(), "id", "left_anti"
+        )
+        win = minima.unionByName(vacuous).localCheckpoint(eager=True)
+        owned.append(win)
+        # mex over already-colored neighbors (static adjacency, winners only)
+        used = (
+            sym.join(win.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(colored.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.collect_set("color").alias("used"))
+        )
+        newly = (
+            win.join(used.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.coalesce(
+                    F.array_min(
+                        F.filter(
+                            F.sequence(F.lit(0), F.coalesce(F.size("used"), F.lit(0))),
+                            lambda c: ~F.array_contains(
+                                F.coalesce(F.col("used"), F.array().cast("array<int>")), c
+                            ),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("color"),
+            )
+        )
+        colored = colored.unionByName(newly).localCheckpoint(eager=True)
+        owned.append(colored)
+        nxt = (
+            live.join(win.withColumnRenamed("id", "src"), "src", "left_anti")
+            .join(win.withColumnRenamed("id", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+        ).localCheckpoint(eager=True)
+        owned.append(nxt)
+        live = nxt
+        unc = unc.join(win, "id", "left_anti").localCheckpoint(eager=True)
+        owned.append(unc)
+    if unc.limit(1).count() != 0:
+        raise RuntimeError(
+            f"greedy_coloring: uncolored vertices remain after max_rounds="
+            f"{max_rounds} — returning would be a partial coloring"
+        )
+    result = colored.select("id", F.col("color").cast("int").alias("color"))
+    result = result.localCheckpoint(eager=True)
+    for df in owned:
+        unpersist_checkpoint(df)
+    return result
+
+
+def greedy_coloring_sql(rounds: int, max_colors: int = 63, edges_table: str = "edges") -> str:
+    """DuckDB twin over the ``edges_table`` CTE — fixed portable-hash
+    priorities, ``rounds`` unrolled Jones–Plassmann rounds, mex via a
+    generate_series anti-join bounded by ``max_colors`` (greedy colors
+    never exceed max degree; the gate graph uses far fewer)."""
+    pri = lambda col: md5_long_sql(f"'color:' || CAST({col} AS VARCHAR)")  # noqa: E731
+    parts = [
+        f"""csym AS MATERIALIZED (
+    SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM {edges_table} WHERE src <> dst
+        UNION ALL SELECT dst, src FROM {edges_table} WHERE src <> dst
+    )
+)""",
+        f"""call AS (
+    SELECT DISTINCT id FROM (
+        SELECT src AS id FROM {edges_table} UNION ALL SELECT dst FROM {edges_table}
+    )
+)""",
+        f"""gs AS (SELECT UNNEST(generate_series(0, {max_colors})) AS c)""",
+        """clive0 AS MATERIALIZED (SELECT src, dst FROM csym)""",
+        """cunc0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM csym)""",
+        """colored0 AS (
+    SELECT id, 0 AS color FROM call
+    WHERE id NOT IN (SELECT src FROM csym)
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""cnm{r} AS MATERIALIZED (
+    SELECT src, MIN(ROW({pri("dst")}, dst)) AS nmin
+    FROM clive{r - 1} GROUP BY src
+),
+cwin{r} AS MATERIALIZED (
+    SELECT src AS id FROM cnm{r}
+    WHERE ROW({pri("src")}, src) < nmin
+    UNION
+    SELECT id FROM cunc{r - 1}
+    WHERE id NOT IN (SELECT src FROM clive{r - 1})
+),
+cused{r} AS (
+    SELECT e.src AS id, col.color
+    FROM csym e
+    JOIN cwin{r} w ON e.src = w.id
+    JOIN colored{r - 1} col ON col.id = e.dst
+),
+cmex{r} AS MATERIALIZED (
+    SELECT w.id, MIN(g.c) AS color
+    FROM cwin{r} w
+    CROSS JOIN gs g
+    LEFT JOIN cused{r} u ON u.id = w.id AND u.color = g.c
+    WHERE u.id IS NULL
+    GROUP BY w.id
+),
+colored{r} AS MATERIALIZED (
+    SELECT id, color FROM colored{r - 1}
+    UNION ALL SELECT id, color FROM cmex{r}
+),
+clive{r} AS MATERIALIZED (
+    SELECT src, dst FROM clive{r - 1}
+    WHERE src NOT IN (SELECT id FROM cwin{r})
+      AND dst NOT IN (SELECT id FROM cwin{r})
+),
+cunc{r} AS MATERIALIZED (
+    SELECT id FROM cunc{r - 1}
+    WHERE id NOT IN (SELECT id FROM cwin{r})
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, color::INT AS color FROM colored{rounds}"
+    )
+
+
 def maximal_independent_set_sql(rounds: int) -> str:
     """DuckDB twin over the `edges` CTE — same priorities, ``rounds``
     unrolled Luby rounds (the gate graph exhausts well within)."""

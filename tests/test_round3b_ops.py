@@ -305,3 +305,44 @@ def test_stream_pagerank_mass_and_determinism(spark):
     # plain-power recurrence's few-step dangling leak of 1
     assert abs(sum(a.values()) - 1.0) < 0.2
     assert all(v >= 0 for v in a.values())
+
+
+def test_greedy_coloring_proper_and_deterministic(spark):
+    from sbm_communitydetection_spark.operators.mis import greedy_coloring
+
+    # 5-cycle plus a pendant and a self-loop-only vertex
+    pairs = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (2, 5), (6, 6)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in pairs], "src long, dst long, weight long"
+    )
+    got = {r.id: r.color for r in greedy_coloring(spark, edges).collect()}
+    assert set(got) == set(range(7))  # every vertex colored, incl. self-loop-only
+    for a, b in pairs:
+        if a != b:
+            assert got[a] != got[b], f"monochromatic edge {a}-{b}"
+    assert got[6] == 0  # unconstrained vertex takes color 0
+    # odd cycle needs 3 colors; greedy mex keeps the palette dense
+    assert max(got.values()) >= 2
+    again = {r.id: r.color for r in greedy_coloring(spark, edges).collect()}
+    assert again == got
+
+
+def test_greedy_coloring_two_vertex_edge(spark):
+    # regression: the loser of the only edge must still get colored after
+    # its neighborhood empties (vacuous-winner path)
+    from sbm_communitydetection_spark.operators.mis import greedy_coloring
+
+    edges = spark.createDataFrame([(10, 20, 1)], "src long, dst long, weight long")
+    got = {r.id: r.color for r in greedy_coloring(spark, edges).collect()}
+    assert set(got) == {10, 20} and sorted(got.values()) == [0, 1]
+
+
+def test_greedy_coloring_raises_on_round_cap(spark):
+    from sbm_communitydetection_spark.operators.mis import greedy_coloring
+
+    # a 6-path has decreasing-priority chains; max_rounds=1 cannot finish
+    edges = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(6)], "src long, dst long, weight long"
+    )
+    with pytest.raises(RuntimeError, match="uncolored vertices remain"):
+        greedy_coloring(spark, edges, max_rounds=1)
