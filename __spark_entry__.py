@@ -1697,7 +1697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,  # weighted k-sample (new r3)
         # (a) implementation changed this round (ADVICE/VERDICT fixes)
         "conv_influence": _q_conv_influence,  # left-join rank fix (ADVICE)
-        "conv_keep_topk": _q_conv_keep_topk,  # downstream of conv_influence
         "actor_scc": _q_actor_scc,  # SCC frontier-delta + convergence guard
         "seeded_lpa": _q_seeded_lpa,  # frozen-seed expansion (new r3)
         # (b) never driver-checked (r2 CORRECTNESS window ended at 50)
@@ -1728,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _q_ivf_topk,
         # training-data pipeline: text analysis + multimodal plumbing
         "multimodal_features": _q_multimodal_features,
+        "conv_keep_topk": _q_conv_keep_topk,  # downstream of conv_influence (rotated out of the 50-window: r02-green, its upstream fix is in-window)
         # (c) headline perf canaries — CC contraction + PR crossover work
         # lands this round; keep their correctness under the hard signal
         # ---------------- driver window (50) ends here ----------------
