@@ -41,6 +41,9 @@ from sbm_communitydetection_spark.operators.walks import (  # noqa: E402
     random_walks_sql as _walks_sql,
     node2vec_walks_sql as _n2v_sql,
 )
+from sbm_communitydetection_spark.textops.similarity import (  # noqa: E402
+    embedding_covariance_sql as _cov_sql,
+)
 from sbm_communitydetection_spark.operators.mis import (  # noqa: E402
     greedy_coloring_sql as _coloring_sql,
     maximal_independent_set_sql as _mis_sql,
@@ -368,6 +371,15 @@ def _q_mis(spark, sf_dir):
     return maximal_independent_set(
         spark, lineitem_edges(spark, sf_dir), max_rounds=MIS_ROUNDS
     )
+
+
+def _q_embedding_covariance(spark, sf_dir):
+    """Population covariance of the embedding column (upper triangle) —
+    the PCA/whitening primitive; engine side ships batch-partial Grams
+    (one Arrow pass, d^2-bounded shuffle), oracle expands pairs."""
+    from sbm_communitydetection_spark.textops.similarity import embedding_covariance
+
+    return embedding_covariance(_embs(spark, sf_dir))
 
 
 COLOR_ROUNDS = 24
@@ -1664,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
         "greedy_coloring": _q_coloring,  # Jones–Plassmann, new this session
+        "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -1907,6 +1920,7 @@ FROM deg GROUP BY bucket""",
         + ",\n"
         + _n2v_sql(WALK_START_MOD, WALKS_PER_VERTEX, WALK_LENGTH),
         "maximal_independent_set": edges_cte + ",\n" + _mis_sql(MIS_ROUNDS),
+        "embedding_covariance": _cov_sql(),
         "greedy_coloring": edges_cte
         + f""",
 sedges AS (

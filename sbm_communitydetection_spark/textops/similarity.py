@@ -460,3 +460,93 @@ def semdedup_sql(
            COALESCE(best.nn_cos, 0.0) >= {threshold} AS is_dup
     FROM w LEFT JOIN best ON w.vec_id = best.vec_id
     """
+
+
+COV_DIM = IVF_DIM
+
+
+def embedding_covariance(embs: DataFrame, dim: int = COV_DIM) -> DataFrame:
+    """(i, j, cov) — population covariance matrix of the embedding
+    column, upper triangle (i ≤ j): the PCA / whitening / Mahalanobis
+    primitive for embedding curation.
+
+    Scale design: one `mapInPandas` pass emits a PARTIAL d×d Gram
+    (X^T X), per-dimension sums, and a row count per Arrow batch —
+    d(d+1)/2 + d + 1 rows each, independent of batch size — so the
+    only exchange is the (i, j)-keyed sum of those partials
+    (map-side-combine shaped, like the multimodal kernels,
+    textops/multimodal.py:57).  At 10^12 rows the shuffled volume is
+    #partitions × d², never row-proportional.  The mean adjustment
+    cov = Sxx/n − mean_i·mean_j happens on the aggregated d²-scale
+    table (driver-trivial joins).  No reference analogue (north-star
+    training-data pipeline scope).
+    """
+    import numpy as np
+    import pandas as pd
+
+    iu, ju = np.triu_indices(dim)
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            gram = x.T @ x
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(dim), [-1]]).astype(np.int32),
+                    "j": np.concatenate([ju, np.full(dim, -1), [-1]]).astype(np.int32),
+                    "s": np.concatenate([gram[iu, ju], x.sum(axis=0), [float(len(x))]]),
+                }
+            )
+
+    moments = (
+        embs.select("embedding")
+        .mapInPandas(partials, "i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+    n = moments.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    means = moments.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("mi"), F.col("s").alias("sx")
+    )
+    return (
+        moments.filter(F.col("j") >= 0)
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(means.select(F.col("mi").alias("i"), F.col("sx").alias("sxi"))), "i")
+        .join(F.broadcast(means.select(F.col("mi").alias("j"), F.col("sx").alias("sxj"))), "j")
+        .select(
+            "i",
+            "j",
+            (F.col("s") / F.col("n") - (F.col("sxi") / F.col("n")) * (F.col("sxj") / F.col("n"))).alias(
+                "cov"
+            ),
+        )
+    )
+
+
+def embedding_covariance_sql(table: str = "embeddings", dim: int = COV_DIM) -> str:
+    """DuckDB twin: cross-join index expansion + pair products.  The
+    quadratic-per-row expansion is oracle-only; the engine side ships
+    partial Grams (see embedding_covariance)."""
+    return f"""
+    WITH idx AS (SELECT UNNEST(generate_series(0, {dim - 1})) AS i),
+    ex AS (
+        SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        FROM {table}, idx
+    ),
+    nrows AS (SELECT COUNT(*)::DOUBLE AS n FROM {table}),
+    means AS (SELECT i, SUM(x) AS sx FROM ex GROUP BY i),
+    pairs AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxx
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    )
+    SELECT p.i::INT AS i, p.j::INT AS j,
+           (p.sxx / n - (mi.sx / n) * (mj.sx / n)) AS cov
+    FROM pairs p, nrows
+    JOIN means mi ON mi.i = p.i
+    JOIN means mj ON mj.i = p.j
+    """

@@ -346,3 +346,22 @@ def test_greedy_coloring_raises_on_round_cap(spark):
     )
     with pytest.raises(RuntimeError, match="uncolored vertices remain"):
         greedy_coloring(spark, edges, max_rounds=1)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from sbm_communitydetection_spark.textops.similarity import embedding_covariance
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(40, 5)).astype(np.float32)
+    embs = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)  # partial Grams must fold correctly across partitions
+    got = {(r.i, r.j): r.cov for r in embedding_covariance(embs, dim=5).collect()}
+    want = np.cov(x.astype(np.float64), rowvar=False, bias=True)
+    assert len(got) == 15  # upper triangle of 5x5
+    for (i, j), v in got.items():
+        assert i <= j
+        assert abs(v - want[i, j]) < 1e-9, (i, j, v, want[i, j])
