@@ -382,6 +382,30 @@ def _q_embedding_covariance(spark, sf_dir):
     return embedding_covariance(_embs(spark, sf_dir))
 
 
+STREAM_TRI_BOUNDS = [200, 400, 600, 800, 1001]
+
+
+def _q_stream_triangles(spark, sf_dir):
+    """Incremental triangle maintenance over 5 cumulative batches; every
+    batch's count must equal a full recount of the prefix (the oracle
+    recounts, the engine only folds the delta)."""
+    from sbm_communitydetection_spark.streaming.stream_driver import stream_triangles
+    from sbm_communitydetection_spark.textops.portable import md5_long
+
+    edges = lineitem_edges(spark, sf_dir).withColumn(
+        "edge_seq",
+        md5_long(
+            F.concat_ws(
+                ":",
+                F.least("src", "dst").cast("string"),
+                F.greatest("src", "dst").cast("string"),
+            )
+        )
+        % 1000,
+    )
+    return stream_triangles(spark, edges, STREAM_TRI_BOUNDS)
+
+
 COLOR_ROUNDS = 24
 COLOR_SAMPLE_PERMILLE = 30
 
@@ -1677,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the rows-only checks for the composite drivers
         "greedy_coloring": _q_coloring,  # Jones–Plassmann, new this session
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session
+        "stream_triangles": _q_stream_triangles,  # incremental == full recount per batch
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -1921,6 +1946,7 @@ FROM deg GROUP BY bucket""",
         + _n2v_sql(WALK_START_MOD, WALKS_PER_VERTEX, WALK_LENGTH),
         "maximal_independent_set": edges_cte + ",\n" + _mis_sql(MIS_ROUNDS),
         "embedding_covariance": _cov_sql(),
+        "stream_triangles": edges_cte + ",\n" + O.stream_triangles_sql(STREAM_TRI_BOUNDS, """CAST(concat('0x', substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"""),
         "greedy_coloring": edges_cte
         + f""",
 sedges AS (

@@ -917,3 +917,35 @@ FROM ocomp o
 JOIN ccomp c0 ON c0.id = 2 * o.id
 JOIN ccomp c1 ON c1.id = 2 * o.id + 1
 GROUP BY o.component"""
+
+
+def stream_triangles_sql(boundaries: list[int], seq_expr: str) -> str:
+    """Per-batch cumulative triangle counts over the `edges` CTE:
+    full recount per prefix (the incremental Spark fold must equal it
+    batch by batch).  ``seq_expr`` is the canonical undirected edge_seq
+    SQL expression over columns a/b."""
+    parts = [
+        f"""sq AS MATERIALIZED (
+    SELECT a, b, {seq_expr} AS sq FROM (
+        SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM edges WHERE src <> dst
+    )
+)"""
+    ]
+    selects = []
+    for k, bound in enumerate(boundaries):
+        parts.append(
+            f"""p{k} AS MATERIALIZED (SELECT a, b FROM sq WHERE sq < {bound}),
+t{k} AS (
+    SELECT COUNT(*)::BIGINT AS triangles
+    FROM p{k} p1 JOIN p{k} p2 ON p1.b = p2.a
+    JOIN p{k} p3 ON p3.a = p1.a AND p3.b = p2.b
+)"""
+        )
+        selects.append(f"SELECT {k} AS batch_id, triangles FROM t{k}")
+    return (
+        ",\n".join(parts)
+        + "\nSELECT batch_id::INT AS batch_id, triangles FROM ("
+        + "\nUNION ALL\n".join(selects)
+        + ")"
+    )

@@ -365,3 +365,22 @@ def test_embedding_covariance_matches_numpy(spark):
     for (i, j), v in got.items():
         assert i <= j
         assert abs(v - want[i, j]) < 1e-9, (i, j, v, want[i, j])
+
+
+def test_stream_triangles_incremental_exact(spark):
+    from sbm_communitydetection_spark.streaming.stream_driver import stream_triangles
+
+    # batch 0 (seq<10): wedge 1-2, 2-3          -> 0 triangles
+    # batch 1 (seq<20): closes 1-3; adds 4-5    -> 1 triangle (1 new edge)
+    # batch 2 (seq<30): 4-6 and 5-6 arrive together -> closes 4-5-6 (2 new
+    #   edges) AND 7-8, 8-9, 7-9 all new        -> 3-new-edge triangle
+    rows = [
+        (1, 2, 0), (2, 3, 1),
+        (1, 3, 10), (4, 5, 11),
+        (4, 6, 20), (5, 6, 21), (7, 8, 22), (8, 9, 23), (7, 9, 24),
+        (9, 9, 25),  # self-loop ignored
+        (3, 1, 12),  # duplicate (reversed) of an earlier edge
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, edge_seq long")
+    got = {r.batch_id: r.triangles for r in stream_triangles(spark, edges, [10, 20, 30]).collect()}
+    assert got == {0: 0, 1: 1, 2: 3}
