@@ -550,3 +550,70 @@ def embedding_covariance_sql(table: str = "embeddings", dim: int = COV_DIM) -> s
     JOIN means mi ON mi.i = p.i
     JOIN means mj ON mj.i = p.j
     """
+
+
+OUTLIER_Z = 3.0
+
+
+def embedding_outliers(embs: DataFrame, z_threshold: float = OUTLIER_Z, dim: int = COV_DIM) -> DataFrame:
+    """(vec_id, max_z, is_outlier) — per-dimension z-score screening for
+    embedding curation: a vector is an outlier when any coordinate sits
+    more than ``z_threshold`` population standard deviations from that
+    coordinate's corpus mean.  The cheap pre-filter before the
+    quadratic/ANN stages of the dedup pipeline (broken encoders and
+    truncated vectors show up as coordinate blowouts).
+
+    Scale: per-dim mean/std is one posexplode + (dim)-keyed aggregate
+    (d·rows exploded, but the aggregate is map-side-combinable and the
+    result is d rows); scoring joins the d-row stats table back via
+    broadcast and folds max|z| JVM-side (zip_with + aggregate) — no
+    Python, no second shuffle.  z-scores are rounded to 6 decimals
+    BEFORE thresholding in both engines so float summation order cannot
+    flip the flag."""
+    ex = embs.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("i", "x")
+    ).select("vec_id", "i", F.col("x").cast("double").alias("x"))
+    stats = ex.groupBy("i").agg(
+        F.avg("x").alias("mu"),
+        F.sqrt(F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x")).alias("sigma"),
+    )
+    scored = (
+        ex.join(F.broadcast(stats), "i")
+        .select(
+            "vec_id",
+            F.round(
+                F.abs(F.col("x") - F.col("mu"))
+                / F.when(F.col("sigma") > 0, F.col("sigma")).otherwise(F.lit(1.0)),
+                6,
+            ).alias("z"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("z").alias("max_z"))
+    )
+    return scored.select(
+        "vec_id", "max_z", (F.col("max_z") > z_threshold).alias("is_outlier")
+    )
+
+
+def embedding_outliers_sql(
+    table: str = "embeddings", z_threshold: float = OUTLIER_Z, dim: int = COV_DIM
+) -> str:
+    return f"""
+    WITH idx AS (SELECT UNNEST(generate_series(0, {dim - 1})) AS i),
+    ex AS (
+        SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        FROM {table}, idx
+    ),
+    stats AS (
+        SELECT i, AVG(x) AS mu,
+               sqrt(AVG(x * x) - AVG(x) * AVG(x)) AS sigma
+        FROM ex GROUP BY i
+    ),
+    scored AS (
+        SELECT vec_id,
+               MAX(ROUND(ABS(x - mu) / (CASE WHEN sigma > 0 THEN sigma ELSE 1.0 END), 6)) AS max_z
+        FROM ex JOIN stats USING (i)
+        GROUP BY vec_id
+    )
+    SELECT vec_id, max_z, max_z > {z_threshold} AS is_outlier FROM scored
+    """

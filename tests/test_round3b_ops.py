@@ -384,3 +384,17 @@ def test_stream_triangles_incremental_exact(spark):
     edges = spark.createDataFrame(rows, "src long, dst long, edge_seq long")
     got = {r.batch_id: r.triangles for r in stream_triangles(spark, edges, [10, 20, 30]).collect()}
     assert got == {0: 0, 1: 1, 2: 3}
+
+
+def test_embedding_outliers_flags_blowout(spark):
+    from sbm_communitydetection_spark.textops.similarity import embedding_outliers
+
+    # 20 tight vectors + one with a blown-out coordinate
+    rows = [(i, [0.1 * (i % 3), 1.0, -0.5]) for i in range(20)]
+    rows.append((99, [50.0, 1.0, -0.5]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: (r.max_z, r.is_outlier) for r in embedding_outliers(embs, dim=3).collect()}
+    assert got[99][1] is True
+    assert sum(1 for z, o in got.values() if o) == 1  # only the blowout
+    # constant dimensions (sigma=0) must not divide by zero
+    assert all(z == z for z, _ in got.values())  # no NaN
