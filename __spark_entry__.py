@@ -44,6 +44,7 @@ from sbm_communitydetection_spark.operators.walks import (  # noqa: E402
 from sbm_communitydetection_spark.textops.similarity import (  # noqa: E402
     embedding_covariance_sql as _cov_sql,
     embedding_outliers_sql as _outliers_sql,
+    pca_top_component_sql as _pca_sql,
 )
 from sbm_communitydetection_spark.operators.mis import (  # noqa: E402
     greedy_coloring_sql as _coloring_sql,
@@ -390,6 +391,15 @@ def _q_embedding_outliers(spark, sf_dir):
     from sbm_communitydetection_spark.textops.similarity import embedding_outliers
 
     return embedding_outliers(_embs(spark, sf_dir))
+
+
+def _q_pca_top_component(spark, sf_dir):
+    """Top principal component via fixed power iteration on the
+    partial-Gram covariance — identical unrolled arithmetic both sides,
+    loadings rounded to 6 decimals at the end only."""
+    from sbm_communitydetection_spark.textops.similarity import pca_top_component
+
+    return pca_top_component(_embs(spark, sf_dir))
 
 
 STREAM_TRI_BOUNDS = [200, 400, 600, 800, 1001]
@@ -1713,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session
         "stream_triangles": _q_stream_triangles,  # incremental == full recount per batch
         "embedding_outliers": _q_embedding_outliers,  # z-score pre-filter, new this session
+        "pca_top_component": _q_pca_top_component,  # unrolled power iteration, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -1958,6 +1969,7 @@ FROM deg GROUP BY bucket""",
         "maximal_independent_set": edges_cte + ",\n" + _mis_sql(MIS_ROUNDS),
         "embedding_covariance": _cov_sql(),
         "embedding_outliers": _outliers_sql(),
+        "pca_top_component": _pca_sql(),
         "stream_triangles": edges_cte + ",\n" + O.stream_triangles_sql(STREAM_TRI_BOUNDS, """CAST(concat('0x', substr(md5(CAST(a AS VARCHAR) || ':' || CAST(b AS VARCHAR)), 1, 15)) AS BIGINT) % 1000"""),
         "greedy_coloring": edges_cte
         + f""",

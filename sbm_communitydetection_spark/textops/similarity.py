@@ -617,3 +617,107 @@ def embedding_outliers_sql(
     )
     SELECT vec_id, max_z, max_z > {z_threshold} AS is_outlier FROM scored
     """
+
+
+PCA_ITERS = 12
+
+
+def pca_top_component(
+    embs: DataFrame, iters: int = PCA_ITERS, dim: int = COV_DIM
+) -> DataFrame:
+    """(i, loading) — the top principal component of the embedding
+    corpus via ``iters`` fixed power-iteration steps on the population
+    covariance (from :func:`embedding_covariance`, so the corpus-scale
+    work is the single partial-Gram pass; everything after runs on the
+    d²-row aggregate).  Fixed iteration count — not convergence-gated —
+    so the unrolled DuckDB twin replays identical arithmetic.  Sign
+    convention: the loading of largest magnitude (smallest index on
+    ties) is made positive.  Loadings are rounded to 6 decimals at the
+    END only, matching the twin."""
+    from ..plans.iterate import unpersist_checkpoint
+
+    cov = embedding_covariance(embs, dim=dim)
+    full = cov.unionByName(
+        cov.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    ).localCheckpoint(eager=True)
+    spark = embs.sparkSession
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("j"), F.lit(1.0 / dim**0.5).alias("v")
+    )
+    for _ in range(iters):
+        w = (
+            full.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("cov") * F.col("v")).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), (F.col("w") / F.col("nrm")).alias("v")
+        )
+        v = v.localCheckpoint(eager=True)
+    ref = v.orderBy(F.abs(F.col("v")).desc(), F.col("j").asc()).limit(1).select(
+        F.when(F.col("v") >= 0, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("sgn")
+    )
+    out = v.crossJoin(F.broadcast(ref)).select(
+        F.col("j").alias("i"), F.round(F.col("v") * F.col("sgn"), 6).alias("loading")
+    )
+    unpersist_checkpoint(full)
+    return out
+
+
+def pca_top_component_sql(
+    table: str = "embeddings", iters: int = PCA_ITERS, dim: int = COV_DIM
+) -> str:
+    """DuckDB twin: the covariance pair expansion + ``iters`` unrolled
+    power-iteration steps + the same sign convention."""
+    parts = [
+        f"""idx AS (SELECT UNNEST(generate_series(0, {dim - 1})) AS i),
+    ex AS (
+        SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+        FROM {table}, idx
+    ),
+    nrows AS (SELECT COUNT(*)::DOUBLE AS n FROM {table}),
+    means AS (SELECT i, SUM(x) AS sx FROM ex GROUP BY i),
+    pairsu AS (
+        SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxx
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ),
+    covu AS (
+        SELECT p.i, p.j, (p.sxx / n - (mi.sx / n) * (mj.sx / n)) AS cov
+        FROM pairsu p, nrows
+        JOIN means mi ON mi.i = p.i
+        JOIN means mj ON mj.i = p.j
+    ),
+    cfull AS MATERIALIZED (
+        SELECT i, j, cov FROM covu
+        UNION ALL
+        SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+    ),
+    v0 AS (SELECT i AS j, 1.0 / sqrt({dim}.0) AS v FROM idx)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""w{t} AS MATERIALIZED (
+        SELECT c.i, SUM(c.cov * v.v) AS w
+        FROM cfull c JOIN v{t - 1} v ON c.j = v.j
+        GROUP BY c.i
+    ),
+    n{t} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{t}),
+    v{t} AS MATERIALIZED (
+        SELECT i AS j, w / nrm AS v FROM w{t}, n{t}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    sgn AS (
+        SELECT CASE WHEN v >= 0 THEN 1.0 ELSE -1.0 END AS sgn
+        FROM v{iters} ORDER BY ABS(v) DESC, j ASC LIMIT 1
+    )
+    SELECT j::INT AS i, ROUND(v * sgn, 6) AS loading FROM v{iters}, sgn
+    """
+    )

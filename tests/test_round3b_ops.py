@@ -398,3 +398,23 @@ def test_embedding_outliers_flags_blowout(spark):
     assert sum(1 for z, o in got.values() if o) == 1  # only the blowout
     # constant dimensions (sigma=0) must not divide by zero
     assert all(z == z for z, _ in got.values())  # no NaN
+
+
+def test_pca_top_component_dominant_axis(spark):
+    import numpy as np
+
+    from sbm_communitydetection_spark.textops.similarity import pca_top_component
+
+    rng = np.random.default_rng(3)
+    # variance 25 along axis 1, ~1 elsewhere -> top component ~ e_1
+    x = rng.normal(size=(60, 4))
+    x[:, 1] *= 5.0
+    embs = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.i: r.loading for r in pca_top_component(embs, dim=4).collect()}
+    assert len(got) == 4
+    assert abs(got[1]) > 0.95  # dominant axis carries the loading
+    assert abs(sum(v * v for v in got.values()) - 1.0) < 1e-3  # unit norm
+    assert got[1] > 0  # sign convention: largest-|loading| entry positive
