@@ -1664,6 +1664,13 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_quality_lr_score(spark, sf_dir):
+    """Inference side of the quality classifier: fitted weights come
+    back as one driver row, scoring rides the scan as a pure per-row
+    expression; p rounded to 6 dp before the keep threshold."""
+    return TA.quality_lr_score(_docs(spark, sf_dir))
+
+
 def _q_corpus_stats(spark, sf_dir):
     """One-row corpus health card (Zipf slope, hapax share, top1 mass)."""
     return TA.corpus_stats(_docs(spark, sf_dir))
@@ -1781,6 +1788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_keep_list": _q_curation_keep_list,  # quality × dedup × sampling decision
         "simhash_banded_dup_pairs": _q_simhash_banded_pairs,
         "decontamination_flags": _q_decontamination,  # eval-set n-gram hygiene
+        "quality_lr_score": _q_quality_lr_score,  # classifier inference, new this session
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session  # rotated past the window: transitively evidenced by pca_top_component
         "canonical_relabel": _q_canonical_relabel,  # C4 (judge r3 wishlist)  # rotated past the window: r1-driver-green AND judge-verified r2
         # training-data pipeline: similarity search
@@ -2323,6 +2331,7 @@ WITH injected AS (
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),
         "quality_lr_fit": TA.quality_lr_fit_sql(),
+        "quality_lr_score": TA.quality_lr_score_sql(),
         "cross_source_dup_matrix": TD.cross_source_dup_matrix_sql(),
         "conv_entropy": ET.conv_entropy_oracle_sql(),
         "label_centroids": TS.label_centroids_oracle_sql(),

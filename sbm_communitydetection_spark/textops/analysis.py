@@ -1128,6 +1128,74 @@ def quality_lr_fit_sql(
     )
 
 
+def quality_lr_score(
+    docs: DataFrame, iters: int = LR_ITERS, lr: float = LR_RATE
+) -> DataFrame:
+    """(doc_id, p_en, keep) — inference side of quality_lr_fit: score
+    every document with the fitted classifier.  The weights come back
+    from the fit as ONE driver-side row (scalar collect, house rule);
+    scoring is a pure per-row expression on the scan — no shuffle, no
+    Python — so the op is a single corpus pass at any scale.  p is
+    rounded to 6 decimals before the keep threshold in both engines so
+    libm exp() ulp differences cannot flip a decision."""
+    w = quality_lr_fit(docs, iters=iters, lr=lr).collect()[0]
+    z = (
+        F.lit(float(w["wb"]))
+        + F.lit(float(w["w1"])) * (F.length("text") / F.lit(100.0))
+        + F.lit(float(w["w2"])) * (F.size(words_col(F.col("text"))) / F.lit(20.0))
+    )
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select("doc_id", p.alias("p_en"), (p >= 0.5).alias("keep"))
+
+
+def quality_lr_score_sql(
+    table: str = "documents", iters: int = LR_ITERS, lr: float = LR_RATE
+) -> str:
+    """Unrolled fit (same CTE chain as quality_lr_fit_sql, with the
+    final 6-dp weight rounding the Spark side consumes) + per-doc
+    scoring."""
+    feats = f"""feats AS (
+        SELECT doc_id,
+               length(text) / 100.0 AS x1,
+               len(string_split(text, ' ')) / 20.0 AS x2,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+        FROM {table}
+    )"""
+    parts = [feats, "w0 AS (SELECT 0.0 AS wb, 0.0 AS w1, 0.0 AS w2)"]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""g{i} AS (
+        SELECT ROUND(AVG(p - y), {GRAD_ROUND}) AS gb,
+               ROUND(AVG((p - y) * x1), {GRAD_ROUND}) AS g1,
+               ROUND(AVG((p - y) * x2), {GRAD_ROUND}) AS g2
+        FROM (SELECT y, x1, x2,
+                     1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))) AS p
+              FROM feats CROSS JOIN w{i - 1} w)
+    ),
+    w{i} AS (
+        SELECT w.wb - {lr} * g.gb AS wb, w.w1 - {lr} * g.g1 AS w1,
+               w.w2 - {lr} * g.g2 AS w2
+        FROM w{i - 1} w CROSS JOIN g{i} g
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f""",
+    wfin AS (
+        SELECT ROUND(wb, 6) AS wb, ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2
+        FROM w{iters}
+    ),
+    scored AS (
+        SELECT doc_id,
+               ROUND(1.0 / (1.0 + exp(-(w.wb + w.w1 * x1 + w.w2 * x2))), 6) AS p_en
+        FROM feats CROSS JOIN wfin w
+    )
+    SELECT doc_id, p_en, p_en >= 0.5 AS keep FROM scored
+    """
+    )
+
+
 def ngram_coverage(
     docs: DataFrame, n: int = NGRAM_N, val_permille: int = 100, seed: int = 17
 ) -> DataFrame:

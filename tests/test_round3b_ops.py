@@ -418,3 +418,22 @@ def test_pca_top_component_dominant_axis(spark):
     assert abs(got[1]) > 0.95  # dominant axis carries the loading
     assert abs(sum(v * v for v in got.values()) - 1.0) < 1e-3  # unit norm
     assert got[1] > 0  # sign convention: largest-|loading| entry positive
+
+
+def test_quality_lr_score_separates_langs(spark):
+    from sbm_communitydetection_spark.textops.analysis import quality_lr_fit, quality_lr_score
+
+    rows = [(i, "the quick brown fox " * 5, "en") for i in range(30)]
+    rows += [(100 + i, "xx", "zh") for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: (r.p_en, r.keep) for r in quality_lr_score(docs).collect()}
+    assert len(got) == 60
+    en_p = [p for d, (p, _) in got.items() if d < 100]
+    zh_p = [p for d, (p, _) in got.items() if d >= 100]
+    assert min(en_p) > max(zh_p)  # longer English docs score higher
+    # keep decision is exactly the rounded-p threshold
+    for p, keep in got.values():
+        assert keep == (p >= 0.5)
+    # weights consumed by scoring are the fit's rounded outputs
+    w = quality_lr_fit(docs).collect()[0]
+    assert w["logloss"] < 0.7
