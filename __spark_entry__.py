@@ -1664,6 +1664,15 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_kmeans_lloyd(spark, sf_dir):
+    """Fully distributed Lloyd k-means (the quantizer-training scale
+    path): exploded-vector x broadcast-centroid assignment, rounded
+    distances/centroids make the trajectory twin-exact."""
+    from sbm_communitydetection_spark.textops.similarity import kmeans_lloyd
+
+    return kmeans_lloyd(_embs(spark, sf_dir))
+
+
 def _q_quality_lr_score(spark, sf_dir):
     """Inference side of the quality classifier: fitted weights come
     back as one driver row, scoring rides the scan as a pure per-row
@@ -1730,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_triangles": _q_stream_triangles,  # incremental == full recount per batch
         "embedding_outliers": _q_embedding_outliers,  # z-score pre-filter, new this session
         "pca_top_component": _q_pca_top_component,  # unrolled power iteration, new this session
+        "kmeans_lloyd": _q_kmeans_lloyd,  # distributed Lloyd, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -2332,6 +2342,7 @@ WITH injected AS (
         "corpus_stats": TA.corpus_stats_sql(),
         "quality_lr_fit": TA.quality_lr_fit_sql(),
         "quality_lr_score": TA.quality_lr_score_sql(),
+        "kmeans_lloyd": TS.kmeans_lloyd_sql(),
         "cross_source_dup_matrix": TD.cross_source_dup_matrix_sql(),
         "conv_entropy": ET.conv_entropy_oracle_sql(),
         "label_centroids": TS.label_centroids_oracle_sql(),

@@ -721,3 +721,145 @@ def pca_top_component_sql(
     SELECT j::INT AS i, ROUND(v * sgn, 6) AS loading FROM v{iters}, sgn
     """
     )
+
+
+LLOYD_CELLS = 8
+LLOYD_ITERS = 4
+
+
+def kmeans_lloyd(
+    embs: DataFrame,
+    n_cells: int = LLOYD_CELLS,
+    iters: int = LLOYD_ITERS,
+) -> DataFrame:
+    """(cell, d, c) — FULLY DISTRIBUTED Lloyd k-means over the embedding
+    corpus: the scale path for quantizer training when the sample-based
+    recipe (kmeans_centroids) can't see enough of the distribution.
+
+    Per iteration: assignment is the exploded-vector ⋈ broadcast-centroid
+    join (the _assign_cells shape — the corpus side shuffles only for the
+    (vec_id, cell) partial-aggregated distance sum), then new centroids
+    are one (cell, d)-keyed mean.  Deterministic everywhere: init = the
+    ``n_cells`` vectors with the smallest portable hash of vec_id (rank
+    order = cell id), squared distances rounded to 6 dp BEFORE argmin
+    (tie-break smaller cell), centroids rounded to 6 dp per iteration —
+    so the trajectory is bit-identical in the unrolled DuckDB twin
+    regardless of partial-aggregation order.  Empty cells keep their
+    previous centroid."""
+    from ..plans.iterate import unpersist_checkpoint
+    from .portable import md5_long
+
+    vexp = (
+        embs.select(
+            "vec_id",
+            F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))),
+        )
+        .select("vec_id", F.col("pos").alias("d"), F.col("col").alias("val"))
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        embs.select("vec_id", md5_long(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_cells)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
+            .cast("long")
+            .alias("cell"),
+        )
+    )
+    cents = (
+        seeds.join(vexp, "vec_id")
+        .select("cell", "d", F.round("val", 6).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    owned = [vexp, cents]
+    for _ in range(iters):
+        d2 = (
+            vexp.join(F.broadcast(cents), "d")
+            .groupBy("vec_id", "cell")
+            .agg(F.round(F.sum((F.col("val") - F.col("c")) ** 2), 6).alias("d2"))
+        )
+        best = (
+            d2.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+                ),
+            )
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "cell")
+        )
+        fresh = (
+            best.join(vexp, "vec_id")
+            .groupBy("cell", "d")
+            .agg(F.round(F.avg("val"), 6).alias("c_new"))
+        )
+        cents_next = (
+            cents.join(fresh, ["cell", "d"], "left")
+            .select("cell", "d", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        owned.append(cents_next)
+        cents = cents_next
+    out = cents.select("cell", "d", "c").localCheckpoint(eager=True)
+    for df in owned:
+        unpersist_checkpoint(df)
+    return out
+
+
+def kmeans_lloyd_sql(
+    table: str = "embeddings",
+    n_cells: int = LLOYD_CELLS,
+    iters: int = LLOYD_ITERS,
+    dim: int = COV_DIM,
+) -> str:
+    """DuckDB twin: identical init, assignment rounding, and per-iteration
+    centroid rounding, unrolled."""
+    from .portable import md5_long_sql
+
+    h = md5_long_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""idx AS (SELECT UNNEST(generate_series(0, {dim - 1})) AS d),
+    vexp AS MATERIALIZED (
+        SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS val
+        FROM {table}, idx
+    ),
+    seeds AS (
+        SELECT vec_id, (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::BIGINT AS cell
+        FROM (SELECT vec_id, {h} AS h FROM {table} ORDER BY h, vec_id LIMIT {n_cells})
+    ),
+    cents0 AS MATERIALIZED (
+        SELECT s.cell, v.d, ROUND(v.val, 6) AS c
+        FROM seeds s JOIN vexp v ON v.vec_id = s.vec_id
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""d2_{t} AS MATERIALIZED (
+        SELECT v.vec_id, c.cell, ROUND(SUM((v.val - c.c) * (v.val - c.c)), 6) AS d2
+        FROM vexp v JOIN cents{t - 1} c ON v.d = c.d
+        GROUP BY v.vec_id, c.cell
+    ),
+    best{t} AS MATERIALIZED (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rnk
+            FROM d2_{t}
+        ) WHERE rnk = 1
+    ),
+    fresh{t} AS (
+        SELECT b.cell, v.d, ROUND(AVG(v.val), 6) AS c_new
+        FROM best{t} b JOIN vexp v ON v.vec_id = b.vec_id
+        GROUP BY b.cell, v.d
+    ),
+    cents{t} AS MATERIALIZED (
+        SELECT c.cell, c.d, COALESCE(f.c_new, c.c) AS c
+        FROM cents{t - 1} c LEFT JOIN fresh{t} f ON f.cell = c.cell AND f.d = c.d
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT cell, d::INT AS d, c FROM cents{iters}"
+    )

@@ -437,3 +437,23 @@ def test_quality_lr_score_separates_langs(spark):
     # weights consumed by scoring are the fit's rounded outputs
     w = quality_lr_fit(docs).collect()[0]
     assert w["logloss"] < 0.7
+
+
+def test_kmeans_lloyd_recovers_separated_clusters(spark):
+    import numpy as np
+
+    from sbm_communitydetection_spark.textops.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(11)
+    # two well-separated blobs in 3d
+    a = rng.normal(0, 0.1, size=(25, 3)) + np.array([5.0, 0, 0])
+    b = rng.normal(0, 0.1, size=(25, 3)) + np.array([-5.0, 0, 0])
+    x = np.vstack([a, b])
+    embs = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = kmeans_lloyd(embs, n_cells=2, iters=5).collect()
+    assert len(cents) == 6  # 2 cells x 3 dims
+    x0 = sorted(r.c for r in cents if r.d == 0)
+    assert abs(x0[0] - (-5.0)) < 0.2 and abs(x0[1] - 5.0) < 0.2
