@@ -39,6 +39,7 @@ from sbm_communitydetection_spark.operators.kcore import (  # noqa: E402
 from sbm_communitydetection_spark.operators.walks import (  # noqa: E402
     neighbor_sample_sql as _nbrsample_sql,
     random_walks_sql as _walks_sql,
+    walk_cooccurrence_sql as _cooc_sql,
     node2vec_walks_sql as _n2v_sql,
 )
 from sbm_communitydetection_spark.textops.similarity import (  # noqa: E402
@@ -1664,6 +1665,25 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+WALK_COOC_WINDOW = 2
+
+
+def _q_walk_cooccurrence(spark, sf_dir):
+    """Skip-gram pair counts over the deterministic walk corpus —
+    embedding-training prep; lead()-based, no self-join on the engine
+    side (the oracle's banded self-join is pair-set-identical)."""
+    from sbm_communitydetection_spark.operators.walks import walk_cooccurrence
+
+    return walk_cooccurrence(
+        spark,
+        lineitem_edges(spark, sf_dir),
+        start_mod=WALK_START_MOD,
+        walks_per_vertex=WALKS_PER_VERTEX,
+        length=WALK_LENGTH,
+        window=WALK_COOC_WINDOW,
+    )
+
+
 def _q_kmeans_lloyd(spark, sf_dir):
     """Fully distributed Lloyd k-means (the quantizer-training scale
     path): exploded-vector x broadcast-centroid assignment, rounded
@@ -1740,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": _q_embedding_outliers,  # z-score pre-filter, new this session
         "pca_top_component": _q_pca_top_component,  # unrolled power iteration, new this session
         "kmeans_lloyd": _q_kmeans_lloyd,  # distributed Lloyd, new this session
+        "walk_cooccurrence": _q_walk_cooccurrence,  # skip-gram prep, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -2343,6 +2364,9 @@ WITH injected AS (
         "quality_lr_fit": TA.quality_lr_fit_sql(),
         "quality_lr_score": TA.quality_lr_score_sql(),
         "kmeans_lloyd": TS.kmeans_lloyd_sql(),
+        "walk_cooccurrence": edges_cte
+        + ",\n"
+        + _cooc_sql(WALK_START_MOD, WALKS_PER_VERTEX, WALK_LENGTH, WALK_COOC_WINDOW),
         "cross_source_dup_matrix": TD.cross_source_dup_matrix_sql(),
         "conv_entropy": ET.conv_entropy_oracle_sql(),
         "label_centroids": TS.label_centroids_oracle_sql(),

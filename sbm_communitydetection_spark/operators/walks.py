@@ -111,7 +111,9 @@ def random_walks(
     return result
 
 
-def random_walks_sql(start_mod: int, walks_per_vertex: int, length: int) -> str:
+def random_walks_sql(
+    start_mod: int, walks_per_vertex: int, length: int, as_cte: bool = False
+) -> str:
     """DuckDB twin over the `edges` CTE (same hash, same intervals)."""
     pick = md5_long_sql("s.start_id || ':' || s.walk_idx || ':' || '{step}'")
     parts = [
@@ -151,6 +153,8 @@ def random_walks_sql(start_mod: int, walks_per_vertex: int, length: int) -> str:
         f"SELECT start_id, walk_idx, {s} AS step, cur AS vertex FROM w{s}"
         for s in range(0, length + 1)
     )
+    if as_cte:
+        return ",\n".join(parts) + ",\nwalks AS (\n" + unions + "\n)"
     return ",\n".join(parts) + f"\n{unions}"
 
 
@@ -446,3 +450,63 @@ w{s} AS (
         for s in range(0, length + 1)
     )
     return ",\n".join(parts) + f"\n{unions}"
+
+
+def walk_cooccurrence(
+    spark: SparkSession,
+    edges: DataFrame,
+    start_mod: int,
+    walks_per_vertex: int,
+    length: int,
+    window: int = 2,
+) -> DataFrame:
+    """(center, context, n_pairs) — skip-gram co-occurrence counts over
+    the deterministic random-walk corpus (DeepWalk / node2vec training
+    prep, Perozzi et al. KDD 2014): every ordered pair of vertices at
+    most ``window`` steps apart in the same walk, counted over all
+    walks.  The downstream embedding trainer consumes exactly this
+    table (positive pairs + counts for negative-sampling weights).
+
+    Scale shape: NO self-join — one exchange keyed on (start_id,
+    walk_idx) feeds ``window`` lead() columns (the walk is already
+    ordered by step), pairs explode JVM-side, and the count is a
+    map-side-combinable (center, context) aggregate bounded by
+    walks × length × window rows."""
+    walks = random_walks(spark, edges, start_mod, walks_per_vertex, length)
+    w = Window.partitionBy("start_id", "walk_idx").orderBy("step")
+    leads = walks.select(
+        "vertex",
+        F.array(
+            [F.lead("vertex", o).over(w) for o in range(1, window + 1)]
+        ).alias("ctxs"),
+    )
+    fwd = leads.select(
+        F.col("vertex").alias("center"),
+        F.explode(F.filter(F.col("ctxs"), lambda c: c.isNotNull())).alias("context"),
+    )
+    pairs = fwd.unionByName(
+        fwd.select(F.col("context").alias("center"), F.col("center").alias("context"))
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+def walk_cooccurrence_sql(
+    start_mod: int, walks_per_vertex: int, length: int, window: int = 2
+) -> str:
+    """DuckDB twin: the walks CTE + a banded self-join (|Δstep| ≤ window)
+    — pair-set-identical to the lead() formulation because both only
+    pair steps that exist (truncated walks lose the same pairs)."""
+    return (
+        random_walks_sql(start_mod, walks_per_vertex, length, as_cte=True)
+        + f"""
+SELECT center, context, COUNT(*)::BIGINT AS n_pairs
+FROM (
+    SELECT a.vertex AS center, b.vertex AS context
+    FROM walks a JOIN walks b
+      ON a.start_id = b.start_id AND a.walk_idx = b.walk_idx
+     AND a.step <> b.step AND ABS(a.step - b.step) <= {window}
+)
+GROUP BY center, context"""
+    )

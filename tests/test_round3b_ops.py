@@ -457,3 +457,25 @@ def test_kmeans_lloyd_recovers_separated_clusters(spark):
     assert len(cents) == 6  # 2 cells x 3 dims
     x0 = sorted(r.c for r in cents if r.d == 0)
     assert abs(x0[0] - (-5.0)) < 0.2 and abs(x0[1] - 5.0) < 0.2
+
+
+def test_walk_cooccurrence_symmetric_and_windowed(spark):
+    from sbm_communitydetection_spark.operators.walks import walk_cooccurrence
+
+    # a directed path graph forces the walk 0->1->2->3 (single neighbor each)
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in walk_cooccurrence(
+            spark, edges, start_mod=1000000, walks_per_vertex=1, length=3, window=2
+        ).collect()
+        # start_mod huge -> only vertex 0 starts (0 % m == 0)
+    }
+    # window 2 on walk [0,1,2,3]: pairs (0,1),(0,2),(1,2),(1,3),(2,3) + mirrors
+    expect = {(0, 1), (0, 2), (1, 2), (1, 3), (2, 3)}
+    assert {(a, b) for a, b in got if a < b} == expect
+    for a, b in expect:
+        assert got[(a, b)] == got[(b, a)] == 1  # symmetric counts
+    assert (0, 3) not in got  # outside the window
