@@ -47,6 +47,9 @@ from sbm_communitydetection_spark.textops.similarity import (  # noqa: E402
     embedding_outliers_sql as _outliers_sql,
     pca_top_component_sql as _pca_sql,
 )
+from sbm_communitydetection_spark.operators.spanning import (  # noqa: E402
+    minimum_spanning_forest_sql as _msf_sql,
+)
 from sbm_communitydetection_spark.operators.mis import (  # noqa: E402
     greedy_coloring_sql as _coloring_sql,
     maximal_independent_set_sql as _mis_sql,
@@ -1665,6 +1668,17 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+MSF_ROUNDS = 4
+
+
+def _q_msf(spark, sf_dir):
+    """Boruvka minimum spanning forest — unique under the (w,a,b) total
+    order, so the unrolled twin checks the exact edge set."""
+    from sbm_communitydetection_spark.operators.spanning import minimum_spanning_forest
+
+    return minimum_spanning_forest(spark, lineitem_edges(spark, sf_dir))
+
+
 WALK_COOC_WINDOW = 2
 
 
@@ -1761,6 +1775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_top_component": _q_pca_top_component,  # unrolled power iteration, new this session
         "kmeans_lloyd": _q_kmeans_lloyd,  # distributed Lloyd, new this session
         "walk_cooccurrence": _q_walk_cooccurrence,  # skip-gram prep, new this session
+        "minimum_spanning_forest": _q_msf,  # Boruvka rounds, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -2364,6 +2379,9 @@ WITH injected AS (
         "quality_lr_fit": TA.quality_lr_fit_sql(),
         "quality_lr_score": TA.quality_lr_score_sql(),
         "kmeans_lloyd": TS.kmeans_lloyd_sql(),
+        "minimum_spanning_forest": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\n"
+        + _msf_sql(MSF_ROUNDS),
         "walk_cooccurrence": edges_cte
         + ",\n"
         + _cooc_sql(WALK_START_MOD, WALKS_PER_VERTEX, WALK_LENGTH, WALK_COOC_WINDOW),

@@ -479,3 +479,29 @@ def test_walk_cooccurrence_symmetric_and_windowed(spark):
     for a, b in expect:
         assert got[(a, b)] == got[(b, a)] == 1  # symmetric counts
     assert (0, 3) not in got  # outside the window
+
+
+def test_msf_hand_graph(spark):
+    from sbm_communitydetection_spark.operators.spanning import minimum_spanning_forest
+
+    # two components: square 0-1-2-3 with a heavy diagonal, and edge 10-11
+    rows = [
+        (0, 1, 1), (1, 2, 2), (2, 3, 1), (3, 0, 5), (0, 2, 9),
+        (10, 11, 7),
+        (1, 0, 1),  # reverse duplicate collapses
+    ]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight long")
+    got = {(r.a, r.b): r.w for r in minimum_spanning_forest(spark, edges).collect()}
+    # MSF: 0-1(1), 2-3(1), 1-2(2) for the square; 10-11(7) for the pair
+    assert got == {(0, 1): 1, (2, 3): 1, (1, 2): 2, (10, 11): 7}
+
+
+def test_msf_tie_break_unique(spark):
+    from sbm_communitydetection_spark.operators.spanning import minimum_spanning_forest
+
+    # triangle with ALL-equal weights: the (w,a,b) order keeps (0,1),(0,2)
+    edges = spark.createDataFrame(
+        [(0, 1, 3), (1, 2, 3), (0, 2, 3)], "src long, dst long, weight long"
+    )
+    got = sorted((r.a, r.b) for r in minimum_spanning_forest(spark, edges).collect())
+    assert got == [(0, 1), (0, 2)]
