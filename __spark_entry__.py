@@ -1668,6 +1668,15 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_coverage_select(spark, sf_dir):
+    """Greedy max-cover exemplar selection (facility-location recipe for
+    training-subset picking): k rounds, each one covered-set anti-join +
+    a scalar argmax; submodularity gives the (1-1/e) guarantee."""
+    from sbm_communitydetection_spark.textops.dedup import coverage_select_topk
+
+    return coverage_select_topk(_docs(spark, sf_dir))
+
+
 MSF_ROUNDS = 4
 
 
@@ -1776,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_lloyd": _q_kmeans_lloyd,  # distributed Lloyd, new this session
         "walk_cooccurrence": _q_walk_cooccurrence,  # skip-gram prep, new this session
         "minimum_spanning_forest": _q_msf,  # Boruvka rounds, new this session
+        "coverage_select_topk": _q_coverage_select,  # greedy max-cover, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -2379,6 +2389,7 @@ WITH injected AS (
         "quality_lr_fit": TA.quality_lr_fit_sql(),
         "quality_lr_score": TA.quality_lr_score_sql(),
         "kmeans_lloyd": TS.kmeans_lloyd_sql(),
+        "coverage_select_topk": TD.coverage_select_topk_sql(),
         "minimum_spanning_forest": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + _msf_sql(MSF_ROUNDS),

@@ -911,3 +911,83 @@ def cross_source_dup_matrix_sql(
     JOIN {table} db ON dup.b = db.doc_id
     GROUP BY 1, 2
     """
+
+
+COVERAGE_K = 5
+
+
+def coverage_select_topk(docs: DataFrame, k: int = COVERAGE_K, n: int = NGRAM_N) -> DataFrame:
+    """(rank, doc_id, gain) — greedy coverage-maximizing data selection
+    (the facility-location / max-cover recipe used for training-subset
+    selection): pick ``k`` documents one at a time, each the doc whose
+    DISTINCT word n-grams add the most not-yet-covered shingles
+    (tie-break: smaller doc_id).  The classic (1 − 1/e) greedy
+    guarantee applies because coverage is submodular.
+
+    Scale shape: each of the k rounds is ONE shingle-keyed anti-join
+    against the covered set (which grows by only the winner's shingles
+    per round) + one doc-keyed count; the winner is a scalar argmax
+    collect (house rule).  k is small by construction — the op selects
+    exemplars, not corpora."""
+    sh = _doc_shingles(docs, n).localCheckpoint(eager=True)
+    covered = None
+    out = []
+    for r in range(1, k + 1):
+        live = sh if covered is None else sh.join(covered, "shingle", "left_anti")
+        top = (
+            live.groupBy("doc_id")
+            .agg(F.count("*").alias("gain"))
+            .orderBy(F.desc("gain"), F.asc("doc_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        doc, gain = top[0]["doc_id"], top[0]["gain"]
+        out.append((r, doc, gain))
+        win_sh = sh.filter(F.col("doc_id") == doc).select("shingle")
+        covered = (
+            win_sh if covered is None else covered.unionByName(win_sh).distinct()
+        ).localCheckpoint(eager=True)
+    from ..plans.iterate import unpersist_checkpoint
+
+    unpersist_checkpoint(sh)
+    if covered is not None:
+        unpersist_checkpoint(covered)
+    return docs.sparkSession.createDataFrame(out, "rank int, doc_id long, gain long")
+
+
+def coverage_select_topk_sql(
+    table: str = "documents", k: int = COVERAGE_K, n: int = NGRAM_N
+) -> str:
+    """Unrolled greedy max-cover twin: per round one covered-set
+    anti-join + the same (gain DESC, doc_id ASC) argmax."""
+    parts = [
+        f"""csh AS MATERIALIZED (
+        SELECT DISTINCT doc_id, shingle
+        FROM (SELECT doc_id, unnest({shingles_sql("text", n)}) AS shingle FROM {table})
+    )""",
+        """cov0(shingle) AS (SELECT NULL::VARCHAR WHERE FALSE)""",
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""win{r} AS MATERIALIZED (
+        SELECT doc_id, COUNT(*)::BIGINT AS gain
+        FROM csh WHERE shingle NOT IN (SELECT shingle FROM cov{r - 1})
+        GROUP BY doc_id
+        ORDER BY gain DESC, doc_id ASC LIMIT 1
+    ),
+    cov{r} AS MATERIALIZED (
+        SELECT shingle FROM cov{r - 1}
+        UNION
+        SELECT s.shingle FROM csh s JOIN win{r} w ON s.doc_id = w.doc_id
+    )"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, doc_id, gain FROM win{r}" for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\nSELECT rank::INT AS rank, doc_id, gain FROM ({unions})"
+    )

@@ -505,3 +505,27 @@ def test_msf_tie_break_unique(spark):
     )
     got = sorted((r.a, r.b) for r in minimum_spanning_forest(spark, edges).collect())
     assert got == [(0, 1), (0, 2)]
+
+
+def test_coverage_select_greedy_order(spark):
+    from sbm_communitydetection_spark.textops.dedup import coverage_select_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # 4 trigrams: abc bcd cde def
+            (2, "a b c d"),          # 2, both inside doc 1's set
+            (3, "x y z w"),          # 2 fresh
+            (4, "a b c x y z"),      # abc bcx cxy xyz — 3 fresh after doc1
+        ],
+        "doc_id long, text string",
+    )
+    got = [(r.rank, r.doc_id, r.gain) for r in coverage_select_topk(docs, k=4).collect()]
+    got.sort()
+    assert got[0] == (1, 1, 4)          # doc 1 covers most first
+    assert got[1][1] == 4 and got[1][2] == 3  # then doc 4's fresh grams
+    total_gain = sum(g for _, _, g in got)
+    # every distinct trigram is covered exactly once across the greedy picks
+    from sbm_communitydetection_spark.textops.dedup import _doc_shingles
+
+    n_distinct = _doc_shingles(docs).select("shingle").distinct().count()
+    assert total_gain == n_distinct
