@@ -500,19 +500,22 @@ def embedding_covariance(embs: DataFrame, dim: int = COV_DIM) -> DataFrame:
                 }
             )
 
+    # materialize the d^2-scale aggregate ONCE — without this the three
+    # downstream readers (n / means / cov) would each re-run the corpus
+    # kernel pass (plan-guarded: test_embedding_covariance_single_exchange)
     moments = (
         embs.select("embedding")
         .mapInPandas(partials, "i int, j int, s double")
         .groupBy("i", "j")
         .agg(F.sum("s").alias("s"))
-    )
+    ).localCheckpoint(eager=True)
     n = moments.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("s").alias("n")
     )
     means = moments.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
         F.col("i").alias("mi"), F.col("s").alias("sx")
     )
-    return (
+    out = (
         moments.filter(F.col("j") >= 0)
         .crossJoin(F.broadcast(n))
         .join(F.broadcast(means.select(F.col("mi").alias("i"), F.col("sx").alias("sxi"))), "i")
@@ -525,6 +528,9 @@ def embedding_covariance(embs: DataFrame, dim: int = COV_DIM) -> DataFrame:
             ),
         )
     )
+    # moments' checkpoint blocks are GC-managed: `out` references them,
+    # and they are d^2-scale — negligible
+    return out
 
 
 def embedding_covariance_sql(table: str = "embeddings", dim: int = COV_DIM) -> str:

@@ -268,3 +268,78 @@ def test_tool_chains_two_exchanges(spark):
         "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
     )
     assert physical_exchange_count(tool_chains(t, n=4)) == 2
+
+
+def test_embedding_covariance_single_exchange(spark):
+    # the partial-Gram kernel's only shuffle is the (i, j)-keyed sum of
+    # per-batch partials; the final mean-adjustment joins must broadcast
+    # (d- and 1-row sides), adding no hash exchange.
+    from sbm_communitydetection_spark.textops.similarity import embedding_covariance
+
+    embs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(i) for i in range(4)]).cast("array<float>").alias("embedding"),
+    )
+    plan = embedding_covariance(embs, dim=4)
+    pstr = plan._jdf.queryExecution().executedPlan().toString()
+    # the corpus kernel pass happened ONCE, at the moments checkpoint —
+    # the downstream plan reads the materialized d^2-row aggregate and
+    # must contain no Arrow kernel and no hash exchange at all
+    assert "MapInPandas" not in pstr
+    assert physical_exchange_count(plan) == 0
+    assert "BroadcastHashJoin" in pstr  # the d-row stats sides broadcast
+
+
+def test_kmeans_lloyd_assignment_broadcasts_centroids(spark):
+    # the corpus side must never shuffle for assignment: the k x d
+    # centroid table rides a broadcast join.
+    from sbm_communitydetection_spark.textops.similarity import kmeans_lloyd
+
+    embs = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(i) for i in range(3)]).cast("array<float>").alias("embedding"),
+    )
+    out = kmeans_lloyd(embs, n_cells=2, iters=1)
+    assert out.count() == 6  # smoke: ran through; broadcast asserted below
+    # recompile one assignment round explicitly to inspect the plan
+    vexp = embs.select(
+        "vec_id", F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double")))
+    ).select("vec_id", F.col("pos").alias("d"), F.col("col").alias("val"))
+    cents = out
+    d2 = (
+        vexp.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum((F.col("val") - F.col("c")) ** 2).alias("d2"))
+    )
+    pstr = d2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in pstr
+    assert "SortMergeJoin" not in pstr  # the corpus side never sorts/shuffles to assign
+    assert physical_exchange_count(d2) <= 1  # at most the (vec_id, cell) agg
+
+
+def test_walk_cooccurrence_no_self_join(spark):
+    # the engine side pairs steps via window lead() — the compiled plan
+    # must contain NO join at all downstream of the walk table.
+    from pyspark.sql import Window
+
+    walks = spark.range(1000).select(
+        (F.col("id") % 50).alias("start_id"),
+        (F.col("id") % 3).alias("walk_idx"),
+        (F.col("id") % 7).alias("step"),
+        F.xxhash64("id").alias("vertex"),
+    )
+    w = Window.partitionBy("start_id", "walk_idx").orderBy("step")
+    leads = walks.select(
+        "vertex",
+        F.array([F.lead("vertex", o).over(w) for o in (1, 2)]).alias("ctxs"),
+    )
+    fwd = leads.select(
+        F.col("vertex").alias("center"),
+        F.explode(F.filter(F.col("ctxs"), lambda c: c.isNotNull())).alias("context"),
+    )
+    pairs = fwd.unionByName(
+        fwd.select(F.col("context").alias("center"), F.col("center").alias("context"))
+    )
+    plan = pairs.groupBy("center", "context").agg(F.count("*").alias("n_pairs"))
+    pstr = plan._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in pstr
