@@ -47,6 +47,9 @@ from sbm_communitydetection_spark.textops.similarity import (  # noqa: E402
     embedding_outliers_sql as _outliers_sql,
     pca_top_component_sql as _pca_sql,
 )
+from sbm_communitydetection_spark.operators.triangles import (  # noqa: E402
+    edge_embeddedness_sql as _edge_emb_sql,
+)
 from sbm_communitydetection_spark.operators.spanning import (  # noqa: E402
     minimum_spanning_forest_sql as _msf_sql,
 )
@@ -1668,6 +1671,14 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_edge_embeddedness(spark, sf_dir):
+    """Per-edge embeddedness (common neighbors + neighborhood Jaccard)
+    — the weak-tie / bridge-detection metric card at edge granularity."""
+    from sbm_communitydetection_spark.operators.triangles import edge_embeddedness
+
+    return edge_embeddedness(lineitem_edges(spark, sf_dir))
+
+
 def _q_coverage_select(spark, sf_dir):
     """Greedy max-cover exemplar selection (facility-location recipe for
     training-subset picking): k rounds, each one covered-set anti-join +
@@ -1786,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "walk_cooccurrence": _q_walk_cooccurrence,  # skip-gram prep, new this session
         "minimum_spanning_forest": _q_msf,  # Boruvka rounds, new this session
         "coverage_select_topk": _q_coverage_select,  # greedy max-cover, new this session
+        "edge_embeddedness": _q_edge_embeddedness,  # weak-tie metric, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -2390,6 +2402,7 @@ WITH injected AS (
         "quality_lr_score": TA.quality_lr_score_sql(),
         "kmeans_lloyd": TS.kmeans_lloyd_sql(),
         "coverage_select_topk": TD.coverage_select_topk_sql(),
+        "edge_embeddedness": edges_cte + ",\n" + _edge_emb_sql(),
         "minimum_spanning_forest": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + _msf_sql(MSF_ROUNDS),

@@ -229,3 +229,95 @@ def butterfly_count_sql() -> str:
            SUM(c * (c - 1) / 2)::BIGINT AS n_butterflies
     FROM common
     """
+
+
+def edge_embeddedness(edges: DataFrame) -> DataFrame:
+    """(a, b, common, jaccard) — per-EDGE embeddedness: the number of
+    common neighbors of the edge's endpoints and the Jaccard of their
+    neighborhoods (Granovetter weak-tie analysis: embeddedness 0 edges
+    are bridges between social contexts; high-Jaccard edges are
+    intra-community).  The edge-level complement of the per-vertex
+    local clustering coefficient.
+
+    Shape: the triangle_list join shapes (oriented wedge join), then
+    one degree join per endpoint — every key is an edge endpoint, no
+    new shuffle patterns; common counts come from the canonical pair
+    table so each triangle contributes to all three of its edges.
+    jaccard is rounded to 6 dp (it is a ratio of exact longs — the
+    rounding only canonicalizes the decimal print)."""
+    pairs = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "id")
+    # common neighbors w of (a, b): w adjacent to a, and (b, w) an edge
+    wed = (
+        pairs.join(sym.select(F.col("a"), F.col("b").alias("w")), "a")
+        .filter((F.col("w") != F.col("b")))
+        .join(
+            sym.select(F.col("a").alias("b"), F.col("b").alias("w")),
+            ["b", "w"],
+            "left_semi",
+        )
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common"))
+    )
+    out = (
+        pairs.join(wed, ["a", "b"], "left")
+        .join(deg.select(F.col("id").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            "a",
+            "b",
+            F.coalesce("common", F.lit(0)).alias("common"),
+            F.round(
+                F.coalesce("common", F.lit(0))
+                / (F.col("da") + F.col("db") - F.coalesce("common", F.lit(0)) - F.lit(2)).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    # degenerate case: two vertices joined only to each other —
+    # denominator 0, define jaccard 0.0 (no third parties to share)
+    return out.select(
+        "a",
+        "b",
+        "common",
+        F.when(F.col("jaccard").isNull() | F.isnan("jaccard"), F.lit(0.0))
+        .otherwise(F.col("jaccard"))
+        .alias("jaccard"),
+    )
+
+
+def edge_embeddedness_sql() -> str:
+    """DuckDB twin over the `edges` CTE (neighborhood Jaccard excludes
+    the endpoints themselves: |N(a) ∩ N(b)| / |N(a) ∪ N(b) \\ {a,b}|)."""
+    return """epairs AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+),
+esym AS (
+    SELECT a, b FROM epairs UNION ALL SELECT b, a FROM epairs
+),
+edeg AS (SELECT a AS id, COUNT(*)::BIGINT AS deg FROM esym GROUP BY a),
+ewed AS (
+    SELECT p.a, p.b, COUNT(*)::BIGINT AS common
+    FROM epairs p
+    JOIN esym s1 ON s1.a = p.a AND s1.b <> p.b
+    JOIN esym s2 ON s2.a = p.b AND s2.b = s1.b
+    GROUP BY p.a, p.b
+)
+SELECT p.a, p.b, COALESCE(w.common, 0)::BIGINT AS common,
+       CASE WHEN da.deg + db.deg - COALESCE(w.common, 0) - 2 = 0 THEN 0.0
+            ELSE ROUND(COALESCE(w.common, 0)::DOUBLE
+                       / (da.deg + db.deg - COALESCE(w.common, 0) - 2), 6)
+       END AS jaccard
+FROM epairs p
+LEFT JOIN ewed w ON w.a = p.a AND w.b = p.b
+JOIN edeg da ON da.id = p.a
+JOIN edeg db ON db.id = p.b"""

@@ -529,3 +529,18 @@ def test_coverage_select_greedy_order(spark):
 
     n_distinct = _doc_shingles(docs).select("shingle").distinct().count()
     assert total_gain == n_distinct
+
+
+def test_edge_embeddedness_hand_graph(spark):
+    from sbm_communitydetection_spark.operators.triangles import edge_embeddedness
+
+    # triangle 0-1-2 plus a bridge 2-3
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (0, 2, 1), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    got = {(r.a, r.b): (r.common, r.jaccard) for r in edge_embeddedness(edges).collect()}
+    # N(0)={1,2} N(1)={0,2} N(2)={0,1,3} N(3)={2}
+    assert got[(0, 1)] == (1, 1.0)  # inter {2}, union minus endpoints {2}
+    assert got[(0, 2)] == (1, 0.5)
+    assert got[(1, 2)] == (1, 0.5)
+    assert got[(2, 3)] == (0, 0.0)  # the bridge: zero embeddedness
