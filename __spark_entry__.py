@@ -1671,6 +1671,12 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_chunk_windows(spark, sf_dir):
+    """Fixed-size token chunking with stride (retrieval-corpus /
+    pretraining prep) — pure per-row JVM array math, one explode."""
+    return TA.chunk_windows(_docs(spark, sf_dir))
+
+
 def _q_edge_embeddedness(spark, sf_dir):
     """Per-edge embeddedness (common neighbors + neighborhood Jaccard)
     — the weak-tie / bridge-detection metric card at edge granularity."""
@@ -1798,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minimum_spanning_forest": _q_msf,  # Boruvka rounds, new this session
         "coverage_select_topk": _q_coverage_select,  # greedy max-cover, new this session
         "edge_embeddedness": _q_edge_embeddedness,  # weak-tie metric, new this session
+        "chunk_windows": _q_chunk_windows,  # RAG/pretraining chunking, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -2403,6 +2410,7 @@ WITH injected AS (
         "kmeans_lloyd": TS.kmeans_lloyd_sql(),
         "coverage_select_topk": TD.coverage_select_topk_sql(),
         "edge_embeddedness": edges_cte + ",\n" + _edge_emb_sql(),
+        "chunk_windows": TA.chunk_windows_sql(),
         "minimum_spanning_forest": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + _msf_sql(MSF_ROUNDS),

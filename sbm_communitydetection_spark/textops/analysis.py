@@ -1257,3 +1257,82 @@ def ngram_coverage_sql(
            ROUND(covered / CAST(val_shingles AS DOUBLE), 6) AS coverage
     FROM vn, cov
     """
+
+
+CHUNK_TOKENS = 24
+CHUNK_STRIDE = 12
+
+
+def chunk_windows(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_hash) — fixed-size token
+    windows with overlap (stride < chunk_tokens), the retrieval-corpus /
+    pretraining chunking primitive: chunk i covers tokens
+    [i·stride, i·stride + chunk_tokens); the LAST chunk may be short but
+    a document never loses its tail; a doc shorter than one chunk emits
+    exactly one chunk.  chunk_hash is the 60-bit portable hash of the
+    space-rejoined token slice, so downstream exact-dedup of chunks
+    works across engines.
+
+    Scale: pure per-row JVM array math (split + slice + hash) riding the
+    scan, one explode whose fan-out is ceil(n_tokens/stride) — no
+    shuffle, no Python."""
+    from .portable import md5_long, words_col
+
+    toks = words_col(F.col("text"))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((F.col("n") - F.lit(chunk_tokens)) / F.lit(stride)) + F.lit(1)
+    ).cast("int")
+    return (
+        docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                F.col("toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+            ).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_tokens"),
+            md5_long(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+        )
+    )
+
+
+def chunk_windows_sql(
+    table: str = "documents",
+    chunk_tokens: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> str:
+    from .portable import md5_long_sql
+
+    h = md5_long_sql("array_to_string(chunk, ' ')")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        FROM {table}
+    ),
+    fan AS (
+        SELECT doc_id, t, n,
+               UNNEST(generate_series(0,
+                   GREATEST(1, CEIL((n - {chunk_tokens}) / {stride}.0)::INT + 1) - 1
+               )) AS chunk_idx
+        FROM toks
+    ),
+    sliced AS (
+        SELECT doc_id, chunk_idx,
+               t[chunk_idx * {stride} + 1 : chunk_idx * {stride} + {chunk_tokens}] AS chunk
+        FROM fan
+    )
+    SELECT doc_id, chunk_idx::INT AS chunk_idx,
+           len(chunk)::INT AS n_tokens, {h} AS chunk_hash
+    FROM sliced
+    """

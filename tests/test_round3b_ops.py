@@ -544,3 +544,27 @@ def test_edge_embeddedness_hand_graph(spark):
     assert got[(0, 2)] == (1, 0.5)
     assert got[(1, 2)] == (1, 0.5)
     assert got[(2, 3)] == (0, 0.0)  # the bridge: zero embeddedness
+
+
+def test_chunk_windows_tail_and_short_doc(spark):
+    from sbm_communitydetection_spark.textops.analysis import chunk_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(30))),  # 30 tokens
+            (2, "only three tokens"),                   # shorter than a chunk
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_idx, r.n_tokens)
+        for r in chunk_windows(docs, chunk_tokens=24, stride=12).collect()
+    )
+    # doc 1: ceil((30-24)/12)+1 = 2 chunks: [0,24) full, [12,30) -> 18 tokens
+    assert got == [(1, 0, 24), (1, 1, 18), (2, 0, 3)]
+    # overlapping region tokens shared: hashes differ per chunk
+    hashes = {
+        (r.doc_id, r.chunk_idx): r.chunk_hash
+        for r in chunk_windows(docs, chunk_tokens=24, stride=12).collect()
+    }
+    assert hashes[(1, 0)] != hashes[(1, 1)]
