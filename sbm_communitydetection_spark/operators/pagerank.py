@@ -43,6 +43,7 @@ def pagerank(
     collect_metrics: list | None = None,
     transition: DataFrame | None = None,
     reset_ids: DataFrame | None = None,
+    resume: bool = False,
 ) -> DataFrame:
     """ranks(id, rank) with Σ rank = 1.
 
@@ -216,6 +217,8 @@ def pagerank(
         step,
         max_iterations=max_iterations,
         tolerance=tolerance,
+        resume=resume,  # north_rule: a durable-driver run continues
+        # mid-iteration from the latest complete snapshot
         metric_name="max_delta",
         log_rows=not fixed_iters,
     )
