@@ -1671,6 +1671,12 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_span_corruption(spark, sf_dir):
+    """T5-style RNG-free span-corruption mask selection — portable coin
+    per (doc, span) so denoising targets regenerate anywhere."""
+    return TA.span_corruption_spans(_docs(spark, sf_dir))
+
+
 def _q_chunk_windows(spark, sf_dir):
     """Fixed-size token chunking with stride (retrieval-corpus /
     pretraining prep) — pure per-row JVM array math, one explode."""
@@ -1866,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coverage_select_topk": _q_coverage_select,  # greedy max-cover, new this session
         "edge_embeddedness": _q_edge_embeddedness,  # weak-tie metric, new this session
         "chunk_windows": _q_chunk_windows,  # RAG/pretraining chunking, new this session
+        "span_corruption_spans": _q_span_corruption,  # T5 denoising prep, new this session
         "quality_lr_score": _q_quality_lr_score,  # classifier inference, new this session
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session  # rotated past the window: transitively evidenced by pca_top_component
         "canonical_relabel": _q_canonical_relabel,  # C4 (judge r3 wishlist)  # rotated past the window: r1-driver-green AND judge-verified r2
@@ -2414,6 +2421,7 @@ WITH injected AS (
         "coverage_select_topk": TD.coverage_select_topk_sql(),
         "edge_embeddedness": edges_cte + ",\n" + _edge_emb_sql(),
         "chunk_windows": TA.chunk_windows_sql(),
+        "span_corruption_spans": TA.span_corruption_spans_sql(),
         "minimum_spanning_forest": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + _msf_sql(MSF_ROUNDS),

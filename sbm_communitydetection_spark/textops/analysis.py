@@ -1336,3 +1336,86 @@ def chunk_windows_sql(
            len(chunk)::INT AS n_tokens, {h} AS chunk_hash
     FROM sliced
     """
+
+
+SPAN_LEN = 3
+SPAN_RATE_PERMILLE = 150
+
+
+def span_corruption_spans(
+    docs: DataFrame,
+    span_len: int = SPAN_LEN,
+    rate_permille: int = SPAN_RATE_PERMILLE,
+) -> DataFrame:
+    """(doc_id, span_idx, start_tok, n_tok, span_hash) — T5/UL2-style
+    span-corruption mask selection, RNG-free: tokens are grouped into
+    spans of ``span_len``; span g of doc d is masked iff
+    md5_60("span:d:g") % 1000 < rate_permille (≈15% token budget at the
+    defaults, the T5 recipe).  Deterministic and portable, so the
+    denoising targets an engine on the other side of the planet
+    regenerates bit-identically — no mask tensors need shipping.
+    span_hash fingerprints the masked token slice (the target text).
+
+    Scale: per-row JVM split + one explode of n_tokens/span_len rows +
+    a per-row hash filter — no shuffle, no Python."""
+    from .portable import md5_long, words_col
+
+    toks = words_col(F.col("text"))
+    n_spans = F.ceil(F.size(toks) / F.lit(span_len)).cast("int")
+    fan = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.size(toks).alias("n"),
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("span_idx"),
+    )
+    coin = (
+        F.pmod(
+            md5_long(
+                F.concat_ws(
+                    ":", F.lit("span"), F.col("doc_id").cast("string"), F.col("span_idx").cast("string")
+                )
+            ),
+            F.lit(1000),
+        )
+        < rate_permille
+    )
+    masked = fan.filter(coin).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        (F.col("span_idx") * span_len).cast("long").alias("start_tok"),
+        F.least(F.lit(span_len), F.col("n") - F.col("span_idx") * span_len)
+        .cast("int")
+        .alias("n_tok"),
+        md5_long(
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("span_idx") * span_len + 1, span_len))
+        ).alias("span_hash"),
+    )
+    return masked
+
+
+def span_corruption_spans_sql(
+    table: str = "documents",
+    span_len: int = SPAN_LEN,
+    rate_permille: int = SPAN_RATE_PERMILLE,
+) -> str:
+    from .portable import md5_long_sql
+
+    coin = md5_long_sql("'span:' || CAST(doc_id AS VARCHAR) || ':' || CAST(span_idx AS VARCHAR)")
+    h = md5_long_sql("array_to_string(t[span_idx * " + str(span_len) + " + 1 : span_idx * " + str(span_len) + f" + {span_len}], ' ')")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t, len(string_split(text, ' ')) AS n
+        FROM {table}
+    ),
+    fan AS (
+        SELECT doc_id, t, n,
+               UNNEST(generate_series(0, CEIL(n / {span_len}.0)::INT - 1)) AS span_idx
+        FROM toks
+    )
+    SELECT doc_id, span_idx::BIGINT AS span_idx,
+           (span_idx * {span_len})::BIGINT AS start_tok,
+           LEAST({span_len}, n - span_idx * {span_len})::INT AS n_tok,
+           {h} AS span_hash
+    FROM fan
+    WHERE {coin} % 1000 < {rate_permille}
+    """

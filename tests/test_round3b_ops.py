@@ -568,3 +568,21 @@ def test_chunk_windows_tail_and_short_doc(spark):
         for r in chunk_windows(docs, chunk_tokens=24, stride=12).collect()
     }
     assert hashes[(1, 0)] != hashes[(1, 1)]
+
+
+def test_span_corruption_deterministic_and_budget(spark):
+    from sbm_communitydetection_spark.textops.analysis import span_corruption_spans
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(60))) for i in range(50)],
+        "doc_id long, text string",
+    )
+    a = {(r.doc_id, r.span_idx): (r.start_tok, r.n_tok, r.span_hash)
+         for r in span_corruption_spans(docs).collect()}
+    b = {(r.doc_id, r.span_idx): (r.start_tok, r.n_tok, r.span_hash)
+         for r in span_corruption_spans(docs).collect()}
+    assert a == b  # RNG-free: identical across runs
+    # ~15% of 20-span docs masked: 50 docs x 20 spans x 0.15 = 150 +- slack
+    assert 90 <= len(a) <= 210
+    for (doc, g), (start, n_tok, _) in a.items():
+        assert start == g * 3 and n_tok == 3  # 60 % 3 == 0: all spans full
