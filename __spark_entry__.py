@@ -49,6 +49,7 @@ from sbm_communitydetection_spark.textops.similarity import (  # noqa: E402
 )
 from sbm_communitydetection_spark.operators.triangles import (  # noqa: E402
     edge_embeddedness_sql as _edge_emb_sql,
+    triangle_estimate_sampled_sql as _tri_est_sql,
 )
 from sbm_communitydetection_spark.operators.spanning import (  # noqa: E402
     minimum_spanning_forest_sql as _msf_sql,
@@ -1671,6 +1672,16 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_triangle_estimate(spark, sf_dir):
+    """DOULION sampled triangle estimate — canonical-pair coin, exact
+    1/p^3 scaling, reproducible and oracle-checkable."""
+    from sbm_communitydetection_spark.operators.triangles import (
+        triangle_estimate_sampled,
+    )
+
+    return triangle_estimate_sampled(lineitem_edges(spark, sf_dir))
+
+
 def _q_span_corruption(spark, sf_dir):
     """T5-style RNG-free span-corruption mask selection — portable coin
     per (doc, span) so denoising targets regenerate anywhere."""
@@ -1873,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_embeddedness": _q_edge_embeddedness,  # weak-tie metric, new this session
         "chunk_windows": _q_chunk_windows,  # RAG/pretraining chunking, new this session
         "span_corruption_spans": _q_span_corruption,  # T5 denoising prep, new this session
+        "triangle_estimate_sampled": _q_triangle_estimate,  # DOULION, new this session
         "quality_lr_score": _q_quality_lr_score,  # classifier inference, new this session
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session  # rotated past the window: transitively evidenced by pca_top_component
         "canonical_relabel": _q_canonical_relabel,  # C4 (judge r3 wishlist)  # rotated past the window: r1-driver-green AND judge-verified r2
@@ -2422,6 +2434,7 @@ WITH injected AS (
         "edge_embeddedness": edges_cte + ",\n" + _edge_emb_sql(),
         "chunk_windows": TA.chunk_windows_sql(),
         "span_corruption_spans": TA.span_corruption_spans_sql(),
+        "triangle_estimate_sampled": edges_cte + ",\n" + _tri_est_sql(),
         "minimum_spanning_forest": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + _msf_sql(MSF_ROUNDS),

@@ -321,3 +321,59 @@ FROM epairs p
 LEFT JOIN ewed w ON w.a = p.a AND w.b = p.b
 JOIN edeg da ON da.id = p.a
 JOIN edeg db ON db.id = p.b"""
+
+
+DOULION_PERMILLE = 300
+
+
+def triangle_estimate_sampled(
+    edges: DataFrame, permille: int = DOULION_PERMILLE, seed: int = 0
+) -> DataFrame:
+    """One-row (sampled_triangles, estimate) — DOULION (Tsourakakis et
+    al., KDD 2009): count triangles on a p-sparsified graph and scale by
+    1/p³.  With the deterministic portable-hash edge sample the estimate
+    is reproducible AND oracle-checkable (same coin both engines); the
+    estimator is unbiased with variance ~1/p³ · T, the standard
+    accuracy/cost dial when the exact count's Σd² wedge join is too hot.
+
+    Shape: the sample is a per-row filter on the scan (zero shuffle
+    added); everything after is the exact counter on a permille/1000-
+    sized edge set — the wedge join cost falls by ~p² and the heavy-hub
+    orientation degree by ~p.  The coin flips on the CANONICAL pair
+    (least, greatest) so each undirected edge is kept with exactly p
+    regardless of how many directed rows represent it (a direction-
+    sensitive coin would keep pairs with 1-(1-p)² and bias the
+    estimator)."""
+    from ..textops.portable import md5_long
+
+    coin = md5_long(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.least("src", "dst").cast("string"),
+            F.greatest("src", "dst").cast("string"),
+        )
+    )
+    sampled = edges.filter(F.pmod(coin, F.lit(1000)) < permille)
+    p = permille / 1000.0
+    return triangle_count(sampled).select(
+        F.col("triangles").alias("sampled_triangles"),
+        F.round(F.col("triangles") / F.lit(p**3), 6).alias("estimate"),
+    )
+
+
+def triangle_estimate_sampled_sql(permille: int = DOULION_PERMILLE, seed: int = 0) -> str:
+    """DuckDB twin over the `edges` CTE — same coin, same scaling."""
+    p = permille / 1000.0
+    return f"""spairs AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges
+    WHERE src <> dst
+      AND CAST(concat('0x', substr(md5('{seed}' || ':' || CAST(LEAST(src, dst) AS VARCHAR) || ':'
+          || CAST(GREATEST(src, dst) AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < {permille}
+)
+SELECT COUNT(*)::BIGINT AS sampled_triangles,
+       ROUND(COUNT(*) / {p**3}, 6) AS estimate
+FROM spairs p1
+JOIN spairs p2 ON p1.b = p2.a
+JOIN spairs p3 ON p3.a = p1.a AND p3.b = p2.b"""

@@ -586,3 +586,25 @@ def test_span_corruption_deterministic_and_budget(spark):
     assert 90 <= len(a) <= 210
     for (doc, g), (start, n_tok, _) in a.items():
         assert start == g * 3 and n_tok == 3  # 60 % 3 == 0: all spans full
+
+
+def test_triangle_estimate_unbiased_scaling(spark):
+    from sbm_communitydetection_spark.operators.triangles import (
+        triangle_count,
+        triangle_estimate_sampled,
+    )
+    from pyspark.sql import functions as F
+
+    edges = spark.range(3000).select(
+        (F.xxhash64("id") % 120).alias("src"),
+        (F.xxhash64("id", F.lit(1)) % 120).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    ).filter(F.col("src") != F.col("dst"))
+    exact = triangle_count(edges).collect()[0].triangles
+    r = triangle_estimate_sampled(edges, permille=700).collect()[0]
+    # p=0.7 on a dense-ish graph: estimate within a loose factor of exact
+    assert r.sampled_triangles > 0
+    assert 0.3 * exact < r.estimate < 3.0 * exact
+    # determinism: same coin, same estimate
+    r2 = triangle_estimate_sampled(edges, permille=700).collect()[0]
+    assert (r.sampled_triangles, r.estimate) == (r2.sampled_triangles, r2.estimate)
