@@ -239,12 +239,14 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
     intra-community).  The edge-level complement of the per-vertex
     local clustering coefficient.
 
-    Shape: the triangle_list join shapes (oriented wedge join), then
-    one degree join per endpoint — every key is an edge endpoint, no
-    new shuffle patterns; common counts come from the canonical pair
-    table so each triangle contributes to all three of its edges.
-    jaccard is rounded to 6 dp (it is a ratio of exact longs — the
-    rounding only canonicalizes the decimal print)."""
+    Shape: HUB-SAFE — common(a, b) = the number of triangles containing
+    edge (a, b), so the counts come from the degree-ORIENTED
+    triangle_list (Σd_out² wedge cost, the same orientation trick the
+    exact counter uses) with each listed triangle exploded to its three
+    canonical edges; an unoriented per-edge wedge join would pay d² on
+    every hub.  Then one degree join per endpoint.  jaccard is rounded
+    to 6 dp (a ratio of exact longs — the rounding only canonicalizes
+    the decimal print)."""
     pairs = (
         edges.select("src", "dst")
         .filter(F.col("src") != F.col("dst"))
@@ -253,15 +255,18 @@ def edge_embeddedness(edges: DataFrame) -> DataFrame:
     )
     sym = pairs.unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count("*").alias("deg")).withColumnRenamed("a", "id")
-    # common neighbors w of (a, b): w adjacent to a, and (b, w) an edge
+    tri = triangle_list(edges)
     wed = (
-        pairs.join(sym.select(F.col("a"), F.col("b").alias("w")), "a")
-        .filter((F.col("w") != F.col("b")))
-        .join(
-            sym.select(F.col("a").alias("b"), F.col("b").alias("w")),
-            ["b", "w"],
-            "left_semi",
+        tri.select(
+            F.explode(
+                F.array(
+                    F.struct(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")),
+                    F.struct(F.least("x", "z").alias("a"), F.greatest("x", "z").alias("b")),
+                    F.struct(F.least("y", "z").alias("a"), F.greatest("y", "z").alias("b")),
+                )
+            ).alias("e")
         )
+        .select(F.col("e.a").alias("a"), F.col("e.b").alias("b"))
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("common"))
     )
