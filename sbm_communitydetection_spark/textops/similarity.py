@@ -737,6 +737,7 @@ def kmeans_lloyd(
     embs: DataFrame,
     n_cells: int = LLOYD_CELLS,
     iters: int = LLOYD_ITERS,
+    assign: str = "join",
 ) -> DataFrame:
     """(cell, d, c) — FULLY DISTRIBUTED Lloyd k-means over the embedding
     corpus: the scale path for quantizer training when the sample-based
@@ -751,7 +752,15 @@ def kmeans_lloyd(
     (tie-break smaller cell), centroids rounded to 6 dp per iteration —
     so the trajectory is bit-identical in the unrolled DuckDB twin
     regardless of partial-aggregation order.  Empty cells keep their
-    previous centroid."""
+    previous centroid.
+
+    ``assign="kernel"`` switches assignment to an Arrow kernel: the
+    k x d centroid table (tiny by construction) ships inside the
+    mapInPandas closure and every batch argmins in numpy, emitting
+    (vec_id, cell) directly — the 10^12-row lever that removes the
+    rows x k pre-aggregation volume of the join path entirely (the
+    join path stays the default because it is the oracle-mirrored one;
+    test_kmeans_lloyd_kernel_matches_join pins their equality)."""
     from ..plans.iterate import unpersist_checkpoint
     from .portable import md5_long
 
@@ -781,21 +790,24 @@ def kmeans_lloyd(
     )
     owned = [vexp, cents]
     for _ in range(iters):
-        d2 = (
-            vexp.join(F.broadcast(cents), "d")
-            .groupBy("vec_id", "cell")
-            .agg(F.round(F.sum((F.col("val") - F.col("c")) ** 2), 6).alias("d2"))
-        )
-        best = (
-            d2.withColumn(
-                "rnk",
-                F.row_number().over(
-                    Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
-                ),
+        if assign == "kernel":
+            best = _assign_kernel(embs, cents)
+        else:
+            d2 = (
+                vexp.join(F.broadcast(cents), "d")
+                .groupBy("vec_id", "cell")
+                .agg(F.round(F.sum((F.col("val") - F.col("c")) ** 2), 6).alias("d2"))
             )
-            .filter(F.col("rnk") == 1)
-            .select("vec_id", "cell")
-        )
+            best = (
+                d2.withColumn(
+                    "rnk",
+                    F.row_number().over(
+                        Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+                    ),
+                )
+                .filter(F.col("rnk") == 1)
+                .select("vec_id", "cell")
+            )
         fresh = (
             best.join(vexp, "vec_id")
             .groupBy("cell", "d")
@@ -812,6 +824,40 @@ def kmeans_lloyd(
     for df in owned:
         unpersist_checkpoint(df)
     return out
+
+
+def _assign_kernel(embs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cell) — nearest-centroid assignment as ONE Arrow pass:
+    centroids (k x d, driver-collected — tiny by construction) ride the
+    closure; each batch computes all squared distances in numpy, rounds
+    to 6 dp exactly like the join path, and argmins with the
+    first-index (= smallest cell) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cents.collect()
+    k = max(r["cell"] for r in rows) + 1
+    d = max(r["d"] for r in rows) + 1
+    C = np.zeros((k, d))
+    for r in rows:
+        C[r["cell"], r["d"]] = r["c"]
+
+    def batches(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            d2 = np.round(((x[:, None, :] - C[None, :, :]) ** 2).sum(-1), 6)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                    "cell": d2.argmin(1).astype(np.int64),
+                }
+            )
+
+    return embs.select("vec_id", "embedding").mapInPandas(
+        batches, "vec_id long, cell long"
+    )
 
 
 def kmeans_lloyd_sql(

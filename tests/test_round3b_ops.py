@@ -608,3 +608,19 @@ def test_triangle_estimate_unbiased_scaling(spark):
     # determinism: same coin, same estimate
     r2 = triangle_estimate_sampled(edges, permille=700).collect()[0]
     assert (r.sampled_triangles, r.estimate) == (r2.sampled_triangles, r2.estimate)
+
+
+def test_kmeans_lloyd_kernel_matches_join(spark):
+    import numpy as np
+
+    from sbm_communitydetection_spark.textops.similarity import kmeans_lloyd
+
+    rng = np.random.default_rng(23)
+    x = rng.normal(size=(80, 6))
+    embs = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>",
+    )
+    a = {(r.cell, r.d): r.c for r in kmeans_lloyd(embs, n_cells=4, iters=3).collect()}
+    b = {(r.cell, r.d): r.c for r in kmeans_lloyd(embs, n_cells=4, iters=3, assign="kernel").collect()}
+    assert a == b  # the Arrow-kernel assignment replays the join path exactly
