@@ -439,12 +439,15 @@ def stream_triangles(
     Incremental delta: only triangles containing at least one NEW
     undirected edge can appear, and every such triangle has a new edge
     {a, b} whose common neighbors w in the cumulative graph witness it.
-    Candidates = new-edge × cumulative-adjacency join; the canonical
+    Candidates are generated from the LOWER-degree endpoint of each new
+    edge (one cumulative-degree join decides the probe side), so the
+    per-edge candidate cost is min(deg(a), deg(b)) — a new edge landing
+    on a 10^7-degree hub probes from its other end; the canonical
     sorted triple dedups triangles discovered through two or three of
-    their new edges.  Per-batch cost is delta-proportional (Σ_new
-    deg(a) candidate rows), never re-counting the accumulated graph —
-    the property that matters at 10^12 edges.  Counts are scalar
-    per-batch collects (house rule: scalars only)."""
+    their new edges.  Per-batch cost is delta-proportional, never
+    re-counting the accumulated graph — the property that matters at
+    10^12 edges.  Counts are scalar per-batch collects (house rule:
+    scalars only)."""
     canon = (
         edge_stream.filter(F.col("src") != F.col("dst"))
         .select(
@@ -473,15 +476,26 @@ def stream_triangles(
         sym = nxt_cum.select(F.col("a").alias("u"), F.col("b").alias("w")).unionByName(
             nxt_cum.select(F.col("b").alias("u"), F.col("a").alias("w"))
         )
+        deg = sym.groupBy("u").agg(F.count("*").alias("dg"))
+        # probe from the lower-degree endpoint: per-edge candidate cost
+        # min(deg(a), deg(b)) instead of deg(a) — hub-safe
+        oriented = (
+            new.join(deg.select(F.col("u").alias("a"), F.col("dg").alias("da")), "a")
+            .join(deg.select(F.col("u").alias("b"), F.col("dg").alias("db")), "b")
+            .select(
+                F.when(F.col("da") <= F.col("db"), F.col("a")).otherwise(F.col("b")).alias("p"),
+                F.when(F.col("da") <= F.col("db"), F.col("b")).otherwise(F.col("a")).alias("q"),
+            )
+        )
         cands = (
-            new.join(sym.withColumnRenamed("u", "a"), "a")  # w adjacent to a
+            oriented.join(sym.withColumnRenamed("u", "p"), "p")  # w adjacent to probe side
             .join(
-                sym.select(F.col("u").alias("b"), F.col("w").alias("w")),
-                ["b", "w"],
+                sym.select(F.col("u").alias("q"), F.col("w").alias("w")),
+                ["q", "w"],
                 "left_semi",
-            )  # and adjacent to b
-            .filter((F.col("w") != F.col("a")) & (F.col("w") != F.col("b")))
-            .select(F.array_sort(F.array("a", "b", "w")).alias("tri"))
+            )  # and adjacent to the other side
+            .filter((F.col("w") != F.col("p")) & (F.col("w") != F.col("q")))
+            .select(F.array_sort(F.array("p", "q", "w")).alias("tri"))
             .distinct()
         )
         delta = cands.count()
