@@ -51,6 +51,9 @@ from sbm_communitydetection_spark.operators.triangles import (  # noqa: E402
     edge_embeddedness_sql as _edge_emb_sql,
     triangle_estimate_sampled_sql as _tri_est_sql,
 )
+from sbm_communitydetection_spark.functions.metrics import (  # noqa: E402
+    community_evolution_sql as _comm_evo_sql,
+)
 from sbm_communitydetection_spark.operators.spanning import (  # noqa: E402
     minimum_spanning_forest_sql as _msf_sql,
 )
@@ -1672,6 +1675,18 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_community_evolution(spark, sf_dir):
+    """Dynamic community tracking: match each old community to the new
+    community holding most of its members (two deterministic snapshot
+    labelings: id %% 10 vs id %% 7), classify continue/shrink/split."""
+    from sbm_communitydetection_spark.functions.metrics import community_evolution
+
+    edges = lineitem_edges(spark, sf_dir)
+    old = derived_labels(edges, n_labels=10)
+    new = derived_labels(edges, n_labels=7)
+    return community_evolution(old, new)
+
+
 def _q_triangle_estimate(spark, sf_dir):
     """DOULION sampled triangle estimate — canonical-pair coin, exact
     1/p^3 scaling, reproducible and oracle-checkable."""
@@ -1885,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_windows": _q_chunk_windows,  # RAG/pretraining chunking, new this session
         "span_corruption_spans": _q_span_corruption,  # T5 denoising prep, new this session
         "triangle_estimate_sampled": _q_triangle_estimate,  # DOULION, new this session
+        "community_evolution": _q_community_evolution,  # dynamic tracking, new this session
         "quality_lr_score": _q_quality_lr_score,  # classifier inference, new this session
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session  # rotated past the window: transitively evidenced by pca_top_component
         "canonical_relabel": _q_canonical_relabel,  # C4 (judge r3 wishlist)  # rotated past the window: r1-driver-green AND judge-verified r2
@@ -2435,6 +2451,12 @@ WITH injected AS (
         "chunk_windows": TA.chunk_windows_sql(),
         "span_corruption_spans": TA.span_corruption_spans_sql(),
         "triangle_estimate_sampled": edges_cte + ",\n" + _tri_est_sql(),
+        "community_evolution": edges_cte
+        + """,
+oldlab AS (SELECT DISTINCT src AS id, src % 10 AS label FROM edges),
+newlab AS (SELECT DISTINCT src AS id, src % 7 AS label FROM edges),
+"""
+        + _comm_evo_sql(),
         "minimum_spanning_forest": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
         + ",\n"
         + _msf_sql(MSF_ROUNDS),

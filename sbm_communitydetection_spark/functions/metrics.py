@@ -484,3 +484,102 @@ def all_metrics(edges: DataFrame, pred: DataFrame, truth: DataFrame) -> dict[str
         "edge_classification_accuracy": edge_classification_accuracy(edges, pred, truth).collect()[0][0],
         "maximal_matching_accuracy": maximal_matching_accuracy(pred, truth),
     }
+
+
+def community_evolution(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(old_label, new_label, overlap, frac_old, frac_new, event) —
+    snapshot-to-snapshot community matching for dynamic tracking
+    (Greene et al., ASONAM 2010 style): each OLD community maps to the
+    NEW community holding most of its members (tie-break smaller
+    new_label); ``event`` classifies the transition —
+    'continue' when the matched pair mutually covers ≥ half of both
+    sides, 'shrink' when the old community dominates the match but the
+    new one grew past it, 'split' otherwise.  Members present only in
+    one snapshot simply drop out of the contingency (node churn is
+    allowed).
+
+    Shape: the J6 contingency aggregate (label-pair keyed) + two
+    size joins + one per-old-label window argmax — all keys are
+    community labels, bounded by community counts, never |V|.
+    Fractions rounded to 6 dp in both engines."""
+    from pyspark.sql import Window
+
+    cont = (
+        old.select("id", F.col("label").alias("old_label"))
+        .join(new.select("id", F.col("label").alias("new_label")), "id")
+        .groupBy("old_label", "new_label")
+        .agg(F.count("*").cast("long").alias("overlap"))
+    )
+    so = old.groupBy(F.col("label").alias("old_label")).agg(
+        F.count("*").alias("n_old")
+    )
+    sn = new.groupBy(F.col("label").alias("new_label")).agg(
+        F.count("*").alias("n_new")
+    )
+    best = (
+        cont.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("old_label").orderBy(
+                    F.desc("overlap"), F.asc("new_label")
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    out = (
+        best.join(so, "old_label")
+        .join(sn, "new_label")
+        .select(
+            "old_label",
+            "new_label",
+            "overlap",
+            F.round(F.col("overlap") / F.col("n_old"), 6).alias("frac_old"),
+            F.round(F.col("overlap") / F.col("n_new"), 6).alias("frac_new"),
+        )
+    )
+    return out.select(
+        "old_label",
+        "new_label",
+        "overlap",
+        "frac_old",
+        "frac_new",
+        F.when(
+            (F.col("frac_old") >= 0.5) & (F.col("frac_new") >= 0.5), F.lit("continue")
+        )
+        .when(F.col("frac_old") >= 0.5, F.lit("shrink"))
+        .otherwise(F.lit("split"))
+        .alias("event"),
+    )
+
+
+def community_evolution_sql(old_cte: str = "oldlab", new_cte: str = "newlab") -> str:
+    """DuckDB twin over two (id, label) CTEs."""
+    return f"""cont AS (
+    SELECT o.label AS old_label, n.label AS new_label, COUNT(*)::BIGINT AS overlap
+    FROM {old_cte} o JOIN {new_cte} n ON o.id = n.id
+    GROUP BY o.label, n.label
+),
+so AS (SELECT label AS old_label, COUNT(*) AS n_old FROM {old_cte} GROUP BY label),
+sn AS (SELECT label AS new_label, COUNT(*) AS n_new FROM {new_cte} GROUP BY label),
+best AS (
+    SELECT old_label, new_label, overlap FROM (
+        SELECT old_label, new_label, overlap,
+               ROW_NUMBER() OVER (PARTITION BY old_label
+                                  ORDER BY overlap DESC, new_label ASC) AS rnk
+        FROM cont
+    ) WHERE rnk = 1
+),
+scored AS (
+    SELECT b.old_label, b.new_label, b.overlap,
+           ROUND(b.overlap / CAST(so.n_old AS DOUBLE), 6) AS frac_old,
+           ROUND(b.overlap / CAST(sn.n_new AS DOUBLE), 6) AS frac_new
+    FROM best b JOIN so ON so.old_label = b.old_label
+    JOIN sn ON sn.new_label = b.new_label
+)
+SELECT old_label, new_label, overlap, frac_old, frac_new,
+       CASE WHEN frac_old >= 0.5 AND frac_new >= 0.5 THEN 'continue'
+            WHEN frac_old >= 0.5 THEN 'shrink'
+            ELSE 'split' END AS event
+FROM scored"""

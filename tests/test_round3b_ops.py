@@ -624,3 +624,30 @@ def test_kmeans_lloyd_kernel_matches_join(spark):
     a = {(r.cell, r.d): r.c for r in kmeans_lloyd(embs, n_cells=4, iters=3).collect()}
     b = {(r.cell, r.d): r.c for r in kmeans_lloyd(embs, n_cells=4, iters=3, assign="kernel").collect()}
     assert a == b  # the Arrow-kernel assignment replays the join path exactly
+
+
+def test_community_evolution_events(spark):
+    from sbm_communitydetection_spark.functions.metrics import community_evolution
+
+    # old community 1 continues as new 10; old 2 splits between 20/21;
+    # old 3's members mostly land in big new 30 (shrink: old covered,
+    # new community has grown past it)
+    old = spark.createDataFrame(
+        [(i, 1) for i in range(4)]
+        + [(10 + i, 2) for i in range(5)]
+        + [(20 + i, 3) for i in range(2)],
+        "id long, label long",
+    )
+    new = spark.createDataFrame(
+        [(i, 10) for i in range(4)]
+        + [(10, 20), (11, 20), (12, 21), (13, 21), (14, 22)]
+        + [(20, 30), (21, 30), (90, 30), (91, 30), (92, 30)],
+        "id long, label long",
+    )
+    got = {r.old_label: (r.new_label, r.overlap, r.event)
+           for r in community_evolution(old, new).collect()}
+    assert got[1] == (10, 4, "continue")
+    # old 2 splits 2/2/1 -> best overlap 2, tie to the smaller new label,
+    # and frac_old 0.4 < 0.5 classifies it as a split
+    assert got[2][2] == "split" and got[2][0] == 20
+    assert got[3] == (30, 2, "shrink")
