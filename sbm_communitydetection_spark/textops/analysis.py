@@ -1419,3 +1419,112 @@ def span_corruption_spans_sql(
     FROM fan
     WHERE {coin} % 1000 < {rate_permille}
     """
+
+
+LOGODDS_PRIOR = 100.0
+LOGODDS_TOPK = 5
+
+
+def source_log_odds(
+    docs: DataFrame, k: int = LOGODDS_TOPK, prior: float = LOGODDS_PRIOR
+) -> DataFrame:
+    """(source, rank, token, z) — the top-k DISTINCTIVE tokens per
+    source via log-odds with an informative Dirichlet prior (Monroe,
+    Colaresi & Quinn 2008, "Fightin' Words"): for token w in source s,
+
+        δ = log[(y_sw+α_w)/(n_s+α0−y_sw−α_w)]
+          − log[(y_w−y_sw+α_w)/(n−n_s+α0−y_w+y_sw−α_w)]
+        z = δ / sqrt(1/(y_sw+α_w) + 1/(y_w−y_sw+α_w))
+
+    with α_w = α0·y_w/n — the corpus-comparison op that surfaces what
+    a source over-uses relative to the rest (crawl-vs-curated drift,
+    contamination fingerprints).  Raw frequency top-k would just return
+    stopwords; the prior-shrunk z-score is the standard fix.
+
+    Shape: one (source, token) aggregate + one token-keyed corpus join
+    (token marginals are a broadcast-scale table after aggregation) +
+    a per-source window top-k.  z rounded to 6 dp BEFORE ranking in
+    both engines (tie-break token asc)."""
+    toks = docs.select(
+        "source", F.explode(words_col(F.col("text"))).alias("token")
+    )
+    sw = toks.groupBy("source", "token").agg(F.count("*").cast("double").alias("ysw"))
+    w = toks.groupBy("token").agg(F.count("*").cast("double").alias("yw"))
+    ns = toks.groupBy("source").agg(F.count("*").cast("double").alias("ns"))
+    n_total = toks.count()
+    a0 = prior
+    scored = (
+        sw.join(F.broadcast(ns), "source")
+        .join(w, "token")
+        .select(
+            "source",
+            "token",
+            "ysw",
+            "yw",
+            "ns",
+            (F.lit(a0) * F.col("yw") / F.lit(float(n_total))).alias("aw"),
+        )
+        .select(
+            "source",
+            "token",
+            F.round(
+                (
+                    F.log(
+                        (F.col("ysw") + F.col("aw"))
+                        / (F.col("ns") + F.lit(a0) - F.col("ysw") - F.col("aw"))
+                    )
+                    - F.log(
+                        (F.col("yw") - F.col("ysw") + F.col("aw"))
+                        / (
+                            F.lit(float(n_total))
+                            - F.col("ns")
+                            + F.lit(a0)
+                            - F.col("yw")
+                            + F.col("ysw")
+                            - F.col("aw")
+                        )
+                    )
+                )
+                / F.sqrt(
+                    1.0 / (F.col("ysw") + F.col("aw"))
+                    + 1.0 / (F.col("yw") - F.col("ysw") + F.col("aw"))
+                ),
+                6,
+            ).alias("z"),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("z"), F.asc("token"))
+    )
+    return scored.select("source", rank.alias("rank"), "token", "z").filter(
+        F.col("rank") <= k
+    )
+
+
+def source_log_odds_sql(
+    table: str = "documents", k: int = LOGODDS_TOPK, prior: float = LOGODDS_PRIOR
+) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT source, UNNEST(string_split(text, ' ')) AS token FROM {table}
+    ),
+    sw AS (SELECT source, token, COUNT(*)::DOUBLE AS ysw FROM toks GROUP BY source, token),
+    w AS (SELECT token, COUNT(*)::DOUBLE AS yw FROM toks GROUP BY token),
+    ns AS (SELECT source, COUNT(*)::DOUBLE AS ns FROM toks GROUP BY source),
+    nt AS (SELECT COUNT(*)::DOUBLE AS n FROM toks),
+    scored AS (
+        SELECT sw.source, sw.token,
+               ROUND((
+                   ln((ysw + {prior} * yw / n) / (ns + {prior} - ysw - {prior} * yw / n))
+                 - ln((yw - ysw + {prior} * yw / n)
+                      / (n - ns + {prior} - yw + ysw - {prior} * yw / n))
+               ) / sqrt(1.0 / (ysw + {prior} * yw / n)
+                        + 1.0 / (yw - ysw + {prior} * yw / n)), 6) AS z
+        FROM sw JOIN ns USING (source) JOIN w USING (token), nt
+    )
+    SELECT source, rank::INT AS rank, token, z FROM (
+        SELECT source, token, z,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY z DESC, token ASC) AS rank
+        FROM scored
+    ) WHERE rank <= {k}
+    """

@@ -651,3 +651,18 @@ def test_community_evolution_events(spark):
     # and frac_old 0.4 < 0.5 classifies it as a split
     assert got[2][2] == "split" and got[2][0] == 20
     assert got[3] == (30, 2, "shrink")
+
+
+def test_source_log_odds_surfaces_distinctive_terms(spark):
+    from sbm_communitydetection_spark.textops.analysis import source_log_odds
+
+    # both sources share stopwords; each has a marker word
+    rows = [(i, "the of and alpha " * 4, "en", "crawl", 0) for i in range(20)]
+    rows += [(100 + i, "the of and bravo " * 4, "en", "books", 0) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {(r.source, r.rank): (r.token, r.z) for r in source_log_odds(docs, k=2).collect()}
+    assert got[("crawl", 1)][0] == "alpha"  # marker beats shared stopwords
+    assert got[("books", 1)][0] == "bravo"
+    assert got[("crawl", 1)][1] > 0
