@@ -54,6 +54,10 @@ from sbm_communitydetection_spark.operators.triangles import (  # noqa: E402
 from sbm_communitydetection_spark.functions.metrics import (  # noqa: E402
     community_evolution_sql as _comm_evo_sql,
 )
+from sbm_communitydetection_spark.operators.funnels import (  # noqa: E402
+    event_transitions_sql as _evt_trans_sql,
+    props_field_stats_sql as _props_sql,
+)
 from sbm_communitydetection_spark.operators.spanning import (  # noqa: E402
     minimum_spanning_forest_sql as _msf_sql,
 )
@@ -1675,6 +1679,26 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_event_transitions(spark, sf_dir):
+    """Per-user behavioral Markov chain over event types — one
+    user-keyed window + a type-pair count."""
+    from sbm_communitydetection_spark.operators.funnels import event_transitions
+
+    return event_transitions(_events(spark, sf_dir))
+
+
+def _q_props_field_stats(spark, sf_dir):
+    """Semi-structured props handling: JSON field extract in whole-stage
+    codegen, aggregate per event type."""
+    from sbm_communitydetection_spark.operators.funnels import props_field_stats
+
+    return props_field_stats(_events(spark, sf_dir))
+
+
 def _q_source_log_odds(spark, sf_dir):
     """Fightin'-Words distinctive terms per source: prior-shrunk
     log-odds z, top-k per source (raw frequency would return
@@ -1909,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_estimate_sampled": _q_triangle_estimate,  # DOULION, new this session
         "community_evolution": _q_community_evolution,  # dynamic tracking, new this session
         "source_log_odds": _q_source_log_odds,  # Fightin Words, new this session
+        "event_transitions": _q_event_transitions,  # behavioral Markov chain, new this session
+        "props_field_stats": _q_props_field_stats,  # JSON props extract, new this session
         "quality_lr_score": _q_quality_lr_score,  # classifier inference, new this session
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session  # rotated past the window: transitively evidenced by pca_top_component
         "canonical_relabel": _q_canonical_relabel,  # C4 (judge r3 wishlist)  # rotated past the window: r1-driver-green AND judge-verified r2
@@ -2459,6 +2485,8 @@ WITH injected AS (
         "chunk_windows": TA.chunk_windows_sql(),
         "span_corruption_spans": TA.span_corruption_spans_sql(),
         "source_log_odds": TA.source_log_odds_sql(),
+        "event_transitions": _evt_trans_sql(),
+        "props_field_stats": _props_sql(),
         "triangle_estimate_sampled": edges_cte + ",\n" + _tri_est_sql(),
         "community_evolution": edges_cte
         + """,

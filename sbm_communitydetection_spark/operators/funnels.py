@@ -12,7 +12,7 @@ All time arithmetic is integer epoch math (identical in both engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 FUNNEL_STEPS = ("view", "click", "purchase")
@@ -123,4 +123,85 @@ def retention_cohorts_sql(table: str = "events") -> str:
            COUNT(*)::BIGINT AS n_users
     FROM uw JOIN cohort c ON uw.user_id = c.user_id
     GROUP BY 1, 2
+    """
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(prev_type, event_type, n, prob) — the per-user behavioral Markov
+    chain: consecutive event-type bigrams under stable (ts, event_id)
+    ordering, with row-conditional transition probabilities.  The
+    behavioral analogue of the transcript role_transitions op.
+
+    Shape: ONE user-keyed exchange feeds the lag() window, then a
+    (prev, cur)-keyed count — type-pair cardinality is tiny, so the
+    probability normalization join is broadcast-scale.  prob rounded to
+    6 dp in both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "event_type",
+        "n",
+        F.round(F.col("n") / F.col("tot"), 6).alias("prob"),
+    )
+
+
+def event_transitions_sql(table: str = "events") -> str:
+    return f"""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM {table}
+    ),
+    pairs AS (
+        SELECT prev_type, event_type, COUNT(*)::BIGINT AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    tot AS (SELECT prev_type, SUM(n) AS tot FROM pairs GROUP BY prev_type)
+    SELECT p.prev_type, p.event_type, p.n, ROUND(p.n / CAST(t.tot AS DOUBLE), 6) AS prob
+    FROM pairs p JOIN tot t USING (prev_type)
+    """
+
+
+def props_field_stats(events: DataFrame, field: str = "k") -> DataFrame:
+    """(event_type, n_with_field, avg_field, max_field) — semi-structured
+    column handling: extract a numeric field from the JSON ``props``
+    string per event and aggregate per type.  get_json_object stays in
+    whole-stage codegen (Jackson on the JVM) — the 10^12-row pattern
+    for sparse telemetry props is extract-then-aggregate, never
+    parse-into-Python.  avg rounded to 6 dp."""
+    v = F.get_json_object(F.col("props"), f"$.{field}").cast("double")
+    return (
+        events.select("event_type", v.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("v").cast("long").alias("n_with_field"),
+            F.round(F.avg("v"), 6).alias("avg_field"),
+            F.max("v").alias("max_field"),
+        )
+    )
+
+
+def props_field_stats_sql(table: str = "events", field: str = "k") -> str:
+    return f"""
+    SELECT event_type,
+           COUNT(v)::BIGINT AS n_with_field,
+           ROUND(AVG(v), 6) AS avg_field,
+           MAX(v) AS max_field
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.{field}') AS DOUBLE) AS v
+        FROM {table}
+    )
+    GROUP BY event_type
     """

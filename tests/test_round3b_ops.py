@@ -666,3 +666,46 @@ def test_source_log_odds_surfaces_distinctive_terms(spark):
     assert got[("crawl", 1)][0] == "alpha"  # marker beats shared stopwords
     assert got[("books", 1)][0] == "bravo"
     assert got[("crawl", 1)][1] > 0
+
+
+def test_event_transitions_probabilities(spark):
+    import datetime as dtm
+
+    from sbm_communitydetection_spark.operators.funnels import event_transitions
+
+    t0 = dtm.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + dtm.timedelta(seconds=1), 1, "click", 0.0, "{}"),
+        (3, t0 + dtm.timedelta(seconds=2), 1, "view", 0.0, "{}"),
+        (4, t0, 2, "view", 0.0, "{}"),
+        (5, t0 + dtm.timedelta(seconds=1), 2, "view", 0.0, "{}"),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {(r.prev_type, r.event_type): (r.n, r.prob) for r in event_transitions(events).collect()}
+    # view -> click (u1), click -> view (u1), view -> view (u2)
+    assert got[("view", "click")] == (1, 0.5)
+    assert got[("view", "view")] == (1, 0.5)
+    assert got[("click", "view")] == (1, 1.0)
+
+
+def test_props_field_stats_extracts_json(spark):
+    import datetime as dtm
+
+    from sbm_communitydetection_spark.operators.funnels import props_field_stats
+
+    t0 = dtm.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 1, "view", 0.0, '{"k": 10}'),
+        (2, t0, 1, "view", 0.0, '{"k": 20}'),
+        (3, t0, 1, "click", 0.0, '{"other": 1}'),  # missing field -> not counted
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {r.event_type: (r.n_with_field, r.avg_field, r.max_field)
+           for r in props_field_stats(events).collect()}
+    assert got["view"] == (2, 15.0, 20.0)
+    assert got["click"][0] == 0
