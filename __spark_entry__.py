@@ -1683,6 +1683,13 @@ def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def _q_source_health(spark, sf_dir):
+    """Per-source corpus health card (volume, exact-dup burden, quality,
+    token length, plurality language) — the read-before-mixing rollup,
+    composing the gated dedup/quality primitives."""
+    return TP.source_health_report(_docs(spark, sf_dir))
+
+
 def _q_event_transitions(spark, sf_dir):
     """Per-user behavioral Markov chain over event types — one
     user-keyed window + a type-pair count."""
@@ -1934,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "community_evolution": _q_community_evolution,  # dynamic tracking, new this session
         "source_log_odds": _q_source_log_odds,  # Fightin Words, new this session
         "event_transitions": _q_event_transitions,  # behavioral Markov chain, new this session
+        "source_health_report": _q_source_health,  # per-source rollup, new this session
         "props_field_stats": _q_props_field_stats,  # JSON props extract, new this session
         "quality_lr_score": _q_quality_lr_score,  # classifier inference, new this session
         "embedding_covariance": _q_embedding_covariance,  # PCA primitive, new this session  # rotated past the window: transitively evidenced by pca_top_component
@@ -2486,6 +2494,7 @@ WITH injected AS (
         "span_corruption_spans": TA.span_corruption_spans_sql(),
         "source_log_odds": TA.source_log_odds_sql(),
         "event_transitions": _evt_trans_sql(),
+        "source_health_report": TP.source_health_report_sql(),
         "props_field_stats": _props_sql(),
         "triangle_estimate_sampled": edges_cte + ",\n" + _tri_est_sql(),
         "community_evolution": edges_cte

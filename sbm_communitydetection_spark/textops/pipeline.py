@@ -86,3 +86,88 @@ def curation_keep_list_sql(
     JOIN ({near_dup_clusters_sql(table, threshold=dup_threshold)}) nd
       ON d.doc_id = nd.doc_id
     """
+
+
+def source_health_report(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, n_exact_dups, dup_rate, avg_quality, avg_tokens,
+    top_lang) — the per-source corpus health card a mixture pipeline
+    reads before setting weights: volume, exact-duplicate burden
+    (min-doc_id survivor rule, duplicates counted where they sit),
+    mean heuristic quality, mean whitespace-token length, and the
+    plurality language (tie-break lexicographic).
+
+    Shape: one doc-level pass composing the existing gated primitives
+    (exact_dedup's hash-groupBy, text_quality's pure expressions) + one
+    source-keyed aggregate + one (source, lang) count with a per-source
+    argmax window — source cardinality is tiny, so everything after the
+    doc-level aggregates is broadcast-scale.  Rates/averages rounded to
+    6 dp in both engines."""
+    from pyspark.sql import Window
+
+    from .analysis import text_quality
+    from .dedup import exact_dedup
+
+    quality = text_quality(docs).select("doc_id", "quality")
+    dedup = exact_dedup(docs).select(
+        "doc_id", (F.col("doc_id") != F.col("keep_id")).cast("int").alias("is_dup")
+    )
+    toks = docs.select(
+        "doc_id", "source", "lang", F.size(F.split(F.col("text"), " ")).alias("n_toks")
+    )
+    base = toks.join(quality, "doc_id").join(dedup, "doc_id")
+    agg = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_exact_dups"),
+        F.round(F.sum("is_dup") / F.count("*"), 6).alias("dup_rate"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("n_toks"), 6).alias("avg_tokens"),
+    )
+    lang_rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("n_lang"), F.asc("lang"))
+    )
+    top_lang = (
+        toks.groupBy("source", "lang")
+        .agg(F.count("*").alias("n_lang"))
+        .select("source", "lang", lang_rank.alias("r"))
+        .filter(F.col("r") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return agg.join(top_lang, "source")
+
+
+def source_health_report_sql(table: str = "documents") -> str:
+    from .analysis import text_quality_sql
+    from .portable import md5_long_sql
+
+    return f"""
+    WITH q AS ({text_quality_sql(table)}),
+    d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY {md5_long_sql("text")})
+                    THEN 1 ELSE 0 END AS is_dup
+        FROM {table}
+    ),
+    base AS (
+        SELECT t.doc_id, t.source, t.lang,
+               len(string_split(t.text, ' ')) AS n_toks,
+               q.quality, d.is_dup
+        FROM {table} t JOIN q USING (doc_id) JOIN d USING (doc_id)
+    ),
+    agg AS (
+        SELECT source, COUNT(*)::BIGINT AS n_docs,
+               SUM(is_dup)::BIGINT AS n_exact_dups,
+               ROUND(SUM(is_dup) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+               ROUND(AVG(quality), 6) AS avg_quality,
+               ROUND(AVG(n_toks), 6) AS avg_tokens
+        FROM base GROUP BY source
+    ),
+    tl AS (
+        SELECT source, lang AS top_lang FROM (
+            SELECT source, lang,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY COUNT(*) DESC, lang ASC) AS r
+            FROM base GROUP BY source, lang
+        ) WHERE r = 1
+    )
+    SELECT agg.*, tl.top_lang FROM agg JOIN tl USING (source)
+    """

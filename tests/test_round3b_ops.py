@@ -709,3 +709,24 @@ def test_props_field_stats_extracts_json(spark):
            for r in props_field_stats(events).collect()}
     assert got["view"] == (2, 15.0, 20.0)
     assert got["click"][0] == 0
+
+
+def test_source_health_report_rollup(spark):
+    from sbm_communitydetection_spark.textops.pipeline import source_health_report
+
+    rows = [
+        (1, "the of and in words here", "en", "crawl", 0),
+        (2, "the of and in words here", "en", "crawl", 0),   # exact dup of 1
+        (3, "different text entirely okay", "en", "crawl", 0),
+        (4, "texto distinto aqui", "es", "books", 0),
+        (5, "otro texto distinto", "es", "books", 0),
+        (6, "one english doc", "en", "books", 0),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {r.source: r for r in source_health_report(docs).collect()}
+    assert got["crawl"].n_docs == 3 and got["crawl"].n_exact_dups == 1
+    assert abs(got["crawl"].dup_rate - 1 / 3) < 1e-5
+    assert got["books"].n_exact_dups == 0
+    assert got["books"].top_lang == "es"  # plurality 2 es vs 1 en
