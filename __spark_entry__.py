@@ -36,6 +36,7 @@ from sbm_communitydetection_spark.operators.betweenness import (  # noqa: E402
 from sbm_communitydetection_spark.operators.kcore import (  # noqa: E402
     k_truss_unrolled_sql as _ktruss_sql,
 )
+from sbm_communitydetection_spark.operators import kcore as KC  # noqa: E402
 from sbm_communitydetection_spark.operators.walks import (  # noqa: E402
     neighbor_sample_sql as _nbrsample_sql,
     random_walks_sql as _walks_sql,
@@ -104,8 +105,12 @@ from sbm_communitydetection_spark.textops import sketches as SK  # noqa: E402
 from sbm_communitydetection_spark.textops import multimodal as TM  # noqa: E402
 from sbm_communitydetection_spark.textops import pipeline as TP  # noqa: E402
 from sbm_communitydetection_spark.textops import similarity as TS  # noqa: E402
+from sbm_communitydetection_spark.textops import bm25 as BM  # noqa: E402
+from sbm_communitydetection_spark.operators import wl as WL  # noqa: E402
 
 PR_ITERS = 5
+WL_ROUNDS = 3
+CORENESS_ROUNDS = 4
 LPA_ITERS = 3
 SEEDED_LPA_ITERS = 4
 BP_ITERS = 2
@@ -1679,6 +1684,33 @@ def _q_quality_lr_fit(spark, sf_dir):
     return TA.quality_lr_fit(_docs(spark, sf_dir))
 
 
+def _q_coreness(spark, sf_dir):
+    """Full core decomposition via grouped h-index iteration — one run
+    yields every vertex's core number (kcore.py:coreness); fixed-round
+    gate parity vs the unrolled twin."""
+    from sbm_communitydetection_spark.operators.kcore import coreness
+
+    return coreness(spark, lineitem_edges(spark, sf_dir), rounds=CORENESS_ROUNDS)
+
+
+def _q_wl_refinement(spark, sf_dir):
+    """Weisfeiler-Lehman color refinement (structural fingerprints) —
+    commutative-hash neighbor fold instead of sorted-concat, so a hub's
+    color update is a map-side-combinable SUM (operators/wl.py)."""
+    return WL.wl_refinement(spark, lineitem_edges(spark, sf_dir), rounds=WL_ROUNDS)
+
+
+def _q_bm25_topk(spark, sf_dir):
+    """Okapi BM25 top-k retrieval: deterministic query subset (doc_id %
+    97 == 3) scored against the whole corpus; df computed for query
+    terms only (broadcast semi-join), per-query window top-k."""
+    docs = _docs(spark, sf_dir)
+    qs = docs.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return BM.bm25_topk(docs, qs, k=10)
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -1978,6 +2010,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": _q_katz,
         "label_centroids": _q_label_centroids,
         "latency_quantiles": _q_latency_quantiles,
+        # Entries below are the round-3 session-4 additions — same queue.
+        "wl_refinement": _q_wl_refinement,  # structural-fingerprint colors
+        "bm25_topk": _q_bm25_topk,  # retrieval scoring / hard-negative mining
+        "coreness": _q_coreness,  # full core decomposition (h-index rounds)
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2483,6 +2519,9 @@ WITH injected AS (
         "temperature_sample": TA.temperature_sample_sql(MIX_BUDGET),
         "ngram_lm_score": TA.ngram_lm_score_sql(),
         "token_pmi": TA.token_pmi_sql(min_count=20),
+        "wl_refinement": edges_cte + ",\n" + WL.wl_refinement_sql(WL_ROUNDS),
+        "bm25_topk": BM.bm25_topk_sql(k=10),
+        "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),
         "quality_lr_fit": TA.quality_lr_fit_sql(),

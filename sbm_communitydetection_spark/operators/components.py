@@ -121,6 +121,7 @@ def connected_components(
     driver: IterationDriver | None = None,
     max_iterations: int = 30,
     local_contraction: bool = True,
+    resume: bool = False,
 ) -> DataFrame:
     """components(id, component) with component = min id in the component.
 
@@ -166,6 +167,10 @@ def connected_components(
         step,
         max_iterations=max_iterations,
         tolerance=0.0,
+        resume=resume,  # north_rule: a durable-driver run continues
+        # mid-iteration from the latest complete star-pair snapshot (the
+        # checksum memo resets, so the first resumed round always runs —
+        # one extra fixpoint confirmation, never a wrong early stop)
         metric_name="edge_set_changed",
         log_rows=False,
     )

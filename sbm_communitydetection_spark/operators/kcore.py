@@ -24,7 +24,7 @@ equals the true fixpoint there.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.iterate import (
@@ -173,3 +173,103 @@ e{i} AS (
 )"""
         )
     return ",\n".join(parts) + f"\nSELECT a, b, support FROM e{rounds}"
+
+
+def coreness(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_iterations: int = 100,
+) -> DataFrame:
+    """(id, coreness) — the FULL core decomposition via h-index
+    iteration (Lu-Chen-Zhang-Zhou 2016, "The H-index of a network node
+    and its relation to degree and coreness"): start every vertex at
+    its degree, repeatedly replace each value with the h-index of its
+    neighbors' values; the fixpoint is exactly the core number.
+    Complements k_core: ONE run yields every k's shell membership
+    instead of one threshold subgraph (no k-sweep of peels).
+
+    Hub-safe h-index: neighbor values are first reduced to (value,
+    count) groups — a map-side-combinable aggregate — and
+    h = MAX(LEAST(cumulative_count, value)) over the value-descending
+    cumulative counts. The per-vertex window therefore sorts at most
+    |distinct neighbor values| rows (bounded by the vertex's current
+    value, which shrinks toward its core number), never the raw
+    neighbor list: a 10^7-degree hub contributes ~coreness rows to the
+    sort, not 10^7. Values only decrease and are integer-bounded, so
+    convergence is finite (diameter-ish rounds in practice).
+
+    rounds=None iterates to the fixpoint (stop when no value changed);
+    rounds=R unrolls exactly R synchronous rounds — gate parity mode,
+    round-for-round identical to coreness_unrolled_sql(R) regardless of
+    convergence. Tests assert the micro-graph fixpoint equals a
+    sequential min-degree peel."""
+    sym = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
+    pairs = cache_partitioned(
+        sym.unionByName(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .repartition("dst")
+    )
+    state = (
+        pairs.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w_cum = (
+        Window.partitionBy("src")
+        .orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for _ in range(rounds if rounds is not None else max_iterations):
+        nbr = pairs.join(
+            state.select(F.col("id").alias("dst"), "c").hint("SHUFFLE_HASH"), "dst"
+        )
+        grouped = nbr.groupBy("src", "c").agg(F.count("*").cast("long").alias("cnt"))
+        nxt = (
+            grouped.withColumn("cum", F.sum("cnt").over(w_cum))
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.max(F.least(F.col("cum"), F.col("c"))).cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = -1
+        if rounds is None:
+            changed = (
+                nxt.alias("n")
+                .join(state.alias("p"), "id")
+                .filter(F.col("n.c") != F.col("p.c"))
+                .count()
+            )
+        unpersist_checkpoint(state)
+        state = nxt
+        if changed == 0:
+            break
+    unpersist_checkpoint(pairs)
+    return state.select("id", F.col("c").alias("coreness"))
+
+
+def coreness_unrolled_sql(rounds: int) -> str:
+    """DuckDB twin of coreness(rounds=R) over the `edges` CTE — the same
+    grouped h-index update unrolled (exact integer math, hash-identical)."""
+    parts = [
+        "kp AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "h0 AS (SELECT src AS id, COUNT(*)::BIGINT AS c FROM kp GROUP BY src)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""g{i} AS (
+    SELECT p.src, h.c, COUNT(*)::BIGINT AS cnt
+    FROM kp p JOIN h{i - 1} h ON p.dst = h.id
+    GROUP BY p.src, h.c
+)"""
+        )
+        parts.append(
+            f"""h{i} AS (
+    SELECT src AS id, MAX(LEAST(cum, c))::BIGINT AS c
+    FROM (SELECT src, c, SUM(cnt) OVER (
+              PARTITION BY src ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM g{i})
+    GROUP BY src
+)"""
+        )
+    return ",\n".join(parts) + f"\nSELECT id, c AS coreness FROM h{rounds}"

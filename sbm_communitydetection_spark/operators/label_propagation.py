@@ -128,6 +128,7 @@ def label_propagation(
     driver: IterationDriver | None = None,
     broadcast_rows_threshold: int = 250_000,
     edges_partitioned_by_dst: bool = False,
+    resume: bool = False,
 ) -> IterationResult:
     """IterationResult whose .state is labels(id, label) at convergence.
 
@@ -151,6 +152,11 @@ def label_propagation(
     """
     if variant not in ("plain", "keep_own", "gain"):
         raise ValueError(f"unknown LPA variant {variant!r}")
+    if resume and variant == "gain":
+        # the gain variant delegates to the multi-level louvain pipeline,
+        # whose per-level super-graphs are not a single resumable state
+        # vector — resume applies to the flat superstep variants only
+        raise ValueError("resume=True is only supported for variant='plain'/'keep_own'")
     if variant == "gain":
         from .louvain import louvain
 
@@ -255,6 +261,8 @@ def label_propagation(
         step,
         max_iterations=max_iterations,
         tolerance=tolerance,
+        resume=resume,  # north_rule: a durable-driver run continues
+        # mid-iteration from the latest complete snapshot
         metric_name="labels_changed",
         log_rows=not fixed_iters,
     )

@@ -195,3 +195,100 @@ def test_pagerank_resumes_mid_iteration(spark, tmp_path):
     assert set(resumed) == set(full)
     assert all(abs(resumed[i] - full[i]) < 1e-12 for i in resumed)
     assert d2.latest_complete_iteration() == 6
+
+
+def test_lpa_resumes_mid_iteration(spark, tmp_path):
+    """Resume parity for the LPA superstep state: a run killed after 2
+    durable label snapshots resumes with a NEW driver and lands on the
+    IDENTICAL label vector as the uninterrupted 4-iteration run (labels
+    are longs — the parquet round-trip is exact, so equality is exact)."""
+    from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+    from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+
+    raw = spark.range(3000).select(
+        (F.xxhash64("id") % 200).alias("src"),
+        (F.xxhash64("id", F.lit(7)) % 200).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    edges = symmetrize(raw.filter(F.col("src") != F.col("dst"))).localCheckpoint(eager=True)
+
+    d_full = IterationDriver(
+        spark, run_id="lpafull", checkpoint_dir=str(tmp_path / "full"), mode="parquet"
+    )
+    full = {
+        r.id: r.label
+        for r in label_propagation(
+            spark, edges, tolerance=-1.0, max_iterations=4, driver=d_full
+        ).state.collect()
+    }
+
+    d1 = IterationDriver(
+        spark, run_id="lpa", checkpoint_dir=str(tmp_path / "r"), mode="parquet"
+    )
+    label_propagation(spark, edges, tolerance=-1.0, max_iterations=2, driver=d1)
+    assert d1.latest_complete_iteration() == 2
+    d2 = IterationDriver(
+        spark, run_id="lpa", checkpoint_dir=str(tmp_path / "r"), mode="parquet"
+    )
+    resumed = {
+        r.id: r.label
+        for r in label_propagation(
+            spark, edges, tolerance=-1.0, max_iterations=4, driver=d2, resume=True
+        ).state.collect()
+    }
+    assert resumed == full
+    assert d2.latest_complete_iteration() == 4
+
+
+def test_lpa_resume_rejected_for_gain_variant(spark, tmp_path):
+    import pytest
+
+    from sbm_communitydetection_spark.operators.label_propagation import label_propagation
+
+    edges = spark.createDataFrame([(0, 1, 1), (1, 0, 1)], "src long, dst long, weight long")
+    with pytest.raises(ValueError, match="resume"):
+        label_propagation(spark, edges, variant="gain", resume=True)
+
+
+def test_cc_resumes_mid_iteration(spark, tmp_path):
+    """Resume parity for connected components' star-pair state on a long
+    path (needs >2 star rounds): kill after 2 durable rounds, resume with
+    a NEW driver, and the final component labeling is exactly the full
+    run's (= min id per path segment)."""
+    from sbm_communitydetection_spark.operators.components import connected_components
+
+    # two disjoint 150-vertex paths: 0..149 and 1000..1149
+    rows = [(i, i + 1) for i in range(149)] + [(1000 + i, 1001 + i) for i in range(149)]
+    edges = spark.createDataFrame(rows, "src long, dst long").withColumn(
+        "weight", F.lit(1).cast("long")
+    )
+
+    full = {
+        r.id: r.component
+        for r in connected_components(
+            spark,
+            edges,
+            driver=IterationDriver(
+                spark,
+                run_id="ccfull",
+                checkpoint_dir=str(tmp_path / "full"),
+                mode="parquet",
+                keyed_state=False,
+            ),
+        ).collect()
+    }
+    assert set(full.values()) == {0, 1000}
+
+    d1 = IterationDriver(
+        spark, run_id="cc", checkpoint_dir=str(tmp_path / "r"), mode="parquet", keyed_state=False
+    )
+    connected_components(spark, edges, driver=d1, max_iterations=2)
+    assert d1.latest_complete_iteration() == 2
+    d2 = IterationDriver(
+        spark, run_id="cc", checkpoint_dir=str(tmp_path / "r"), mode="parquet", keyed_state=False
+    )
+    resumed = {
+        r.id: r.component
+        for r in connected_components(spark, edges, driver=d2, resume=True).collect()
+    }
+    assert resumed == full
