@@ -106,6 +106,7 @@ from sbm_communitydetection_spark.textops import multimodal as TM  # noqa: E402
 from sbm_communitydetection_spark.textops import pipeline as TP  # noqa: E402
 from sbm_communitydetection_spark.textops import similarity as TS  # noqa: E402
 from sbm_communitydetection_spark.textops import bm25 as BM  # noqa: E402
+from sbm_communitydetection_spark.textops import textrank as TR  # noqa: E402
 from sbm_communitydetection_spark.operators import wl as WL  # noqa: E402
 
 PR_ITERS = 5
@@ -1711,6 +1712,13 @@ def _q_bm25_topk(spark, sf_dir):
     return BM.bm25_topk(docs, qs, k=10)
 
 
+def _q_textrank_keywords(spark, sf_dir):
+    """TextRank corpus keywords: vocabulary-bounded co-occurrence graph
+    (one corpus pass), fixed-iteration weighted PageRank via the
+    full-scale operator, rounded-then-ranked top-k."""
+    return TR.textrank_keywords(spark, _docs(spark, sf_dir), k=50, n_iterations=5)
+
+
 def _events(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 
@@ -2014,6 +2022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wl_refinement": _q_wl_refinement,  # structural-fingerprint colors
         "bm25_topk": _q_bm25_topk,  # retrieval scoring / hard-negative mining
         "coreness": _q_coreness,  # full core decomposition (h-index rounds)
+        "textrank_keywords": _q_textrank_keywords,  # text×graph composition
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2521,6 +2530,7 @@ WITH injected AS (
         "token_pmi": TA.token_pmi_sql(min_count=20),
         "wl_refinement": edges_cte + ",\n" + WL.wl_refinement_sql(WL_ROUNDS),
         "bm25_topk": BM.bm25_topk_sql(k=10),
+        "textrank_keywords": TR.textrank_keywords_sql(k=50, n_iterations=5),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

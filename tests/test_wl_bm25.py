@@ -183,3 +183,42 @@ def test_coreness_fixed_rounds_converges_on_micro_graph(spark):
     }
     free = {r.id: r.coreness for r in coreness(spark, _edges(spark, pairs)).collect()}
     assert fixed == free
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    """A word co-occurring with every other word (hub) must out-rank the
+    leaf words, and the output honors k."""
+    from sbm_communitydetection_spark.textops.textrank import textrank_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "core alpha core beta core gamma"),
+            (2, "core alpha core beta"),
+            (3, "core gamma core alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    out = textrank_keywords(
+        spark, docs, k=3, n_iterations=5, min_pair_count=1
+    ).collect()
+    assert len(out) == 3
+    assert out[0].word == "core"
+    ranks = [r.rank for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_textrank_cooccurrence_edges_symmetrize_and_prune(spark):
+    """Pair weight counts unordered co-occurrences; min_pair_count prunes;
+    both directions are emitted."""
+    from sbm_communitydetection_spark.textops.textrank import (
+        word_cooccurrence_edges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "b a")],
+        "doc_id long, text string",
+    )
+    # adjacent pairs: (a,b)x2 + (b,a)x1 + (b,c)x1 from doc1, (b,a)x1 from doc2
+    # → canonical {a,b}=4, {b,c}=1
+    rows = {(r.src, r.dst): r.weight for r in word_cooccurrence_edges(docs, 2).collect()}
+    assert rows == {("a", "b"): 4.0, ("b", "a"): 4.0}
