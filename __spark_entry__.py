@@ -1712,6 +1712,15 @@ def _q_bm25_topk(spark, sf_dir):
     return BM.bm25_topk(docs, qs, k=10)
 
 
+def _q_turn_segments(spark, sf_dir):
+    """TextTiling-style topic segmentation: consecutive-turn token
+    Jaccard below 0.1 opens a new segment; per-segment rollup."""
+    from sbm_communitydetection_spark.operators.extract import turn_segments
+    from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
+
+    return turn_segments(events_transcripts(spark, sf_dir), threshold=0.1)
+
+
 def _q_textrank_keywords(spark, sf_dir):
     """TextRank corpus keywords: vocabulary-bounded co-occurrence graph
     (one corpus pass), fixed-iteration weighted PageRank via the
@@ -2023,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,  # retrieval scoring / hard-negative mining
         "coreness": _q_coreness,  # full core decomposition (h-index rounds)
         "textrank_keywords": _q_textrank_keywords,  # text×graph composition
+        "turn_segments": _q_turn_segments,  # lexical-cohesion topic cuts
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2531,6 +2541,7 @@ WITH injected AS (
         "wl_refinement": edges_cte + ",\n" + WL.wl_refinement_sql(WL_ROUNDS),
         "bm25_topk": BM.bm25_topk_sql(k=10),
         "textrank_keywords": TR.textrank_keywords_sql(k=50, n_iterations=5),
+        "turn_segments": ET.turn_segments_oracle_sql(threshold=0.1),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

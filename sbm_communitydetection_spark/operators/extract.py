@@ -672,6 +672,52 @@ def conv_entropy(transcripts: DataFrame) -> DataFrame:
 
 
 
+def turn_segments(transcripts: DataFrame, threshold: float = 0.1) -> DataFrame:
+    """(conv_id, segment, n_turns, start_idx, end_idx) — topic
+    segmentation of each conversation: a new segment starts where the
+    token-set Jaccard between consecutive turns drops below
+    ``threshold`` (TextTiling-style lexical-cohesion break, Hearst '97).
+    Long-context SFT assembly cuts conversations at these boundaries
+    instead of mid-topic, and segment counts feed the curation
+    keep-list (single-segment = focused, many-segment = drift).
+
+    Scale shape: one window partitioned by conv_id (conversations are
+    small, so the per-partition sort is bounded), one lag, one running
+    sum over the same window spec — all three reuse ONE exchange — then
+    a (conv_id, segment)-keyed hash aggregate.  Array ops are JVM
+    higher-order functions; no Python, no self-join.  The Jaccard is an
+    exact int/int division, so the threshold compare is
+    engine-deterministic without rounding."""
+    toks = F.array_distinct(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        transcripts.select("conv_id", "turn_idx", toks.alias("toks"))
+        .withColumn("prev", F.lag("toks").over(w))
+    )
+    inter = F.size(F.array_intersect("toks", "prev")).cast("double")
+    uni = F.size(F.array_union("toks", "prev"))
+    jac = F.when(uni == 0, F.lit(1.0)).otherwise(inter / uni)
+    boundary = (
+        F.when(F.col("prev").isNull(), F.lit(0))
+        .when(jac < threshold, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    seg = F.sum(boundary).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("segment", seg.cast("long"))
+        .groupBy("conv_id", "segment")
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.min("turn_idx").alias("start_idx"),
+            F.max("turn_idx").alias("end_idx"),
+        )
+    )
+
+
 LATENCY_QS = (0.5, 0.9, 0.99)
 
 

@@ -456,6 +456,54 @@ def conv_entropy_oracle_sql() -> str:
     )
 
 
+def turn_segments_oracle_sql(threshold: float = 0.1) -> str:
+    """DuckDB twin of operators.extract.turn_segments — same lag-window
+    Jaccard and running boundary sum; the int/int Jaccard division makes
+    the threshold compare engine-deterministic."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + f""",
+    tk AS (
+        SELECT conv_id, turn_idx,
+               list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))
+                   AS toks
+        FROM transcripts
+    ),
+    lagged AS (
+        SELECT conv_id, turn_idx, toks,
+               LAG(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+        FROM tk
+    ),
+    flags AS (
+        SELECT conv_id, turn_idx,
+               CASE
+                   WHEN prev IS NULL THEN 0
+                   WHEN len(list_distinct(list_concat(toks, prev))) = 0 THEN 0
+                   WHEN len(list_intersect(toks, prev))::DOUBLE
+                        / len(list_distinct(list_concat(toks, prev)))
+                        < {threshold} THEN 1
+                   ELSE 0
+               END AS b
+        FROM lagged
+    ),
+    seg AS (
+        SELECT conv_id,
+               (SUM(b) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS segment,
+               turn_idx
+        FROM flags
+    )
+    SELECT conv_id, segment,
+           COUNT(*)::BIGINT AS n_turns,
+           MIN(turn_idx)::INT AS start_idx,
+           MAX(turn_idx)::INT AS end_idx
+    FROM seg
+    GROUP BY conv_id, segment
+    """
+    )
+
+
 def latency_quantiles_oracle_sql(qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> str:
     """DuckDB twin of operators.extract.latency_quantiles."""
     qvals = ", ".join(f"({q})" for q in qs)

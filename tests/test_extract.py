@@ -374,3 +374,29 @@ def test_retention_cohorts_week_offsets(spark):
            for r in retention_cohorts(events).collect()}
     (w,) = {k[0] for k in out}
     assert out == {(w, 0): 2, (w, 2): 1}
+
+
+def test_turn_segments_cuts_on_lexical_shift(spark):
+    """Turns 0-1 share tokens (jac 1/3 ≥ 0.1 threshold → same segment);
+    turn 2 is disjoint (jac 0 → new segment). Singleton conv stays one
+    segment."""
+    from sbm_communitydetection_spark.operators.extract import turn_segments
+
+    rows = [
+        ("c1", 0, "user", "alpha beta", None, 0),
+        ("c1", 1, "agent", "beta gamma", None, 1),
+        ("c1", 2, "user", "delta epsilon", None, 2),
+        ("c2", 0, "user", "solo", None, 0),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts long"
+    ).withColumn("ts", F.timestamp_millis(F.col("ts")))
+    out = {
+        (r.conv_id, r.segment): (r.n_turns, r.start_idx, r.end_idx)
+        for r in turn_segments(t, threshold=0.1).collect()
+    }
+    assert out == {
+        ("c1", 0): (2, 0, 1),
+        ("c1", 1): (1, 2, 2),
+        ("c2", 0): (1, 0, 0),
+    }
