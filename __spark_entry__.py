@@ -107,6 +107,7 @@ from sbm_communitydetection_spark.textops import pipeline as TP  # noqa: E402
 from sbm_communitydetection_spark.textops import similarity as TS  # noqa: E402
 from sbm_communitydetection_spark.textops import bm25 as BM  # noqa: E402
 from sbm_communitydetection_spark.textops import textrank as TR  # noqa: E402
+from sbm_communitydetection_spark.operators import partition_audit as PA  # noqa: E402
 from sbm_communitydetection_spark.operators import wl as WL  # noqa: E402
 
 PR_ITERS = 5
@@ -1712,6 +1713,18 @@ def _q_bm25_topk(spark, sf_dir):
     return BM.bm25_topk(docs, qs, k=10)
 
 
+def _q_partition_quality(spark, sf_dir):
+    """Per-partition cut/balance/communication-volume audit of a
+    portable-hash vertex layout over the link graph."""
+    from sbm_communitydetection_spark.operators.partition_audit import (
+        hash_partition_assignment,
+        partition_quality,
+    )
+
+    e = lineitem_edges(spark, sf_dir)
+    return partition_quality(e, hash_partition_assignment(e, num_parts=8))
+
+
 def _q_turn_segments(spark, sf_dir):
     """TextTiling-style topic segmentation: consecutive-turn token
     Jaccard below 0.1 opens a new segment; per-segment rollup."""
@@ -2033,6 +2046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness": _q_coreness,  # full core decomposition (h-index rounds)
         "textrank_keywords": _q_textrank_keywords,  # text×graph composition
         "turn_segments": _q_turn_segments,  # lexical-cohesion topic cuts
+        "partition_quality": _q_partition_quality,  # layout cost audit
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2542,6 +2556,7 @@ WITH injected AS (
         "bm25_topk": BM.bm25_topk_sql(k=10),
         "textrank_keywords": TR.textrank_keywords_sql(k=50, n_iterations=5),
         "turn_segments": ET.turn_segments_oracle_sql(threshold=0.1),
+        "partition_quality": edges_cte + ",\n" + PA.partition_quality_sql(num_parts=8),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

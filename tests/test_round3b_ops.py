@@ -730,3 +730,39 @@ def test_source_health_report_rollup(spark):
     assert abs(got["crawl"].dup_rate - 1 / 3) < 1e-5
     assert got["books"].n_exact_dups == 0
     assert got["books"].top_lang == "es"  # plurality 2 es vs 1 en
+
+
+def test_partition_quality_counts_cut_and_volume(spark):
+    """2-part hand layout: vertices {1,2}→p0, {3}→p1. Edges (sym, w=1):
+    1-2 internal to p0; 2-3 cut. p0: internal_w=2 (both directions),
+    cut_w=1, volume=1 (vertex 2 → p1). p1: internal 0, cut 1, volume 1."""
+    from sbm_communitydetection_spark.operators.partition_audit import (
+        partition_quality,
+    )
+
+    pairs = [(1, 2), (2, 3)]
+    rows = [(s, d, 1) for s, d in pairs] + [(d, s, 1) for s, d in pairs]
+    edges = spark.createDataFrame(rows, "src long, dst long, weight long")
+    assign = spark.createDataFrame(
+        [(1, 0), (2, 0), (3, 1)], "id long, part long"
+    )
+    got = {
+        r.part: (r.n_vertices, r.internal_w, r.cut_w, r.comm_volume)
+        for r in partition_quality(edges, assign).collect()
+    }
+    assert got == {0: (2, 2, 1, 1), 1: (1, 0, 1, 1)}
+
+
+def test_hash_partition_assignment_is_deterministic_and_total(spark):
+    from sbm_communitydetection_spark.operators.partition_audit import (
+        hash_partition_assignment,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 1)], "src long, dst long, weight long"
+    )
+    a1 = {r.id: r.part for r in hash_partition_assignment(edges, 4).collect()}
+    a2 = {r.id: r.part for r in hash_partition_assignment(edges, 4).collect()}
+    assert a1 == a2
+    assert set(a1) == {1, 2, 3}
+    assert all(0 <= p < 4 for p in a1.values())
