@@ -1713,6 +1713,12 @@ def _q_bm25_topk(spark, sf_dir):
     return BM.bm25_topk(docs, qs, k=10)
 
 
+def _q_split_leakage(spark, sf_dir):
+    """Cross-split near-dup contamination audit: banded-SimHash pairs
+    whose members drew different train/val/test coins."""
+    return TP.split_leakage(_docs(spark, sf_dir), max_hamming=3)
+
+
 def _q_partition_quality(spark, sf_dir):
     """Per-partition cut/balance/communication-volume audit of a
     portable-hash vertex layout over the link graph."""
@@ -2047,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_keywords": _q_textrank_keywords,  # text×graph composition
         "turn_segments": _q_turn_segments,  # lexical-cohesion topic cuts
         "partition_quality": _q_partition_quality,  # layout cost audit
+        "split_leakage": _q_split_leakage,  # cross-split contamination
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2557,6 +2564,7 @@ WITH injected AS (
         "textrank_keywords": TR.textrank_keywords_sql(k=50, n_iterations=5),
         "turn_segments": ET.turn_segments_oracle_sql(threshold=0.1),
         "partition_quality": edges_cte + ",\n" + PA.partition_quality_sql(num_parts=8),
+        "split_leakage": TP.split_leakage_sql(max_hamming=3),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -171,3 +171,89 @@ def source_health_report_sql(table: str = "documents") -> str:
     )
     SELECT agg.*, tl.top_lang FROM agg JOIN tl USING (source)
     """
+
+
+def doc_split_assignment(docs: DataFrame, val_permille: int = 50,
+                         test_permille: int = 50, seed: int = 13) -> DataFrame:
+    """(doc_id, split) — document-level train/val/test coin, same
+    portable-hash scheme as extract.holdout_split (conversation level):
+    reproducible across runs AND engines, zero shuffles (rides the scan)."""
+    from .portable import md5_long
+
+    coin = md5_long(
+        F.concat_ws(":", F.lit(str(seed)), F.col("doc_id").cast("string"))
+    ) % 1000
+    return docs.select(
+        "doc_id",
+        F.when(coin < val_permille, F.lit("val"))
+        .when(coin < val_permille + test_permille, F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def split_leakage(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    seed: int = 13,
+) -> DataFrame:
+    """(a, b, hamming, split_a, split_b) — near-duplicate document pairs
+    whose members land in DIFFERENT holdout splits: the train→eval
+    contamination a random split silently bakes in (Dodge et al. 2021
+    C4 audit; the reason dedup must run BEFORE splitting).  Empty output
+    = the split is leakage-clean at this Hamming radius.
+
+    Scale shape: banded-SimHash candidates (pigeonhole total recall, no
+    all-pairs join) + two broadcastable split-coin joins keyed on doc_id
+    — the coin table is pure column math on the scan, so the only
+    shuffle is the LSH bucket join already inside the dedup primitive."""
+    from .dedup import simhash_banded_dup_pairs
+
+    pairs = simhash_banded_dup_pairs(docs, max_hamming=max_hamming)
+    s = doc_split_assignment(docs, val_permille, test_permille, seed)
+    sa = s.select(F.col("doc_id").alias("a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "hamming", "split_a", "split_b")
+    )
+
+
+def split_leakage_sql(
+    table: str = "documents",
+    max_hamming: int = 3,
+    val_permille: int = 50,
+    test_permille: int = 50,
+    seed: int = 13,
+) -> str:
+    """DuckDB twin: exact all-pairs SimHash (the banded op's oracle
+    equivalence is already driver-gated) + the same split coin."""
+    from .dedup import simhash_sql
+    from .portable import md5_long_sql
+
+    coin = md5_long_sql(f"'{seed}:' || CAST(doc_id AS VARCHAR)") + " % 1000"
+    return f"""
+    WITH fp AS ({simhash_sql(table)}),
+    pairs AS (
+        SELECT l.doc_id AS a, r.doc_id AS b,
+               bit_count(xor(l.simhash, r.simhash)) AS hamming
+        FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+        WHERE bit_count(xor(l.simhash, r.simhash)) <= {max_hamming}
+    ),
+    coin AS (
+        SELECT doc_id,
+               CASE WHEN {coin} < {val_permille} THEN 'val'
+                    WHEN {coin} < {val_permille + test_permille} THEN 'test'
+                    ELSE 'train' END AS split
+        FROM {table}
+    )
+    SELECT p.a, p.b, p.hamming, ca.split AS split_a, cb.split AS split_b
+    FROM pairs p
+    JOIN coin ca ON p.a = ca.doc_id
+    JOIN coin cb ON p.b = cb.doc_id
+    WHERE ca.split <> cb.split
+    """

@@ -589,3 +589,56 @@ def test_cross_source_dup_matrix_flags_leak(spark):
     got = {(r.source_a, r.source_b): r.n_pairs
            for r in TD.cross_source_dup_matrix(docs).collect()}
     assert got == {("eval", "train"): 1}
+
+
+def test_split_leakage_flags_cross_split_dups_only(spark):
+    """Four identical docs → all 6 pairs are Hamming-0 dups; leakage rows
+    are exactly the pairs whose portable-hash coins land in different
+    splits (expected set computed with the same md5 coin in Python)."""
+    import hashlib
+
+    from sbm_communitydetection_spark.textops.pipeline import split_leakage
+
+    ids = [1, 2, 3, 4]
+    docs = spark.createDataFrame(
+        [(i, "the same exact text for everyone") for i in ids],
+        "doc_id long, text string",
+    )
+
+    def coin_split(doc_id, val=300, test=300, seed=13):
+        c = int(hashlib.md5(f"{seed}:{doc_id}".encode()).hexdigest()[:15], 16) % 1000
+        return "val" if c < val else ("test" if c < val + test else "train")
+
+    splits = {i: coin_split(i) for i in ids}
+    expected = {
+        (a, b)
+        for a in ids
+        for b in ids
+        if a < b and splits[a] != splits[b]
+    }
+    got = {
+        (r.a, r.b)
+        for r in split_leakage(
+            docs, max_hamming=0, val_permille=300, test_permille=300
+        ).collect()
+    }
+    assert got == expected
+    assert all(
+        r.split_a != r.split_b
+        for r in split_leakage(
+            docs, max_hamming=0, val_permille=300, test_permille=300
+        ).collect()
+    )
+
+
+def test_split_leakage_empty_when_single_split(spark):
+    from sbm_communitydetection_spark.textops.pipeline import split_leakage
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa bb cc")], "doc_id long, text string"
+    )
+    # val=0, test=0 → everything lands in train → no cross-split pair
+    assert (
+        split_leakage(docs, max_hamming=0, val_permille=0, test_permille=0).count()
+        == 0
+    )
