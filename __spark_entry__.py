@@ -1713,6 +1713,14 @@ def _q_bm25_topk(spark, sf_dir):
     return BM.bm25_topk(docs, qs, k=10)
 
 
+def _q_hard_negative_pairs(spark, sf_dir):
+    """Contrastive hard-negative mining: coarse-band SimHash collisions
+    that verify as non-duplicates (4 <= hamming <= 20)."""
+    return TD.hard_negative_pairs(
+        _docs(spark, sf_dir), min_hamming=4, max_hamming=20, n_bands=4
+    )
+
+
 def _q_split_leakage(spark, sf_dir):
     """Cross-split near-dup contamination audit: banded-SimHash pairs
     whose members drew different train/val/test coins."""
@@ -2054,6 +2062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turn_segments": _q_turn_segments,  # lexical-cohesion topic cuts
         "partition_quality": _q_partition_quality,  # layout cost audit
         "split_leakage": _q_split_leakage,  # cross-split contamination
+        "hard_negative_pairs": _q_hard_negative_pairs,  # contrastive mining
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2565,6 +2574,9 @@ WITH injected AS (
         "turn_segments": ET.turn_segments_oracle_sql(threshold=0.1),
         "partition_quality": edges_cte + ",\n" + PA.partition_quality_sql(num_parts=8),
         "split_leakage": TP.split_leakage_sql(max_hamming=3),
+        "hard_negative_pairs": TD.hard_negative_pairs_sql(
+            min_hamming=4, max_hamming=20, n_bands=4
+        ),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -526,14 +526,30 @@ def simhash_banded_dup_pairs(
             f"banded recall guarantee needs max_hamming <= n_bands-1 "
             f"(got max_hamming={max_hamming}, n_bands={n_bands})"
         )
-    if n_bands > bits:
-        raise ValueError(f"n_bands={n_bands} exceeds fingerprint bits={bits}")
-    # uneven slicing: the first (bits % n_bands) bands are one bit wider,
-    # covering all `bits` bits exactly once — pigeonhole holds regardless
-    # of band widths
+    cands = simhash_band_candidates(docs, n_bands=n_bands, bits=bits)
+    return cands.filter(F.col("hamming") <= max_hamming)
+
+
+def simhash_band_layout(bits: int, n_bands: int) -> tuple[list[int], list[int]]:
+    """(widths, offsets) of the disjoint bit slices — uneven slicing: the
+    first (bits % n_bands) bands are one bit wider, covering all `bits`
+    bits exactly once, so the pigeonhole guarantee holds regardless."""
     base, extra = divmod(bits, n_bands)
     widths = [base + (1 if j < extra else 0) for j in range(n_bands)]
     offsets = [sum(widths[:j]) for j in range(n_bands)]
+    return widths, offsets
+
+
+def simhash_band_candidates(
+    docs: DataFrame, n_bands: int, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(a, b, hamming) — all pairs sharing AT LEAST ONE SimHash band
+    slice, with their exact Hamming distance.  The shared candidate
+    stage: the dup path keeps hamming <= max_hamming; the hard-negative
+    miner keeps the band-colliding NON-dups."""
+    if n_bands > bits:
+        raise ValueError(f"n_bands={n_bands} exceeds fingerprint bits={bits}")
+    widths, offsets = simhash_band_layout(bits, n_bands)
     fp = simhash(docs, bits)
     keys = F.array(
         *[
@@ -551,7 +567,57 @@ def simhash_banded_dup_pairs(
         .distinct()  # a pair may collide on several bands
     )
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
-    return cands.select("a", "b", ham.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+    return cands.select("a", "b", ham.alias("hamming"))
+
+
+def hard_negative_pairs(
+    docs: DataFrame,
+    min_hamming: int = 4,
+    max_hamming: int = 20,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """(a, b, hamming) — contrastive-training hard negatives: document
+    pairs that COLLIDE on a coarse SimHash band (so a retrieval system
+    would confuse them) yet verify as non-duplicates (hamming >=
+    min_hamming).  Exactly the "looks similar, isn't" set embedding
+    trainers mine for in-batch negatives; the easy negatives (no band
+    collision) never materialize.
+
+    Same plan shape as the dup path — the banding join IS the miner;
+    only the final hamming window differs (min <= h <= max)."""
+    if min_hamming < 1:
+        raise ValueError("min_hamming must be >= 1 (0 is a duplicate, not a negative)")
+    cands = simhash_band_candidates(docs, n_bands=n_bands, bits=bits)
+    return cands.filter(
+        (F.col("hamming") >= min_hamming) & (F.col("hamming") <= max_hamming)
+    )
+
+
+def hard_negative_pairs_sql(
+    table: str = "documents",
+    min_hamming: int = 4,
+    max_hamming: int = 20,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+) -> str:
+    """DuckDB twin: exact all-pairs with the same band-collision
+    predicate (OR over the fixed slice layout) and hamming window."""
+    widths, offsets = simhash_band_layout(bits, n_bands)
+    band_eq = " OR ".join(
+        f"((l.simhash >> {offsets[j]}) & {(1 << widths[j]) - 1}) = "
+        f"((r.simhash >> {offsets[j]}) & {(1 << widths[j]) - 1})"
+        for j in range(n_bands)
+    )
+    inner = simhash_sql(table, bits)
+    return f"""
+    WITH fp AS ({inner})
+    SELECT l.doc_id AS a, r.doc_id AS b,
+           bit_count(xor(l.simhash, r.simhash)) AS hamming
+    FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+    WHERE ({band_eq})
+      AND bit_count(xor(l.simhash, r.simhash)) BETWEEN {min_hamming} AND {max_hamming}
+    """
 
 
 # ---------------------------------------------------------------------------

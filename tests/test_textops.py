@@ -642,3 +642,31 @@ def test_split_leakage_empty_when_single_split(spark):
         split_leakage(docs, max_hamming=0, val_permille=0, test_permille=0).count()
         == 0
     )
+
+
+def test_hard_negative_pairs_window_semantics(spark):
+    """Identical docs (hamming 0) are never negatives; with 60 one-bit
+    bands every pair differing in < 60 bits collides somewhere, so the
+    output is exactly the non-identical pairs within the window."""
+    import pytest as _pytest
+
+    from sbm_communitydetection_spark.textops.dedup import hard_negative_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # dup of 1 → excluded
+            (3, "alpha beta gamma zeta"),   # near 1 → small hamming
+            (4, "xx yy zz ww qq"),          # far from all
+        ],
+        "doc_id long, text string",
+    )
+    rows = hard_negative_pairs(
+        docs, min_hamming=1, max_hamming=60, n_bands=60
+    ).collect()
+    got = {(r.a, r.b) for r in rows}
+    assert (1, 2) not in got  # exact dup filtered by min_hamming
+    assert (1, 3) in got and (2, 3) in got
+    assert all(1 <= r.hamming <= 60 for r in rows)
+    with _pytest.raises(ValueError):
+        hard_negative_pairs(docs, min_hamming=0)
