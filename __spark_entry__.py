@@ -108,6 +108,9 @@ from sbm_communitydetection_spark.textops import similarity as TS  # noqa: E402
 from sbm_communitydetection_spark.textops import bm25 as BM  # noqa: E402
 from sbm_communitydetection_spark.textops import textrank as TR  # noqa: E402
 from sbm_communitydetection_spark.operators import partition_audit as PA  # noqa: E402
+from sbm_communitydetection_spark.operators.triangles import (  # noqa: E402
+    four_clique_count_sql as _four_clique_sql,
+)
 from sbm_communitydetection_spark.operators import wl as WL  # noqa: E402
 
 PR_ITERS = 5
@@ -1713,6 +1716,14 @@ def _q_bm25_topk(spark, sf_dir):
     return BM.bm25_topk(docs, qs, k=10)
 
 
+def _q_four_clique_count(spark, sf_dir):
+    """K4 motif count: oriented triangle list extended from its
+    degeneracy-bounded lowest vertex, two semi-join closure checks."""
+    from sbm_communitydetection_spark.operators.triangles import four_clique_count
+
+    return four_clique_count(lineitem_edges(spark, sf_dir))
+
+
 def _q_hard_negative_pairs(spark, sf_dir):
     """Contrastive hard-negative mining: coarse-band SimHash collisions
     that verify as non-duplicates (4 <= hamming <= 20)."""
@@ -2063,6 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_quality": _q_partition_quality,  # layout cost audit
         "split_leakage": _q_split_leakage,  # cross-split contamination
         "hard_negative_pairs": _q_hard_negative_pairs,  # contrastive mining
+        "four_clique_count": _q_four_clique_count,  # K4 motif census
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2577,6 +2589,7 @@ WITH injected AS (
         "hard_negative_pairs": TD.hard_negative_pairs_sql(
             min_hamming=4, max_hamming=20, n_bands=4
         ),
+        "four_clique_count": edges_cte + ",\n" + _four_clique_sql(),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

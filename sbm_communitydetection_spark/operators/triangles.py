@@ -382,3 +382,58 @@ SELECT COUNT(*)::BIGINT AS sampled_triangles,
 FROM spairs p1
 JOIN spairs p2 ON p1.b = p2.a
 JOIN spairs p3 ON p3.a = p1.a AND p3.b = p2.b"""
+
+
+# ---------------------------------------------------------------------------
+# 4-cliques (motif family one step up from triangles)
+# ---------------------------------------------------------------------------
+
+
+def four_clique_count(edges: DataFrame) -> DataFrame:
+    """Single-row (four_cliques) — K4 count over the undirected simple
+    graph.  Community cores and templated boilerplate both show up as
+    K4-dense regions; the K4/triangle ratio is a standard
+    higher-order-clustering probe (Yin et al., KDD'17 motif framework).
+
+    Counting scheme: every K4 has a unique TOP vertex d in the
+    degree-(then id) orientation order; the other three form exactly one
+    oriented triangle (x→y→z).  So: extend each listed triangle from its
+    LOWEST vertex x (whose out-degree is degeneracy-bounded — the same
+    skew-taming trick as triangle_list), then keep candidates where y→d
+    and z→d also exist (two semi-joins).  Per-candidate cost is
+    O(Σ_tri outdeg(x)), never hub-quadratic, and each K4 is counted
+    exactly once.
+    """
+    o = _oriented(edges)
+    tris = triangle_list(edges)
+    cand = tris.join(o.select(F.col("lo").alias("x"), F.col("hi").alias("d")), "x")
+    e_yd = o.select(F.col("lo").alias("y"), F.col("hi").alias("d"))
+    e_zd = o.select(F.col("lo").alias("z"), F.col("hi").alias("d"))
+    quads = cand.join(e_yd, ["y", "d"], "left_semi").join(
+        e_zd, ["z", "d"], "left_semi"
+    )
+    return quads.agg(F.count("*").cast("long").alias("four_cliques"))
+
+
+def four_clique_count_sql() -> str:
+    """DuckDB twin over an `edges(src, dst, weight)` CTE: canonical
+    a<b<c<d enumeration via triangle materialization + one-vertex
+    extension (the naive 6-way self-join is quadratic in the dense
+    core; this mirrors the Spark plan's triangle-first shape)."""
+    return """
+    und AS MATERIALIZED (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN und bc ON bc.u = e1.v AND bc.v = e2.v
+    )
+    SELECT COUNT(*)::BIGINT AS four_cliques
+    FROM tri t
+    JOIN und cd ON cd.u = t.c                  -- d > c by construction
+    JOIN und bd ON bd.u = t.b AND bd.v = cd.v  -- (b, d)
+    JOIN und ad ON ad.u = t.a AND ad.v = cd.v  -- (a, d)
+    """

@@ -589,3 +589,25 @@ def test_rich_club_star_vs_clique(spark):
            for r in rich_club(symmetrize(e), ks=(2, 100)).collect()}
     assert got[2] == (4, 6, 1.0)
     assert got[100] == (0, 0, 0.0)  # empty club still emits a row
+
+
+def test_four_cliques_known_graphs(spark):
+    """K5 has C(5,4)=5 four-cliques; K4 + pendant vertex has exactly 1;
+    a 4-cycle (no chords) has 0."""
+    from sbm_communitydetection_spark.operators.triangles import four_clique_count
+
+    def g(pairs):
+        return symmetrize(
+            spark.createDataFrame(
+                [(a, b, 1) for a, b in pairs], "src long, dst long, weight long"
+            )
+        )
+
+    k5 = [(a, b) for a in range(5) for b in range(5) if a < b]
+    assert four_clique_count(g(k5)).collect()[0].four_cliques == 5
+
+    k4_pendant = [(a, b) for a in range(4) for b in range(4) if a < b] + [(3, 9)]
+    assert four_clique_count(g(k4_pendant)).collect()[0].four_cliques == 1
+
+    c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    assert four_clique_count(g(c4)).collect()[0].four_cliques == 0
