@@ -111,6 +111,9 @@ from sbm_communitydetection_spark.operators import partition_audit as PA  # noqa
 from sbm_communitydetection_spark.operators.triangles import (  # noqa: E402
     four_clique_count_sql as _four_clique_sql,
 )
+from sbm_communitydetection_spark.textops.fusion import (  # noqa: E402
+    rrf_fused_topk_sql as _rrf_sql,
+)
 from sbm_communitydetection_spark.operators import wl as WL  # noqa: E402
 
 PR_ITERS = 5
@@ -1716,6 +1719,18 @@ def _q_bm25_topk(spark, sf_dir):
     return BM.bm25_topk(docs, qs, k=10)
 
 
+def _q_rrf_fused_topk(spark, sf_dir):
+    """Hybrid retrieval: RRF fusion of the BM25 lexical ranking and the
+    embedding-cosine semantic ranking for the deterministic query set."""
+    from sbm_communitydetection_spark.textops.fusion import rrf_fused_topk
+
+    docs = _docs(spark, sf_dir)
+    qs = docs.filter(F.col("doc_id") % 97 == 3).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    return rrf_fused_topk(docs, _embs(spark, sf_dir), qs, k=10, depth=20)
+
+
 def _q_four_clique_count(spark, sf_dir):
     """K4 motif count: oriented triangle list extended from its
     degeneracy-bounded lowest vertex, two semi-join closure checks."""
@@ -2075,6 +2090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_leakage": _q_split_leakage,  # cross-split contamination
         "hard_negative_pairs": _q_hard_negative_pairs,  # contrastive mining
         "four_clique_count": _q_four_clique_count,  # K4 motif census
+        "rrf_fused_topk": _q_rrf_fused_topk,  # hybrid-retrieval fusion
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2590,6 +2606,7 @@ WITH injected AS (
             min_hamming=4, max_hamming=20, n_bands=4
         ),
         "four_clique_count": edges_cte + ",\n" + _four_clique_sql(),
+        "rrf_fused_topk": _rrf_sql(k=10, depth=20),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -670,3 +670,38 @@ def test_hard_negative_pairs_window_semantics(spark):
     assert all(1 <= r.hamming <= 60 for r in rows)
     with _pytest.raises(ValueError):
         hard_negative_pairs(docs, min_hamming=0)
+
+
+def test_rrf_fusion_rewards_agreement(spark):
+    """A doc ranked well by BOTH lists must out-score a doc that tops
+    only one list (the RRF property: 2/(60+r) beats 1/(60+1) for small
+    r). Fixture: doc 2 is lexically AND semantically close to query 0;
+    doc 1 is only lexically close; doc 3 only semantically close."""
+    from sbm_communitydetection_spark.textops.fusion import rrf_fused_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry"),
+            (1, "apple banana zebra"),     # lexical overlap only
+            (2, "apple banana cherry"),    # identical text + same vector
+            (3, "xx yy zz"),               # no lexical overlap
+        ],
+        "doc_id long, text string",
+    )
+    embs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.0, 1.0], 0),            # orthogonal to query
+            (2, [1.0, 0.1], 0),            # near query
+            (3, [0.9, 0.2], 0),            # near query
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    qs = docs.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    rows = rrf_fused_topk(docs, embs, qs, k=4, depth=4).collect()
+    scores = {r.doc_id: r.rrf for r in rows}
+    assert scores[2] == max(scores.values())  # both-list winner
+    assert 1 in scores and 3 in scores        # single-list docs still present
+    assert scores[2] > scores[1] and scores[2] > scores[3]
