@@ -205,3 +205,80 @@ def props_field_stats_sql(table: str = "events", field: str = "k") -> str:
     )
     GROUP BY event_type
     """
+
+
+HOUR_MS = 3_600_000
+
+
+def event_anomalies(
+    events: DataFrame, z: int = 3, min_windows: int = 5, window_ms: int = HOUR_MS
+) -> DataFrame:
+    """(user_id, window_start, cnt, n_windows) — per-user activity BURSTS:
+    fixed event-time windows where the user's event count exceeds their
+    own mean by more than ``z`` standard deviations (abuse / runaway-agent
+    / scraper signature; the per-user baseline makes heavy-but-steady
+    users quiet).
+
+    The z-test runs in EXACT integer arithmetic so the flag decision is
+    engine-deterministic with no float rounding anywhere:
+
+        cnt > μ + z·σ   ⟺   n·cnt − s > 0  AND
+                            (n·cnt − s)² > z²·(n·ss − s²)
+
+    with s = Σcnt, ss = Σcnt² over the user's n active windows (population
+    σ over active windows — silence is baseline, not signal).
+
+    Scale shape: one (user, window) count aggregate, one user-keyed
+    moment aggregate (both map-side combinable), one join back keyed on
+    user_id — the same two-aggregate shape as retention_cohorts; no
+    windows over the event stream, no Python.
+    """
+    win = (
+        F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / window_ms).cast("long")
+        * window_ms
+    )
+    wc = events.groupBy("user_id", win.alias("window_start")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = wc.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("ss"),
+    )
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        wc.join(stats, "user_id")
+        .filter(
+            (F.col("n") >= min_windows)
+            & (dev > 0)
+            & (dev * dev > F.lit(z * z) * var_n2)
+        )
+        .select("user_id", "window_start", "cnt", F.col("n").alias("n_windows"))
+    )
+
+
+def event_anomalies_sql(
+    table: str = "events", z: int = 3, min_windows: int = 5, window_ms: int = HOUR_MS
+) -> str:
+    return f"""
+    WITH wc AS (
+        SELECT user_id,
+               CAST(FLOOR(epoch_ms(ts) / {window_ms}) AS BIGINT) * {window_ms}
+                   AS window_start,
+               COUNT(*)::BIGINT AS cnt
+        FROM {table}
+        GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT user_id, COUNT(*)::BIGINT AS n, SUM(cnt)::BIGINT AS s,
+               SUM(cnt * cnt)::BIGINT AS ss
+        FROM wc GROUP BY user_id
+    )
+    SELECT w.user_id, w.window_start, w.cnt, st.n AS n_windows
+    FROM wc w JOIN stats st ON w.user_id = st.user_id
+    WHERE st.n >= {min_windows}
+      AND (st.n * w.cnt - st.s) > 0
+      AND (st.n * w.cnt - st.s) * (st.n * w.cnt - st.s)
+          > {z * z} * (st.n * st.ss - st.s * st.s)
+    """

@@ -766,3 +766,35 @@ def test_hash_partition_assignment_is_deterministic_and_total(spark):
     assert a1 == a2
     assert set(a1) == {1, 2, 3}
     assert all(0 <= p < 4 for p in a1.values())
+
+
+def test_event_anomalies_flags_only_the_burst(spark):
+    """User u1 has 5 quiet hours (1 event each) and one 10-event burst →
+    only the burst window flags. User u2 is steady → nothing flags.
+    User u3 has too few windows → excluded by min_windows."""
+    from sbm_communitydetection_spark.operators.funnels import (
+        HOUR_MS,
+        event_anomalies,
+    )
+
+    rows = []
+    eid = 0
+    for h in range(5):  # u1 quiet baseline
+        rows.append((eid, 1, "view", dt.datetime(2026, 1, 1, h), 0.0, "x")); eid += 1
+    for i in range(10):  # u1 burst in hour 6
+        rows.append((eid, 1, "view", dt.datetime(2026, 1, 1, 6, i), 0.0, "x")); eid += 1
+    for h in range(6):  # u2 steady
+        rows.append((eid, 2, "view", dt.datetime(2026, 1, 1, h), 0.0, "x")); eid += 1
+    rows.append((eid, 3, "view", dt.datetime(2026, 1, 1, 0), 0.0, "x"))  # u3 sparse
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, value double, props string",
+    )
+    got = [
+        (r.user_id, r.window_start, r.cnt)
+        for r in event_anomalies(ev, z=2, min_windows=5).collect()
+    ]
+    assert len(got) == 1
+    u, w, c = got[0]
+    assert u == 1 and c == 10
+    assert w == int(dt.datetime(2026, 1, 1, 6).timestamp() * 1000) // HOUR_MS * HOUR_MS
