@@ -915,3 +915,56 @@ def kmeans_lloyd_sql(
         + ",\n    ".join(parts)
         + f"\n    SELECT cell, d::INT AS d, c FROM cents{iters}"
     )
+
+
+def knn_label_disagreement(
+    embs: DataFrame, k: int = 5, max_agree: int = 1
+) -> DataFrame:
+    """(vec_id, label, n_agree, n_neighbors) — label-noise screening
+    (confident-learning style, Northcutt et al. JAIR'21): flag vectors
+    whose k nearest cosine neighbors mostly carry a DIFFERENT label —
+    the classic mislabel / outlier signature in classification or
+    dedup-cluster training data.  A row appears only when n_agree <=
+    ``max_agree``.
+
+    Composes the gated cosine_topk ranking with one label join and a
+    per-vector agreement count — the ANN search dominates; the voting
+    adds a broadcastable (vec_id → label) join keyed on neighbor_id plus
+    one hash aggregate.  At 10^12 rows swap cosine_topk for ivf_topk;
+    the voting stage is unchanged."""
+    nn = cosine_topk(embs, k=k)
+    own = embs.select("vec_id", "label")
+    neigh = embs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    return (
+        nn.join(own, "vec_id")
+        .join(neigh, "neighbor_id")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.when(F.col("n_label") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_agree"),
+            F.count("*").cast("long").alias("n_neighbors"),
+        )
+        .filter(F.col("n_agree") <= max_agree)
+    )
+
+
+def knn_label_disagreement_sql(
+    table: str = "embeddings", k: int = 5, max_agree: int = 1
+) -> str:
+    inner = cosine_topk_sql(table, k)
+    return f"""
+    WITH nn AS ({inner})
+    SELECT nn.vec_id, o.label,
+           SUM(CASE WHEN nb.label = o.label THEN 1 ELSE 0 END)::BIGINT AS n_agree,
+           COUNT(*)::BIGINT AS n_neighbors
+    FROM nn
+    JOIN {table} o ON nn.vec_id = o.vec_id
+    JOIN {table} nb ON nn.neighbor_id = nb.vec_id
+    GROUP BY nn.vec_id, o.label
+    HAVING SUM(CASE WHEN nb.label = o.label THEN 1 ELSE 0 END) <= {max_agree}
+    """

@@ -705,3 +705,30 @@ def test_rrf_fusion_rewards_agreement(spark):
     assert scores[2] == max(scores.values())  # both-list winner
     assert 1 in scores and 3 in scores        # single-list docs still present
     assert scores[2] > scores[1] and scores[2] > scores[3]
+
+
+def test_knn_label_disagreement_flags_mislabeled_vector(spark):
+    """Two tight clusters; vec 10 sits in cluster A but wears label B →
+    its 2 nearest neighbors both disagree → flagged with n_agree=0.
+    Correctly-labeled vectors agree with both neighbors → absent."""
+    from sbm_communitydetection_spark.textops.similarity import (
+        knn_label_disagreement,
+    )
+
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.99, 0.01], 0),
+        (2, [0.98, 0.02], 0),
+        (10, [0.97, 0.03], 1),  # geometrically A, labeled B
+        (20, [0.0, 1.0], 1),
+        (21, [0.01, 0.99], 1),
+        (22, [0.02, 0.98], 1),
+    ]
+    embs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    got = {
+        r.vec_id: (r.n_agree, r.n_neighbors)
+        for r in knn_label_disagreement(embs, k=2, max_agree=0).collect()
+    }
+    assert got == {10: (0, 2)}
