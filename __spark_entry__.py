@@ -1719,6 +1719,11 @@ def _q_bm25_topk(spark, sf_dir):
     return BM.bm25_topk(docs, qs, k=10)
 
 
+def _q_readability_scores(spark, sf_dir):
+    """Flesch reading-ease per document — three JVM regex passes."""
+    return TA.readability_scores(_docs(spark, sf_dir))
+
+
 def _q_knn_label_disagreement(spark, sf_dir):
     """Label-noise screen: vectors whose 5 nearest cosine neighbors
     nearly all carry a different label."""
@@ -2107,6 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fused_topk": _q_rrf_fused_topk,  # hybrid-retrieval fusion
         "event_anomalies": _q_event_anomalies,  # per-user burst z-test
         "knn_label_disagreement": _q_knn_label_disagreement,  # mislabel screen
+        "readability_scores": _q_readability_scores,  # Flesch curation signal
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2625,6 +2631,7 @@ WITH injected AS (
         "rrf_fused_topk": _rrf_sql(k=10, depth=20),
         "event_anomalies": FN.event_anomalies_sql(z=2, min_windows=5),
         "knn_label_disagreement": TS.knn_label_disagreement_sql(k=5, max_agree=1),
+        "readability_scores": TA.readability_scores_sql(),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -1528,3 +1528,76 @@ def source_log_odds_sql(
         FROM scored
     ) WHERE rank <= {k}
     """
+
+
+def readability_scores(docs: DataFrame, round_to: int = 4) -> DataFrame:
+    """(doc_id, n_words, n_sentences, n_syllables, flesch) — Flesch
+    reading-ease (Flesch '48, public formula) as a curation signal:
+    very high scores flag listicles/boilerplate, very low flag OCR
+    garbage and code-as-prose.
+
+        flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Counting conventions (identical in both engines, documented here as
+    THE definition): words = non-empty space-split tokens; syllables =
+    maximal vowel runs ([aeiouAEIOU]+) across the text; sentences =
+    maximal terminator runs ([.!?]+), clamped to ≥ 1.  The run counts
+    use the marker-replace trick (replace every run with '#', count
+    '#') so the whole op is three JVM regex passes on the scan — no
+    explode, no shuffle, no Python; docs with zero words are dropped
+    (the formula is undefined there).
+    """
+    def _run_count(col, pattern):
+        marked = F.regexp_replace(col, pattern, "#")
+        return (
+            F.length(marked) - F.length(F.regexp_replace(marked, "#", ""))
+        ).cast("long")
+
+    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).cast(
+        "long"
+    )
+    n_syll = _run_count(F.col("text"), "[aeiouAEIOU]+")
+    n_sent = F.greatest(F.lit(1).cast("long"), _run_count(F.col("text"), r"[.!?]+"))
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .withColumn(
+            "flesch",
+            F.round(
+                F.lit(206.835)
+                - F.lit(1.015) * (F.col("n_words") / F.col("n_sentences"))
+                - F.lit(84.6) * (F.col("n_syllables") / F.col("n_words")),
+                round_to,
+            ),
+        )
+    )
+
+
+def readability_scores_sql(table: str = "documents", round_to: int = 4) -> str:
+    def _run_count(expr, pattern):
+        marked = f"regexp_replace({expr}, '{pattern}', '#', 'g')"
+        return f"(length({marked}) - length(replace({marked}, '#', '')))::BIGINT"
+
+    n_words = (
+        f"len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT"
+    )
+    n_syll = _run_count("text", "[aeiouAEIOU]+")
+    n_sent = f"GREATEST(1::BIGINT, {_run_count('text', '[.!?]+')})"
+    return f"""
+    WITH counted AS (
+        SELECT doc_id,
+               {n_words} AS n_words,
+               {n_sent} AS n_sentences,
+               {n_syll} AS n_syllables
+        FROM {table}
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                 - 84.6 * (n_syllables::DOUBLE / n_words), {round_to}) AS flesch
+    FROM counted WHERE n_words > 0
+    """

@@ -732,3 +732,18 @@ def test_knn_label_disagreement_flags_mislabeled_vector(spark):
         for r in knn_label_disagreement(embs, k=2, max_agree=0).collect()
     }
     assert got == {10: (0, 2)}
+
+
+def test_readability_counts_and_formula(spark):
+    """'go on. stop!' → 3 words, 2 sentences, 3 vowel runs (o, o, o);
+    flesch = 206.835 − 1.015·(3/2) − 84.6·(3/3). Empty text is dropped."""
+    from sbm_communitydetection_spark.textops.analysis import readability_scores
+
+    docs = spark.createDataFrame(
+        [(1, "go on. stop!"), (2, "")], "doc_id long, text string"
+    )
+    rows = readability_scores(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (3, 2, 3)
+    assert r.flesch == round(206.835 - 1.015 * (3 / 2) - 84.6 * 1.0, 4)
