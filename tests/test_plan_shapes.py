@@ -343,3 +343,53 @@ def test_walk_cooccurrence_no_self_join(spark):
     plan = pairs.groupBy("center", "context").agg(F.count("*").alias("n_pairs"))
     pstr = plan._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in pstr
+
+
+def test_readability_is_exchange_free(spark):
+    """readability_scores is per-row regex math: zero exchanges."""
+    from sbm_communitydetection_spark.textops.analysis import readability_scores
+
+    docs = spark.createDataFrame([(0, "a b.")], "doc_id long, text string")
+    assert physical_exchange_count(readability_scores(docs)) == 0
+
+
+def test_turn_segments_single_exchange(spark):
+    """turn_segments partitions ONE window by conv_id and reuses that
+    exchange for lag, the running segment sum, and the final
+    (conv_id, segment) aggregate — a second shuffle would mean the
+    rollup re-partitioned what the window already co-located."""
+    from sbm_communitydetection_spark.operators.extract import turn_segments
+
+    t = spark.createDataFrame(
+        [("c", 0, "r", "x", None, 0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts long",
+    )
+    assert physical_exchange_count(turn_segments(t)) == 1
+
+
+def test_rrf_fusion_has_no_corpus_sized_shuffle(spark):
+    """The fusion stage operates on two bounded top-depth lists; the
+    plan may shuffle those lists but must not re-aggregate the corpus
+    beyond what bm25/cosine already do.  Guard: the fused plan's
+    exchange count equals the two primitives' combined count + the
+    bounded fusion exchanges (ranking windows + fusion join), i.e.
+    adding fusion does not multiply corpus passes."""
+    from sbm_communitydetection_spark.textops.bm25 import bm25_topk
+    from sbm_communitydetection_spark.textops.fusion import rrf_fused_topk
+    from sbm_communitydetection_spark.textops.similarity import cosine_topk
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c"), (2, "b c")], "doc_id long, text string"
+    )
+    embs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.0, 1.0], 0), (2, [1.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    qs = docs.filter(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    base = physical_exchange_count(bm25_topk(docs, qs, k=3)) + physical_exchange_count(
+        cosine_topk(embs, k=2)
+    )
+    fused = physical_exchange_count(rrf_fused_topk(docs, embs, qs, k=2, depth=2))
+    assert fused <= base + 4
