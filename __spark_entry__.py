@@ -1724,6 +1724,12 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+def _q_winnowing_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints per document — window-min selection
+    over word-shingle hashes, exchange-free JVM array math."""
+    return TA.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 def _q_knn_label_disagreement(spark, sf_dir):
     """Label-noise screen: vectors whose 5 nearest cosine neighbors
     nearly all carry a different label."""
@@ -2113,6 +2119,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_anomalies": _q_event_anomalies,  # per-user burst z-test
         "knn_label_disagreement": _q_knn_label_disagreement,  # mislabel screen
         "readability_scores": _q_readability_scores,  # Flesch curation signal
+        # Entries below are the round-3 session-6 additions — same queue.
+        "winnowing_fingerprints": _q_winnowing_fingerprints,  # MOSS local fingerprints
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2632,6 +2640,7 @@ WITH injected AS (
         "event_anomalies": FN.event_anomalies_sql(z=2, min_windows=5),
         "knn_label_disagreement": TS.knn_label_disagreement_sql(k=5, max_agree=1),
         "readability_scores": TA.readability_scores_sql(),
+        "winnowing_fingerprints": TA.winnowing_fingerprints_sql(),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

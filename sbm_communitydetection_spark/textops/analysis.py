@@ -1601,3 +1601,61 @@ def readability_scores_sql(table: str = "documents", round_to: int = 4) -> str:
                  - 84.6 * (n_syllables::DOUBLE / n_words), {round_to}) AS flesch
     FROM counted WHERE n_words > 0
     """
+
+
+WINNOW_W = 4
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, n: int = NGRAM_N, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, fp) — MOSS winnowing fingerprints (Schleimer, Wilkerson
+    & Aiken, SIGMOD'03) over word ``n``-gram hashes with window ``w``:
+    from each run of ``w`` consecutive shingle hashes the minimum is
+    selected, and the per-document fingerprint set is the distinct
+    selected hashes.  Guarantee: any shared passage of at least
+    ``w + n − 1`` words between two documents yields at least one
+    shared fingerprint, while the expected density is only 2/(w+1) of
+    all shingles — the robust local-fingerprinting upgrade over
+    doc_fingerprint's global-min-k sketch (analysis.py above), and the
+    standard plagiarism / clone-detection primitive.
+
+    Docs with fewer than ``n`` words emit no rows (no shingles to
+    select from); docs with fewer than ``w`` shingles winnow the whole
+    document (one global min).
+
+    Scale shape: pure per-row JVM array math riding the scan — shingle,
+    hash, slide, min, distinct all inside whole-stage codegen; ONE
+    explode of the per-doc fingerprint set and zero shuffles/Python
+    (the pii_scrub discipline).  Matching docs downstream is a plain
+    groupBy on fp.
+    """
+    hs = F.transform(shingles_col(F.col("text"), n), lambda s: md5_long(s))
+    d = docs.select("doc_id", hs.alias("hs")).filter(F.size("hs") >= 1)
+    n_win = F.greatest(F.lit(1), F.size("hs") - F.lit(w - 1))
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda s: F.array_min(F.slice(F.col("hs"), s, F.lit(w))),
+        )
+    )
+    return d.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def winnowing_fingerprints_sql(
+    table: str = "documents", n: int = NGRAM_N, w: int = WINNOW_W
+) -> str:
+    return f"""
+    WITH wf_sh AS (SELECT doc_id, {shingles_sql("text", n)} AS sg FROM {table}),
+    wf_hs AS (
+        SELECT doc_id, list_transform(sg, s -> {md5_long_sql("s")}) AS h
+        FROM wf_sh WHERE len(sg) >= 1
+    ),
+    wf_win AS (
+        SELECT doc_id, h,
+               UNNEST(generate_series(1, GREATEST(1, len(h) - {w - 1}))) AS s
+        FROM wf_hs
+    )
+    SELECT DISTINCT doc_id, list_aggregate(h[s : s + {w - 1}], 'min') AS fp
+    FROM wf_win
+    """

@@ -747,3 +747,54 @@ def test_readability_counts_and_formula(spark):
     r = rows[0]
     assert (r.n_words, r.n_sentences, r.n_syllables) == (3, 2, 3)
     assert r.flesch == round(206.835 - 1.015 * (3 / 2) - 84.6 * 1.0, 4)
+
+
+def test_winnowing_guarantee_and_edges(spark):
+    """Winnowing invariants: (a) a shared passage of ≥ w+n−1 words
+    yields ≥1 shared fingerprint (the SIGMOD'03 guarantee), (b) every
+    fingerprint is one of the doc's own shingle hashes, (c) a doc with
+    fewer than n words emits nothing, (d) a doc with fewer than w
+    shingles winnows to exactly its global-min shingle hash."""
+    from sbm_communitydetection_spark.textops.analysis import (
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+    from sbm_communitydetection_spark.textops.portable import (
+        NGRAM_N,
+        md5_long,
+        shingles_col,
+    )
+
+    passage = "the quick brown fox jumps over the lazy sleeping dog"  # 10 words
+    assert len(passage.split()) >= WINNOW_W + NGRAM_N - 1
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta " + passage + " gamma delta"),
+            (2, passage + " omega entirely different tail words here"),
+            (3, "too short"),  # < n words
+            (4, "just four words here"),  # 2 shingles < w
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(docs).collect()
+    by_doc: dict[int, set[int]] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # (a) shared-passage guarantee
+    assert by_doc[1] & by_doc[2]
+    # (b) fingerprints ⊆ own shingle hashes
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(shingles_col(F.col("text")), lambda s: md5_long(s))
+        ).alias("h"),
+    ).collect()
+    hashes: dict[int, set[int]] = {}
+    for r in sh:
+        hashes.setdefault(r.doc_id, set()).add(r.h)
+    for d, s in by_doc.items():
+        assert s <= hashes[d]
+    # (c) sub-shingle doc emits nothing
+    assert 3 not in by_doc
+    # (d) < w shingles → exactly the global min
+    assert by_doc[4] == {min(hashes[4])}
