@@ -115,6 +115,9 @@ from sbm_communitydetection_spark.textops.fusion import (  # noqa: E402
     rrf_fused_topk_sql as _rrf_sql,
 )
 from sbm_communitydetection_spark.operators import wl as WL  # noqa: E402
+from sbm_communitydetection_spark.operators.fastrp import (  # noqa: E402
+    fastrp_sql as _fastrp_sql,
+)
 
 PR_ITERS = 5
 WL_ROUNDS = 3
@@ -1724,6 +1727,14 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+def _q_fastrp_embeddings(spark, sf_dir):
+    """FastRP node embeddings, exact-integer variant: 2 hops of A·R
+    over the symmetrized graph, dims=8, final L2-normalized loadings."""
+    from sbm_communitydetection_spark.operators.fastrp import fastrp_embeddings
+
+    return fastrp_embeddings(lineitem_edges(spark, sf_dir))
+
+
 def _q_winnowing_fingerprints(spark, sf_dir):
     """MOSS winnowing fingerprints per document — window-min selection
     over word-shingle hashes, exchange-free JVM array math."""
@@ -2121,6 +2132,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": _q_readability_scores,  # Flesch curation signal
         # Entries below are the round-3 session-6 additions — same queue.
         "winnowing_fingerprints": _q_winnowing_fingerprints,  # MOSS local fingerprints
+        "fastrp_embeddings": _q_fastrp_embeddings,  # CIKM'19 graph-ML features
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2641,6 +2653,7 @@ WITH injected AS (
         "knn_label_disagreement": TS.knn_label_disagreement_sql(k=5, max_agree=1),
         "readability_scores": TA.readability_scores_sql(),
         "winnowing_fingerprints": TA.winnowing_fingerprints_sql(),
+        "fastrp_embeddings": edges_cte + ",\n" + _fastrp_sql(),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -798,3 +798,59 @@ def test_event_anomalies_flags_only_the_burst(spark):
     u, w, c = got[0]
     assert u == 1 and c == 10
     assert w == int(dt.datetime(2026, 1, 1, 6).timestamp() * 1000) // HOUR_MS * HOUR_MS
+
+
+# ---------------------------------------------------------------- fastrp
+
+
+def test_fastrp_exact_hand_graph(spark):
+    """Path graph 0—1—2 (unit weights): E_1(v) = Σ_nbr R(nbr), E_2(v) =
+    Σ_nbr E_1(nbr) — replicate the coins by hand and check every cell,
+    plus unit L2 norms on nonzero rows."""
+    import hashlib
+
+    from sbm_communitydetection_spark.operators.fastrp import fastrp_embeddings
+
+    def coin(v, d):
+        h = int(hashlib.md5(f"frp:{v}:{d}".encode()).hexdigest()[:15], 16) % 4
+        return 1 if h == 0 else (-1 if h == 1 else 0)
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 0, 1), (1, 2, 1), (2, 1, 1)],
+        "src long, dst long, weight long",
+    )
+    dims, nbrs = 4, {0: [1], 1: [0, 2], 2: [1]}
+    e1 = {(v, d): sum(coin(u, d) for u in nbrs[v]) for v in nbrs for d in range(dims)}
+    e2 = {(v, d): sum(e1[(u, d)] for u in nbrs[v]) for v in nbrs for d in range(dims)}
+    rows = fastrp_embeddings(edges, dims=dims, iters=2).collect()
+    assert len(rows) == 3 * dims
+    for r in rows:
+        assert r.val == e2[(r.id, r.dim)], (r.id, r.dim)
+    for v in nbrs:
+        n2 = sum(e2[(v, d)] ** 2 for d in range(dims))
+        got = sum(r.nval ** 2 for r in rows if r.id == v)
+        assert got == pytest.approx(1.0 if n2 else 0.0, abs=1e-4)
+
+
+def test_fastrp_scaled_parallel_on_regular_graph(spark):
+    """On a regular graph D^{-1} is a scalar, so the scaled (random-walk)
+    iterate must be exactly parallel to the exact integer iterate:
+    normalized loadings agree to rounding."""
+    from sbm_communitydetection_spark.operators.fastrp import fastrp_embeddings
+
+    n = 8  # cycle: every vertex has degree 2
+    es = [(i, (i + 1) % n, 1) for i in range(n)] + [
+        ((i + 1) % n, i, 1) for i in range(n)
+    ]
+    edges = spark.createDataFrame(es, "src long, dst long, weight long")
+    ex = {
+        (r.id, r.dim): r.nval
+        for r in fastrp_embeddings(edges, dims=6, iters=2).collect()
+    }
+    sc = {
+        (r.id, r.dim): r.nval
+        for r in fastrp_embeddings(edges, dims=6, iters=2, scaled=True).collect()
+    }
+    assert ex.keys() == sc.keys()
+    for k in ex:
+        assert sc[k] == pytest.approx(ex[k], abs=2e-6), k
