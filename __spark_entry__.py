@@ -1727,6 +1727,14 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+def _q_conv_prefix_dups(spark, sf_dir):
+    """Templated-opening detection: maximal exact shared turn-prefix
+    depth per conversation via 60-bit rolling chain hashes."""
+    from sbm_communitydetection_spark.operators.extract import conv_prefix_dups
+
+    return conv_prefix_dups(ET.events_transcripts(spark, sf_dir))
+
+
 def _q_fastrp_embeddings(spark, sf_dir):
     """FastRP node embeddings, exact-integer variant: 2 hops of A·R
     over the symmetrized graph, dims=8, final L2-normalized loadings."""
@@ -2133,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Entries below are the round-3 session-6 additions — same queue.
         "winnowing_fingerprints": _q_winnowing_fingerprints,  # MOSS local fingerprints
         "fastrp_embeddings": _q_fastrp_embeddings,  # CIKM'19 graph-ML features
+        "conv_prefix_dups": _q_conv_prefix_dups,  # scripted-opening detection
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2654,6 +2663,7 @@ WITH injected AS (
         "readability_scores": TA.readability_scores_sql(),
         "winnowing_fingerprints": TA.winnowing_fingerprints_sql(),
         "fastrp_embeddings": edges_cte + ",\n" + _fastrp_sql(),
+        "conv_prefix_dups": ET.conv_prefix_dups_oracle_sql(),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

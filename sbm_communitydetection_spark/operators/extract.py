@@ -857,3 +857,82 @@ def agent_loops_oracle_sql(min_repeats: int = 2) -> str:
     SELECT conv_id, tool, MAX(run_len)::BIGINT AS max_run
     FROM runs GROUP BY conv_id, tool HAVING MAX(run_len) >= {min_repeats}
     """
+
+
+def conv_prefix_dups(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, shared_turns, n_convs) — maximal EXACT shared opening:
+    for every conversation whose first turn(s) are byte-identical
+    (role + text + tool, in stable turn order) to at least one other
+    conversation, the deepest shared prefix length and how many
+    conversations share that exact opening.
+
+    The templated-flow detector that complements
+    transcript_structural_dups: the MinHash pass finds conversations
+    that are GLOBALLY similar; this finds scripted OPENINGS (canned
+    system prompts, bot greeting scripts, replayed agent bootstraps)
+    at exact per-turn granularity — the thing a curation pipeline
+    down-weights before the opening dominates the SFT mix.
+    Conversations with a unique opening emit nothing.
+
+    Mechanics: per turn a 60-bit fingerprint of role‖text‖tool; per
+    conversation the rolling chain  p_0 = h('p:' + t_0),
+    p_d = h(p_{d−1} + ':' + t_d)  — so two conversations share prefix
+    depth d iff p_d collides (60-bit; false-collision odds n²/2^61).
+    Chains are built with one bounded per-conversation array fold
+    (conversations are bounded — 10^2-10^3 turns — unlike the
+    unbounded actor axis; same justification as pack_conversations'
+    per-conv collect), then ONE posexplode + ONE (d, p_d) count
+    aggregate (map-side combinable) + one co-partitioned join back.
+    Nothing quadratic: candidate grouping is exact hash equality, no
+    pairwise comparison ever materializes.
+
+    DuckDB twin: conv_prefix_dups_oracle_sql (events_transcripts.py) —
+    the same chain via a recursive CTE.
+    """
+    from ..textops.portable import md5_long
+
+    sep = F.lit("\x1f")
+    th = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        md5_long(
+            F.concat(
+                F.col("role"),
+                sep,
+                F.coalesce(F.col("text"), F.lit("")),
+                sep,
+                F.coalesce(F.col("tool"), F.lit("")),
+            )
+        ).alias("th"),
+    )
+    chain = F.aggregate(
+        F.sort_array(F.collect_list(F.struct("turn_idx", "th"))),
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(
+                F.when(
+                    F.size(acc) == 0,
+                    md5_long(F.concat_ws(":", F.lit("p"), x["th"])),
+                ).otherwise(md5_long(F.concat_ws(":", F.element_at(acc, -1), x["th"])))
+            ),
+        ),
+    )
+    pfx = (
+        th.groupBy("conv_id")
+        .agg(chain.alias("chain"))
+        .select("conv_id", F.posexplode("chain").alias("d", "ph"))
+    )
+    groups = (
+        pfx.groupBy("d", "ph")
+        .agg(F.count("*").cast("long").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return (
+        pfx.join(groups, ["d", "ph"])
+        .groupBy("conv_id")
+        .agg(
+            (F.max("d") + 1).cast("int").alias("shared_turns"),
+            F.max_by("n", "d").alias("n_convs"),
+        )
+    )

@@ -532,3 +532,52 @@ def latency_quantiles_oracle_sql(qs: tuple[float, ...] = (0.5, 0.9, 0.99)) -> st
     GROUP BY q
     """
     )
+
+
+def conv_prefix_dups_oracle_sql() -> str:
+    """DuckDB twin of extract.conv_prefix_dups — the rolling prefix
+    chain as a recursive CTE over the derived transcripts table.
+    Self-contained (includes WITH RECURSIVE), unlike the *_cte_sql
+    helpers, because the recursive member must be declared at the top
+    of the WITH clause."""
+    from ..textops.portable import md5_long_sql
+
+    t0 = md5_long_sql("concat('p', ':', th)")
+    tn = md5_long_sql("concat(p.ph, ':', t.th)")
+    th = md5_long_sql(
+        "concat(role, chr(31), COALESCE(text, ''), chr(31), COALESCE(tool, ''))"
+    )
+    return f"""
+    WITH RECURSIVE
+    transcripts AS (
+        SELECT
+            'u' || CAST(user_id AS VARCHAR) AS conv_id,
+            (ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1)::INT
+                AS turn_idx,
+            event_type AS role,
+            props AS text,
+            CASE WHEN event_id % {TOOL_EVERY} = 0
+                 THEN 'tool_' || CAST(event_id % {N_TOOL_NAMES} AS VARCHAR)
+            END AS tool,
+            ts
+        FROM events
+    ),
+    cpd_th AS (SELECT conv_id, turn_idx, {th} AS th FROM transcripts),
+    cpd_p AS (
+        SELECT conv_id, 0 AS d, {t0} AS ph FROM cpd_th WHERE turn_idx = 0
+        UNION ALL
+        SELECT t.conv_id, p.d + 1 AS d, {tn} AS ph
+        FROM cpd_p p JOIN cpd_th t
+          ON t.conv_id = p.conv_id AND t.turn_idx = p.d + 1
+    ),
+    cpd_g AS (
+        SELECT d, ph, COUNT(*)::BIGINT AS n
+        FROM cpd_p GROUP BY d, ph HAVING COUNT(*) >= 2
+    ),
+    cpd_j AS (
+        SELECT p.conv_id, g.d, g.n
+        FROM cpd_p p JOIN cpd_g g ON p.d = g.d AND p.ph = g.ph
+    )
+    SELECT conv_id, (MAX(d) + 1)::INT AS shared_turns, arg_max(n, d) AS n_convs
+    FROM cpd_j GROUP BY conv_id
+    """

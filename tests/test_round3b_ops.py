@@ -854,3 +854,32 @@ def test_fastrp_scaled_parallel_on_regular_graph(spark):
     assert ex.keys() == sc.keys()
     for k in ex:
         assert sc[k] == pytest.approx(ex[k], abs=2e-6), k
+
+
+def test_conv_prefix_dups_depth_and_groups(spark):
+    """c1/c2/c3 share a 2-turn opening (c3 diverges at turn 2, c1/c2 at
+    turn 2 vs 3 lengths differ); c4 is unique and silent; NULL text ==
+    empty text never conflates distinct roles."""
+    from sbm_communitydetection_spark.operators.extract import conv_prefix_dups
+
+    rows = [
+        ("c1", 0, "user", "hi", None, T0),
+        ("c1", 1, "bot", "hello!", None, T0),
+        ("c1", 2, "user", "q1", None, T0),
+        ("c2", 0, "user", "hi", None, T0),
+        ("c2", 1, "bot", "hello!", None, T0),
+        ("c2", 2, "user", "q2", None, T0),
+        ("c3", 0, "user", "hi", None, T0),
+        ("c3", 1, "bot", "different", None, T0),
+        ("c4", 0, "user", "unrelated", None, T0),
+        # role/text boundary: role="user", text=None vs role="user", text=""
+        ("c5", 0, "userx", None, None, T0),
+        ("c6", 0, "user", "x", None, T0),
+    ]
+    t = _transcript_df(spark, rows)
+    got = {r.conv_id: (r.shared_turns, r.n_convs) for r in conv_prefix_dups(t).collect()}
+    assert got == {
+        "c1": (2, 2),  # deepest shared depth: turns 0-1 with c2
+        "c2": (2, 2),
+        "c3": (1, 3),  # shares only turn 0 — with both c1 and c2
+    }
