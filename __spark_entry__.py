@@ -1727,6 +1727,12 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+def _q_retrieval_metrics(spark, sf_dir):
+    """recall@k / MRR@k / nDCG@k of the cosine ranking against label
+    agreement — the per-refresh embedding-quality eval card."""
+    return TS.retrieval_metrics(_embs(spark, sf_dir), k=10)
+
+
 def _q_conv_prefix_dups(spark, sf_dir):
     """Templated-opening detection: maximal exact shared turn-prefix
     depth per conversation via 60-bit rolling chain hashes."""
@@ -2142,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints": _q_winnowing_fingerprints,  # MOSS local fingerprints
         "fastrp_embeddings": _q_fastrp_embeddings,  # CIKM'19 graph-ML features
         "conv_prefix_dups": _q_conv_prefix_dups,  # scripted-opening detection
+        "retrieval_metrics": _q_retrieval_metrics,  # embedding eval card
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2664,6 +2671,7 @@ WITH injected AS (
         "winnowing_fingerprints": TA.winnowing_fingerprints_sql(),
         "fastrp_embeddings": edges_cte + ",\n" + _fastrp_sql(),
         "conv_prefix_dups": ET.conv_prefix_dups_oracle_sql(),
+        "retrieval_metrics": TS.retrieval_metrics_sql(k=10),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -968,3 +968,142 @@ def knn_label_disagreement_sql(
     GROUP BY nn.vec_id, o.label
     HAVING SUM(CASE WHEN nb.label = o.label THEN 1 ELSE 0 END) <= {max_agree}
     """
+
+
+def retrieval_metrics(
+    embs: DataFrame, k: int = 10, query_mod: int = 97, query_rem: int = 3
+) -> DataFrame:
+    """(query_id, n_rel, hits, recall_at_k, mrr_at_k, ndcg_at_k) — the
+    standard retrieval-evaluation card (recall@k, MRR@k, nDCG@k with
+    binary gain) for the embedding store's own cosine ranking, judged
+    against label agreement: a retrieved vector is relevant iff it
+    carries the query's label.  This is the eval loop a training-data
+    pipeline runs after every embedding refresh — retrieval quality
+    drift is the first symptom of a bad encoder push — and the same
+    card scores any (query_id, neighbor rank) table.
+
+    Queries are the deterministic vec_id % ``query_mod`` == ``query_rem``
+    subset (the bm25_topk convention).  Queries whose label appears on
+    no OTHER vector are dropped (every metric undefined).  Floats are
+    rounded to 6 dp after the final division only — every intermediate
+    (hit counts, ranks, label counts) is exact integer arithmetic, and
+    the DCG/IDCG log2 sums run over ≤ k terms in a fixed (rank) order on
+    both engines, so the twin matches.
+
+    Scale shape: the query side is filtered BEFORE the score join, so
+    the candidate set is |Q|·|C| (brute-force correctness anchor — at
+    10^12 rows swap the scorer for ivf_topk and keep the metric tail);
+    n_rel comes from a broadcastable per-label histogram; everything
+    downstream of the ranking is one per-query aggregate.
+    """
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    w = embs.select(
+        "vec_id",
+        "label",
+        vec.alias("v"),
+        F.sqrt(_dot(vec, vec)).alias("nrm"),
+    )
+    qs = w.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == query_rem).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("vq"),
+        F.col("nrm").alias("nq"),
+        F.col("label").alias("lq"),
+    )
+    cand = w.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vc"),
+        F.col("nrm").alias("nc"),
+        F.col("label").alias("lc"),
+    )
+    cos = F.round(_dot(F.col("vq"), F.col("vc")) / (F.col("nq") * F.col("nc")), 6)
+    scored = qs.join(cand, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "lq", "lc", cos.alias("cos"), "neighbor_id"
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    )
+    topk = scored.select(
+        "query_id",
+        "lq",
+        (F.col("lc") == F.col("lq")).alias("rel"),
+        rank.alias("rank"),
+    ).filter(F.col("rank") <= k)
+    label_counts = embs.groupBy("label").agg(F.count("*").cast("long").alias("cl"))
+    per_q = topk.groupBy("query_id", "lq").agg(
+        F.sum(F.when(F.col("rel"), 1).otherwise(0)).cast("long").alias("hits"),
+        F.min(F.when(F.col("rel"), F.col("rank"))).alias("first_rel"),
+        F.sum(
+            F.when(F.col("rel"), 1.0 / F.log2(F.col("rank") + 1)).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    out = per_q.join(
+        F.broadcast(label_counts), per_q["lq"] == label_counts["label"]
+    ).select(
+        "query_id",
+        (F.col("cl") - 1).alias("n_rel"),
+        "hits",
+        "first_rel",
+        "dcg",
+    ).filter(F.col("n_rel") >= 1)
+    m = F.least(F.lit(k), F.col("n_rel")).cast("int")
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), m),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return out.select(
+        "query_id",
+        "n_rel",
+        "hits",
+        F.round(F.col("hits") / F.col("n_rel"), 6).alias("recall_at_k"),
+        F.coalesce(F.round(1.0 / F.col("first_rel"), 6), F.lit(0.0)).alias("mrr_at_k"),
+        F.round(F.col("dcg") / idcg, 6).alias("ndcg_at_k"),
+    )
+
+
+def retrieval_metrics_sql(
+    table: str = "embeddings", k: int = 10, query_mod: int = 97, query_rem: int = 3
+) -> str:
+    return f"""
+    WITH rm_w AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM {table}
+    ),
+    rm_scored AS (
+        SELECT q.vec_id AS query_id, q.label AS lq, c.label AS lc,
+               ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cos,
+               c.vec_id AS neighbor_id
+        FROM rm_w q JOIN rm_w c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % {query_mod} = {query_rem}
+    ),
+    rm_topk AS (
+        SELECT query_id, lq, (lc = lq) AS rel,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM rm_scored
+        QUALIFY rank <= {k}
+    ),
+    rm_lc AS (SELECT label, COUNT(*)::BIGINT AS cl FROM {table} GROUP BY label),
+    rm_per_q AS (
+        SELECT query_id, lq,
+               SUM(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS hits,
+               MIN(CASE WHEN rel THEN rank END) AS first_rel,
+               SUM(CASE WHEN rel THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+        FROM rm_topk GROUP BY query_id, lq
+    ),
+    rm_out AS (
+        SELECT query_id, (cl - 1)::BIGINT AS n_rel, hits, first_rel, dcg,
+               LEAST({k}, cl - 1)::INT AS m
+        FROM rm_per_q JOIN rm_lc ON lq = label
+        WHERE cl - 1 >= 1
+    )
+    SELECT query_id, n_rel, hits,
+           ROUND(hits / n_rel, 6) AS recall_at_k,
+           COALESCE(ROUND(1.0 / first_rel, 6), 0.0) AS mrr_at_k,
+           ROUND(dcg / list_sum(list_transform(generate_series(1, m),
+                                               i -> 1.0 / log2(i + 1))), 6)
+               AS ndcg_at_k
+    FROM rm_out
+    """

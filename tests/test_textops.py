@@ -798,3 +798,32 @@ def test_winnowing_guarantee_and_edges(spark):
     assert 3 not in by_doc
     # (d) < w shingles → exactly the global min
     assert by_doc[4] == {min(hashes[4])}
+
+
+def test_retrieval_metrics_hand_card(spark):
+    """4 vectors on a line, query 0 (mod=1, rem=0 makes everyone a
+    query; pick q=0's row): neighbors of 0 ranked by cosine; labels
+    place exactly one relevant at a known rank — check recall/MRR/nDCG
+    against hand arithmetic."""
+    import math
+
+    from sbm_communitydetection_spark.textops.similarity import retrieval_metrics
+
+    rows = [
+        (0, [1.0, 0.0], 7),
+        (1, [1.0, 0.1], 9),   # rank 1 for q0, label differs
+        (2, [1.0, 0.3], 7),   # rank 2, relevant
+        (3, [0.0, 1.0], 9),   # rank 3
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.query_id: r for r in retrieval_metrics(e, k=3, query_mod=1, query_rem=0).collect()}
+    r0 = got[0]
+    # label 7 has 2 members → n_rel = 1; vec 2 is the only relevant, at rank 2
+    assert (r0.n_rel, r0.hits) == (1, 1)
+    assert r0.recall_at_k == 1.0
+    assert r0.mrr_at_k == 0.5
+    dcg = 1.0 / math.log2(3)  # rel at rank 2
+    idcg = 1.0 / math.log2(2)  # one relevant → ideal rank 1
+    assert r0.ndcg_at_k == round(dcg / idcg, 6)
+    # every query with n_rel >= 1 present: all 4 vectors qualify
+    assert set(got) == {0, 1, 2, 3}
