@@ -118,6 +118,9 @@ from sbm_communitydetection_spark.operators import wl as WL  # noqa: E402
 from sbm_communitydetection_spark.operators.fastrp import (  # noqa: E402
     fastrp_sql as _fastrp_sql,
 )
+from sbm_communitydetection_spark.textops.bpe import (  # noqa: E402
+    bpe_train_sql as _bpe_sql,
+)
 
 PR_ITERS = 5
 WL_ROUNDS = 3
@@ -1727,6 +1730,14 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+def _q_bpe_train(spark, sf_dir):
+    """Distributed BPE merge learning: 8 merges over the corpus's
+    frequency-weighted distinct-word table."""
+    from sbm_communitydetection_spark.textops.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir))
+
+
 def _q_retrieval_metrics(spark, sf_dir):
     """recall@k / MRR@k / nDCG@k of the cosine ranking against label
     agreement — the per-refresh embedding-quality eval card."""
@@ -2149,6 +2160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fastrp_embeddings": _q_fastrp_embeddings,  # CIKM'19 graph-ML features
         "conv_prefix_dups": _q_conv_prefix_dups,  # scripted-opening detection
         "retrieval_metrics": _q_retrieval_metrics,  # embedding eval card
+        "bpe_train": _q_bpe_train,  # tokenizer merge learning
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2672,6 +2684,7 @@ WITH injected AS (
         "fastrp_embeddings": edges_cte + ",\n" + _fastrp_sql(),
         "conv_prefix_dups": ET.conv_prefix_dups_oracle_sql(),
         "retrieval_metrics": TS.retrieval_metrics_sql(k=10),
+        "bpe_train": _bpe_sql(),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

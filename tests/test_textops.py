@@ -827,3 +827,33 @@ def test_retrieval_metrics_hand_card(spark):
     assert r0.ndcg_at_k == round(dcg / idcg, 6)
     # every query with n_rel >= 1 present: all 4 vectors qualify
     assert set(got) == {0, 1, 2, 3}
+
+
+def test_bpe_train_sennrich_example_and_greedy_scan(spark):
+    """'low' x5 + 'lowest' x2: most frequent pair is (l,o) x7, then
+    (lo,w) x7; ties broken lexicographically.  'aaaa' pins the greedy
+    left-to-right scan: (a,a) counts 3 pairs but one merge pass yields
+    'aa','aa' so the NEXT round counts (aa,aa)=1."""
+    from sbm_communitydetection_spark.textops.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low low low lowest lowest")], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_idx, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(docs, n_merges=3).orderBy("merge_idx").collect()
+    ]
+    assert got[0] == (0, "l", "o", 7)
+    assert got[1] == (1, "lo", "w", 7)
+    # after 'low' merges fully, remaining pairs live in 'lowest' (x2):
+    # (low,e) x2, (e,s) x2, (s,t) x2 → lex smallest left wins: (e,s)
+    assert got[2] == (2, "e", "s", 2)
+
+    docs2 = spark.createDataFrame([(1, "aaaa aaaa")], "doc_id long, text string")
+    got2 = [
+        (r.merge_idx, r.left_sym, r.right_sym, r.pair_count)
+        for r in bpe_train(docs2, n_merges=2).orderBy("merge_idx").collect()
+    ]
+    # 2 words x 3 adjacent (a,a) pairs = 6; greedy scan leaves aa|aa
+    assert got2[0] == (0, "a", "a", 6)
+    assert got2[1] == (1, "aa", "aa", 2)
