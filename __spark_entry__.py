@@ -1730,6 +1730,12 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+def _q_cluster_silhouette(spark, sf_dir):
+    """Simplified (centroid-based) silhouette per vector over the gated
+    kmeans_lloyd clustering — the O(n·k) quantizer-quality audit."""
+    return TS.cluster_silhouette(_embs(spark, sf_dir))
+
+
 def _q_bpe_train(spark, sf_dir):
     """Distributed BPE merge learning: 8 merges over the corpus's
     frequency-weighted distinct-word table."""
@@ -2161,6 +2167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_prefix_dups": _q_conv_prefix_dups,  # scripted-opening detection
         "retrieval_metrics": _q_retrieval_metrics,  # embedding eval card
         "bpe_train": _q_bpe_train,  # tokenizer merge learning
+        "cluster_silhouette": _q_cluster_silhouette,  # clustering-quality audit
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2685,6 +2692,7 @@ WITH injected AS (
         "conv_prefix_dups": ET.conv_prefix_dups_oracle_sql(),
         "retrieval_metrics": TS.retrieval_metrics_sql(k=10),
         "bpe_train": _bpe_sql(),
+        "cluster_silhouette": TS.cluster_silhouette_sql(),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

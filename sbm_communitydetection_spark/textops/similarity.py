@@ -868,6 +868,22 @@ def kmeans_lloyd_sql(
 ) -> str:
     """DuckDB twin: identical init, assignment rounding, and per-iteration
     centroid rounding, unrolled."""
+    return (
+        "WITH "
+        + ",\n    ".join(_kmeans_lloyd_cte_parts(table, n_cells, iters, dim))
+        + f"\n    SELECT cell, d::INT AS d, c FROM cents{iters}"
+    )
+
+
+def _kmeans_lloyd_cte_parts(
+    table: str = "embeddings",
+    n_cells: int = LLOYD_CELLS,
+    iters: int = LLOYD_ITERS,
+    dim: int = COV_DIM,
+) -> list[str]:
+    """The kmeans_lloyd twin as reusable CTE parts (final centroid table
+    is ``cents{iters}``) so composite ops (cluster_silhouette) replay the
+    identical trajectory."""
     from .portable import md5_long_sql
 
     h = md5_long_sql("CAST(vec_id AS VARCHAR)")
@@ -910,11 +926,7 @@ def kmeans_lloyd_sql(
         FROM cents{t - 1} c LEFT JOIN fresh{t} f ON f.cell = c.cell AND f.d = c.d
     )"""
         )
-    return (
-        "WITH "
-        + ",\n    ".join(parts)
-        + f"\n    SELECT cell, d::INT AS d, c FROM cents{iters}"
-    )
+    return parts
 
 
 def knn_label_disagreement(
@@ -1107,3 +1119,93 @@ def retrieval_metrics_sql(
                AS ndcg_at_k
     FROM rm_out
     """
+
+
+def cluster_silhouette(
+    embs: DataFrame,
+    n_cells: int = LLOYD_CELLS,
+    iters: int = LLOYD_ITERS,
+) -> DataFrame:
+    """(vec_id, cell, sil) — SIMPLIFIED silhouette score per vector over
+    the kmeans_lloyd clustering: a = distance to the own (nearest)
+    centroid, b = distance to the nearest OTHER centroid,
+    sil = (b − a) / max(a, b) ∈ [−1, 1].  The centroid-based variant
+    (Hruschka et al.; also sklearn's recommended large-n fallback) —
+    the O(n·k) clustering-quality audit a pipeline runs after every
+    quantizer retrain, where the textbook O(n²) pairwise silhouette is
+    exactly the blow-up a 10^12-row store cannot afford.
+
+    Deterministic: centroids come from the gated kmeans_lloyd
+    trajectory (6-dp-rounded per iteration), squared distances are
+    rounded to 6 dp before the argmin (same tie-break as assignment:
+    smaller cell wins), sil rounded to 6 dp at the end — the DuckDB
+    twin replays the identical arithmetic.  Degenerate a = b = 0
+    (vector sits on two coincident centroids) is defined as sil = 0.
+
+    Scale shape: one exploded-vector ⋈ broadcast-centroid join +
+    one (vec_id, cell) partial-aggregated distance sum — the
+    kmeans_lloyd assignment plan, reused verbatim — then a per-vector
+    k-row window.  Nothing touches pairs of vectors.
+    """
+    cents = kmeans_lloyd(embs, n_cells=n_cells, iters=iters)
+    vexp = embs.select(
+        "vec_id",
+        F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))),
+    ).select("vec_id", F.col("pos").alias("d"), F.col("col").alias("val"))
+    d2 = (
+        vexp.join(F.broadcast(cents), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.round(F.sum((F.col("val") - F.col("c")) ** 2), 6).alias("d2"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    )
+    ranked = d2.withColumn("rnk", rnk)
+    own = ranked.filter(F.col("rnk") == 1).select(
+        "vec_id", "cell", F.sqrt("d2").alias("a")
+    )
+    other = (
+        ranked.filter(F.col("rnk") > 1)
+        .groupBy("vec_id")
+        .agg(F.sqrt(F.min("d2")).alias("b"))
+    )
+    mx = F.greatest("a", "b")
+    return own.join(other, "vec_id").select(
+        "vec_id",
+        "cell",
+        F.when(mx == 0, F.lit(0.0))
+        .otherwise(F.round((F.col("b") - F.col("a")) / mx, 6))
+        .alias("sil"),
+    )
+
+
+def cluster_silhouette_sql(
+    table: str = "embeddings",
+    n_cells: int = LLOYD_CELLS,
+    iters: int = LLOYD_ITERS,
+    dim: int = COV_DIM,
+) -> str:
+    parts = _kmeans_lloyd_cte_parts(table, n_cells, iters, dim)
+    parts.append(
+        f"""sil_d2 AS (
+        SELECT v.vec_id, c.cell, ROUND(SUM((v.val - c.c) * (v.val - c.c)), 6) AS d2
+        FROM vexp v JOIN cents{iters} c ON v.d = c.d
+        GROUP BY v.vec_id, c.cell
+    ),
+    sil_rank AS (
+        SELECT vec_id, cell, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rnk
+        FROM sil_d2
+    ),
+    sil_a AS (SELECT vec_id, cell, sqrt(d2) AS a FROM sil_rank WHERE rnk = 1),
+    sil_b AS (SELECT vec_id, sqrt(MIN(d2)) AS b FROM sil_rank WHERE rnk > 1 GROUP BY vec_id)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT a.vec_id AS vec_id, a.cell AS cell,
+           CASE WHEN GREATEST(a.a, b.b) = 0 THEN 0.0
+                ELSE ROUND((b.b - a.a) / GREATEST(a.a, b.b), 6) END AS sil
+    FROM sil_a a JOIN sil_b b ON a.vec_id = b.vec_id"""
+    )

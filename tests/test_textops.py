@@ -857,3 +857,24 @@ def test_bpe_train_sennrich_example_and_greedy_scan(spark):
     # 2 words x 3 adjacent (a,a) pairs = 6; greedy scan leaves aa|aa
     assert got2[0] == (0, "a", "a", 6)
     assert got2[1] == (1, "aa", "aa", 2)
+
+
+def test_cluster_silhouette_separated_blobs(spark):
+    """Two tight blobs far apart → every vector's silhouette ≈ 1;
+    a vector exactly midway between the two learned centroids → ≈ 0."""
+    from sbm_communitydetection_spark.textops.similarity import cluster_silhouette
+
+    rows = (
+        [(i, [0.0 + 0.01 * i, 0.0], 0) for i in range(4)]
+        + [(10 + i, [10.0 + 0.01 * i, 0.0], 1) for i in range(4)]
+        + [(99, [5.0075, 0.0], 0)]  # near-midpoint probe
+    )
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.vec_id: r.sil for r in cluster_silhouette(e, n_cells=2, iters=4).collect()}
+    assert len(got) == 9
+    # the midpoint probe joins one blob's cell and drags its centroid a
+    # little, so "≈ 1" is a hair under 0.9 for that side
+    for v in range(4):
+        assert got[v] > 0.85
+        assert got[10 + v] > 0.85
+    assert abs(got[99]) < 0.2
