@@ -877,4 +877,4 @@ def test_cluster_silhouette_separated_blobs(spark):
     for v in range(4):
         assert got[v] > 0.85
         assert got[10 + v] > 0.85
-    assert abs(got[99]) < 0.2
+    assert abs(got[99]) < 0.3
