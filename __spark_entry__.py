@@ -1730,6 +1730,13 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+def _q_label_assortativity(spark, sf_dir):
+    """Newman's categorical assortativity (homophily scalar) over the
+    derived label partition."""
+    e = lineitem_edges(spark, sf_dir)
+    return G.label_assortativity(e, derived_labels(e))
+
+
 def _q_cluster_silhouette(spark, sf_dir):
     """Simplified (centroid-based) silhouette per vector over the gated
     kmeans_lloyd clustering — the O(n·k) quantizer-quality audit."""
@@ -2168,6 +2175,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_metrics": _q_retrieval_metrics,  # embedding eval card
         "bpe_train": _q_bpe_train,  # tokenizer merge learning
         "cluster_silhouette": _q_cluster_silhouette,  # clustering-quality audit
+        "label_assortativity": _q_label_assortativity,  # homophily scalar
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2693,6 +2701,9 @@ WITH injected AS (
         "retrieval_metrics": TS.retrieval_metrics_sql(k=10),
         "bpe_train": _bpe_sql(),
         "cluster_silhouette": TS.cluster_silhouette_sql(),
+        "label_assortativity": edges_cte
+        + ",\n"
+        + G.label_assortativity_sql(N_LABELS),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

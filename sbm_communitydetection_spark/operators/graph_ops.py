@@ -479,3 +479,94 @@ def rich_club_sql(ks: tuple[int, ...] = RICH_CLUB_KS) -> str:
                 ELSE 0.0 END AS phi
     FROM nc LEFT JOIN ec ON nc.k = ec.k
     """
+
+
+def label_assortativity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Single-row (n_edges, tr_e, sum_ab, assortativity) — Newman's
+    CATEGORICAL assortativity coefficient (PRE 67:026126 eq. 2):
+
+        r = (Σ_i e_ii − Σ_i a_i·b_i) / (1 − Σ_i a_i·b_i)
+
+    over the label mixing matrix e_ij (fraction of directed edge ends
+    from label i to label j), a/b its row/col sums.  The homophily
+    scalar for any vertex attribute — community labels, language,
+    source, role — answering "do like actors talk to like?" one level
+    above the per-community view (community_stats / conductance):
+    r = 1 perfect homophily, 0 random mixing, < 0 disassortative.
+    degree_assortativity (above) is the numeric-attribute sibling.
+
+    Exact path: the k×k mixing counts are integer aggregates on ONE
+    doubly-labeled edge pass (the J1 join shape); the row/col sums and
+    the final scalar run on the k²-row contingency — driver-scale for
+    any real label domain.  Σ a_i·b_i is summed as int64 of raw counts
+    (≤ m², overflowing past m ≈ 3·10^9 edges); at that scale divide the
+    marginals by m BEFORE the product — r is unchanged, the twin just
+    needs the same op order.  Self-loops are excluded (they inflate e_ii
+    with no mixing information).  Degenerate Σa·b = 1 (all one label)
+    is defined as r = 0.
+    """
+    lab = labels.select("id", "label")
+    m = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(lab.withColumnRenamed("id", "src").withColumnRenamed("label", "li"), "src")
+        .join(lab.withColumnRenamed("id", "dst").withColumnRenamed("label", "lj"), "dst")
+        .groupBy("li", "lj")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = m.agg(
+        F.sum("n").cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("li") == F.col("lj"), F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("diag"),
+    )
+    a = m.groupBy("li").agg(F.sum("n").alias("ra"))
+    b = m.groupBy("lj").agg(F.sum("n").alias("cb"))
+    ab = (
+        a.join(b, a["li"] == b["lj"])
+        .agg(F.sum(F.col("ra") * F.col("cb")).cast("long").alias("sum_ab_raw"))
+    )
+    s = tot.crossJoin(ab).select(
+        "n_edges",
+        (F.col("diag") / F.col("n_edges")).alias("tr_e"),
+        (F.col("sum_ab_raw") / F.col("n_edges") / F.col("n_edges")).alias("sum_ab"),
+    )
+    return s.select(
+        "n_edges",
+        F.round("tr_e", 6).alias("tr_e"),
+        F.round("sum_ab", 6).alias("sum_ab"),
+        F.when(F.col("sum_ab") == 1.0, F.lit(0.0))
+        .otherwise(
+            F.round((F.col("tr_e") - F.col("sum_ab")) / (1.0 - F.col("sum_ab")), 6)
+        )
+        .alias("assortativity"),
+    )
+
+
+def label_assortativity_sql(n_labels: int) -> str:
+    """DuckDB twin over the `edges` CTE with derived labels id % n."""
+    return f"""
+la_m AS (
+    SELECT e.src % {n_labels} AS li, e.dst % {n_labels} AS lj, COUNT(*)::BIGINT AS n
+    FROM edges e WHERE e.src <> e.dst
+    GROUP BY 1, 2
+),
+la_tot AS (
+    SELECT SUM(n)::BIGINT AS n_edges,
+           SUM(CASE WHEN li = lj THEN n ELSE 0 END)::BIGINT AS diag
+    FROM la_m
+),
+la_ab AS (
+    SELECT SUM(ra * cb)::BIGINT AS sum_ab_raw
+    FROM (SELECT li, SUM(n) AS ra FROM la_m GROUP BY li) a
+    JOIN (SELECT lj, SUM(n) AS cb FROM la_m GROUP BY lj) b ON a.li = b.lj
+),
+la_s AS (
+    SELECT n_edges,
+           diag / n_edges AS tr_e,
+           sum_ab_raw / n_edges / n_edges AS sum_ab
+    FROM la_tot CROSS JOIN la_ab
+)
+SELECT n_edges, ROUND(tr_e, 6) AS tr_e, ROUND(sum_ab, 6) AS sum_ab,
+       CASE WHEN sum_ab = 1.0 THEN 0.0
+            ELSE ROUND((tr_e - sum_ab) / (1.0 - sum_ab), 6) END AS assortativity
+FROM la_s"""

@@ -611,3 +611,28 @@ def test_four_cliques_known_graphs(spark):
 
     c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
     assert four_clique_count(g(c4)).collect()[0].four_cliques == 0
+
+
+def test_label_assortativity_extremes(spark):
+    """Two disjoint same-label cliques → r = 1; perfect bipartite
+    cross-label mixing → r < 0; the coefficient is computed on the
+    symmetrized directed edge-end counts."""
+    from sbm_communitydetection_spark.operators.graph_ops import label_assortativity
+
+    def sym(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1) for a, b in pairs] + [(b, a, 1) for a, b in pairs],
+            "src long, dst long, weight long",
+        )
+
+    # labels: id % 2
+    labels2 = lambda e: e.select(F.col("src").alias("id")).distinct().select(
+        "id", (F.col("id") % 2).alias("label")
+    )
+    homo = sym([(0, 2), (2, 4), (0, 4), (1, 3), (3, 5), (1, 5)])  # even/odd cliques
+    r1 = label_assortativity(homo, labels2(homo)).collect()[0]
+    assert r1.assortativity == 1.0 and r1.tr_e == 1.0
+
+    hetero = sym([(0, 1), (0, 3), (2, 1), (2, 3)])  # even↔odd only
+    r2 = label_assortativity(hetero, labels2(hetero)).collect()[0]
+    assert r2.tr_e == 0.0 and r2.assortativity < 0
