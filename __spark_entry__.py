@@ -1730,6 +1730,15 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+TRUSS_ROUNDS = 3
+
+
+def _q_trussness(spark, sf_dir):
+    """Full truss decomposition (edge h-index iteration), gate-parity
+    mode: exactly TRUSS_ROUNDS synchronous rounds, twin-unrolled."""
+    return KC.trussness(lineitem_edges(spark, sf_dir), rounds=TRUSS_ROUNDS)
+
+
 def _q_label_assortativity(spark, sf_dir):
     """Newman's categorical assortativity (homophily scalar) over the
     derived label partition."""
@@ -2176,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": _q_bpe_train,  # tokenizer merge learning
         "cluster_silhouette": _q_cluster_silhouette,  # clustering-quality audit
         "label_assortativity": _q_label_assortativity,  # homophily scalar
+        "trussness": _q_trussness,  # full truss decomposition
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2704,6 +2714,7 @@ WITH injected AS (
         "label_assortativity": edges_cte
         + ",\n"
         + G.label_assortativity_sql(N_LABELS),
+        "trussness": edges_cte + ",\n" + KC.trussness_unrolled_sql(TRUSS_ROUNDS),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -273,3 +273,167 @@ def coreness_unrolled_sql(rounds: int) -> str:
 )"""
         )
     return ",\n".join(parts) + f"\nSELECT id, c AS coreness FROM h{rounds}"
+
+
+def trussness(
+    edges: DataFrame,
+    rounds: int | None = None,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(a, b, trussness) — the FULL truss decomposition via edge
+    h-index iteration (Sariyüce, Seshadhri & Pinar, WWW'17 local
+    nucleus decomposition): every canonical edge's truss number from
+    ONE run, the edge-level sibling of `coreness` exactly as k_truss
+    is k_core's edge-level sibling.  Start every edge at its triangle
+    support; repeatedly replace each value with the h-index of
+    min(value of the two partner edges) over the edge's triangles; the
+    fixpoint is trussness − 2.  Triangle-free edges have trussness 2.
+
+    Plan shape: the triangle incidence table (3 rows per triangle,
+    built once from the degree-oriented triangle_list — Σ min(d_a,d_b)
+    listing cost, hub-safe) is the static join side; each round is two
+    co-partitioned joins against the shrinking edge-value vector plus
+    the SAME grouped h-index window as coreness — per edge it sorts
+    (value, count) groups, never the raw triangle list, so a
+    10^5-triangle edge contributes ~trussness rows to the sort.
+    Values only decrease and are integer-bounded ⇒ finite convergence.
+
+    rounds=None iterates to the fixpoint (stop when no value changed);
+    rounds=R unrolls exactly R synchronous rounds — gate-parity mode,
+    round-for-round identical to trussness_unrolled_sql(R) regardless
+    of convergence.
+    """
+    from .triangles import triangle_list
+
+    canon = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    tri = triangle_list(edges).select(
+        F.least("x", "y").alias("a1"),
+        F.greatest("x", "y").alias("b1"),
+        F.least("y", "z").alias("a2"),
+        F.greatest("y", "z").alias("b2"),
+        F.least("x", "z").alias("a3"),
+        F.greatest("x", "z").alias("b3"),
+    )
+    perms = [
+        ("a1", "b1", "a2", "b2", "a3", "b3"),
+        ("a2", "b2", "a1", "b1", "a3", "b3"),
+        ("a3", "b3", "a1", "b1", "a2", "b2"),
+    ]
+    inc = None
+    for e, eb, o1, o1b, o2, o2b in perms:
+        part = tri.select(
+            F.col(e).alias("a"),
+            F.col(eb).alias("b"),
+            F.col(o1).alias("oa1"),
+            F.col(o1b).alias("ob1"),
+            F.col(o2).alias("oa2"),
+            F.col(o2b).alias("ob2"),
+        )
+        inc = part if inc is None else inc.unionByName(part)
+    inc = cache_partitioned(inc.repartition("a", "b"))
+    state = (
+        inc.groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    w_cum = (
+        Window.partitionBy("a", "b")
+        .orderBy(F.desc("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for _ in range(rounds if rounds is not None else max_iterations):
+        s1 = state.select(
+            F.col("a").alias("oa1"), F.col("b").alias("ob1"), F.col("c").alias("c1")
+        )
+        s2 = state.select(
+            F.col("a").alias("oa2"), F.col("b").alias("ob2"), F.col("c").alias("c2")
+        )
+        grouped = (
+            inc.join(s1.hint("SHUFFLE_HASH"), ["oa1", "ob1"])
+            .join(s2.hint("SHUFFLE_HASH"), ["oa2", "ob2"])
+            .groupBy("a", "b", F.least("c1", "c2").alias("v"))
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
+        nxt = (
+            grouped.withColumn("cum", F.sum("cnt").over(w_cum))
+            .groupBy("a", "b")
+            .agg(F.max(F.least(F.col("cum"), F.col("v"))).cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = -1
+        if rounds is None:
+            changed = (
+                nxt.withColumnRenamed("c", "cn")
+                .join(state, ["a", "b"])
+                .filter(F.col("cn") != F.col("c"))
+                .count()
+            )
+        unpersist_checkpoint(state)
+        state = nxt
+        if changed == 0:
+            break
+    unpersist_checkpoint(inc)
+    with_tri = state.select("a", "b", (F.col("c") + 2).alias("trussness"))
+    bare = canon.join(state.select("a", "b"), ["a", "b"], "left_anti").select(
+        "a", "b", F.lit(2).cast("long").alias("trussness")
+    )
+    return with_tri.unionByName(bare)
+
+
+def trussness_unrolled_sql(rounds: int) -> str:
+    """DuckDB twin of trussness(rounds=R) over the `edges` CTE — the
+    same grouped edge-h-index update unrolled (exact integer math)."""
+    parts = [
+        """tr_e AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM edges WHERE src <> dst
+)""",
+        """tr_tri AS (
+    SELECT p1.a AS x, p1.b AS y, p2.b AS z
+    FROM tr_e p1
+    JOIN tr_e p2 ON p1.b = p2.a
+    JOIN tr_e p3 ON p3.a = p1.a AND p3.b = p2.b
+)""",
+        """tr_inc AS (
+    SELECT x AS ea, y AS eb, y AS oa1, z AS ob1, x AS oa2, z AS ob2 FROM tr_tri
+    UNION ALL
+    SELECT y, z, x, y, x, z FROM tr_tri
+    UNION ALL
+    SELECT x, z, x, y, y, z FROM tr_tri
+)""",
+        "tr_t0 AS (SELECT ea AS a, eb AS b, COUNT(*)::BIGINT AS c"
+        " FROM tr_inc GROUP BY ea, eb)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""tr_g{i} AS (
+    SELECT i.ea AS a, i.eb AS b, LEAST(s1.c, s2.c) AS v, COUNT(*)::BIGINT AS cnt
+    FROM tr_inc i
+    JOIN tr_t{i - 1} s1 ON i.oa1 = s1.a AND i.ob1 = s1.b
+    JOIN tr_t{i - 1} s2 ON i.oa2 = s2.a AND i.ob2 = s2.b
+    GROUP BY i.ea, i.eb, LEAST(s1.c, s2.c)
+)"""
+        )
+        parts.append(
+            f"""tr_t{i} AS (
+    SELECT a, b, MAX(LEAST(cum, v))::BIGINT AS c
+    FROM (SELECT a, b, v, SUM(cnt) OVER (
+              PARTITION BY a, b ORDER BY v DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tr_g{i})
+    GROUP BY a, b
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT a, b, (c + 2)::BIGINT AS trussness FROM tr_t{rounds}
+UNION ALL
+SELECT a, b, 2::BIGINT AS trussness
+FROM tr_e ANTI JOIN tr_t0 USING (a, b)"""
+    )

@@ -883,3 +883,28 @@ def test_conv_prefix_dups_depth_and_groups(spark):
         "c2": (2, 2),
         "c3": (1, 3),  # shares only turn 0 — with both c1 and c2
     }
+
+
+# ---------------------------------------------------------------- trussness
+
+
+def test_trussness_fixpoint_k5_triangle_bridge(spark):
+    """K5 edges are 5-truss, a pendant triangle's edges are 3-truss, a
+    bridge edge is 2-truss; the h-index fixpoint must find all three
+    levels in one run (rounds=None)."""
+    from itertools import combinations
+
+    from sbm_communitydetection_spark.operators.kcore import trussness
+
+    und = list(combinations(range(5), 2)) + [(4, 5), (4, 6), (5, 6), (6, 7)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in und] + [(b, a, 1) for a, b in und],
+        "src long, dst long, weight long",
+    )
+    got = {(r.a, r.b): r.trussness for r in trussness(edges).collect()}
+    for a, b in combinations(range(5), 2):
+        assert got[(a, b)] == 5, (a, b)
+    for pair in [(4, 5), (4, 6), (5, 6)]:
+        assert got[pair] == 3, pair
+    assert got[(6, 7)] == 2
+    assert len(got) == len(und)
