@@ -1730,6 +1730,11 @@ def _q_readability_scores(spark, sf_dir):
     return TA.readability_scores(_docs(spark, sf_dir))
 
 
+def _q_influence_seeds(spark, sf_dir):
+    """DegreeDiscount influence-maximization seed selection (k=5)."""
+    return G.influence_seeds(lineitem_edges(spark, sf_dir), k=5)
+
+
 TRUSS_ROUNDS = 3
 
 
@@ -2186,6 +2191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_silhouette": _q_cluster_silhouette,  # clustering-quality audit
         "label_assortativity": _q_label_assortativity,  # homophily scalar
         "trussness": _q_trussness,  # full truss decomposition
+        "influence_seeds": _q_influence_seeds,  # IC-model seed selection
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2715,6 +2721,7 @@ WITH injected AS (
         + ",\n"
         + G.label_assortativity_sql(N_LABELS),
         "trussness": edges_cte + ",\n" + KC.trussness_unrolled_sql(TRUSS_ROUNDS),
+        "influence_seeds": edges_cte + ",\n" + G.influence_seeds_sql(k=5),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -908,3 +908,24 @@ def test_trussness_fixpoint_k5_triangle_bridge(spark):
         assert got[pair] == 3, pair
     assert got[(6, 7)] == 2
     assert len(got) == len(und)
+
+
+def test_influence_seeds_star_discount(spark):
+    """Star + far clique: the star hub wins round 1; after the hub is
+    seeded, its leaves are discounted so round 2 picks the clique
+    vertex despite lower raw degree than... the leaves (deg 1) — pin
+    instead that the hub's leaves never beat untouched clique members."""
+    from itertools import combinations
+
+    from sbm_communitydetection_spark.operators.graph_ops import influence_seeds
+
+    und = [(0, i) for i in range(1, 8)]  # hub 0, leaves deg 1 (7 leaves)
+    und += list(combinations(range(100, 105), 2))  # K5, deg 4 each
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in und] + [(b, a, 1) for a, b in und],
+        "src long, dst long, weight long",
+    )
+    got = [(r.seed_rank, r.id) for r in influence_seeds(edges, k=3).orderBy("seed_rank").collect()]
+    assert got[0] == (0, 0)  # hub: deg 7
+    # rounds 2-3: K5 members (deg 4, undiscounted) beat all leaves
+    assert got[1][1] == 100 and got[2][1] == 101
