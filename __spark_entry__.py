@@ -1735,6 +1735,35 @@ def _q_influence_seeds(spark, sf_dir):
     return G.influence_seeds(lineitem_edges(spark, sf_dir), k=5)
 
 
+# 3%: on the ~113-avg-degree gate graph the 5 hub seeds light their
+# neighborhoods over several rounds without trivially flooding — 300‰
+# froze at the seed set (recorded), which exercised no propagation
+CASCADE_THETA_PM = 30
+CASCADE_ROUNDS = 4
+
+
+def _q_threshold_cascade(spark, sf_dir):
+    """Linear-threshold cascade from the top-5-degree seed set — exact
+    integer activation test, 4 unrolled rounds."""
+    e = lineitem_edges(spark, sf_dir)
+    nbrs = e.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    seeds = (
+        nbrs.groupBy(F.col("src").alias("id"))
+        .agg(F.count("*").alias("d"))
+        .orderBy(F.desc("d"), F.asc("id"))
+        .limit(5)
+        .select("id")
+    )
+    return G.threshold_cascade(
+        e, seeds, theta_permille=CASCADE_THETA_PM, rounds=CASCADE_ROUNDS
+    )
+
+
+def _q_containment_pairs(spark, sf_dir):
+    """Broder asymmetric containment dedup pairs (|∩|/|S_a| ≥ 0.6)."""
+    return TD.containment_pairs(_docs(spark, sf_dir))
+
+
 TRUSS_ROUNDS = 3
 
 
@@ -2192,6 +2221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_assortativity": _q_label_assortativity,  # homophily scalar
         "trussness": _q_trussness,  # full truss decomposition
         "influence_seeds": _q_influence_seeds,  # IC-model seed selection
+        "threshold_cascade": _q_threshold_cascade,  # diffusion-reach evaluation
+        "containment_pairs": _q_containment_pairs,  # asymmetric dedup signal
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2722,6 +2753,12 @@ WITH injected AS (
         + G.label_assortativity_sql(N_LABELS),
         "trussness": edges_cte + ",\n" + KC.trussness_unrolled_sql(TRUSS_ROUNDS),
         "influence_seeds": edges_cte + ",\n" + G.influence_seeds_sql(k=5),
+        "threshold_cascade": edges_cte
+        + ",\n"
+        + G.threshold_cascade_sql(
+            theta_permille=CASCADE_THETA_PM, rounds=CASCADE_ROUNDS
+        ),
+        "containment_pairs": TD.containment_pairs_sql(),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -682,3 +682,95 @@ inf_s0 AS (SELECT src AS id, COUNT(*)::BIGINT AS d, 0::BIGINT AS t
         for i in range(k)
     )
     return ",\n".join(parts) + "\n" + tail
+
+
+def threshold_cascade(
+    edges: DataFrame,
+    seeds: DataFrame,
+    theta_permille: int = 300,
+    rounds: int | None = None,
+    max_iterations: int = 30,
+) -> DataFrame:
+    """(id, round_activated) — deterministic linear-threshold cascade
+    (Granovetter thresholds / Kempe-Kleinberg-Tardos ICM sibling): the
+    seed set activates at round 0; thereafter a vertex activates in the
+    first round where at least ``theta_permille``/1000 of its distinct
+    neighbors are active.  The evaluation loop for influence_seeds —
+    "how far does this seed set actually reach, and how fast" — and the
+    standard diffusion model for rumor/adoption spread over the actor
+    graph.
+
+    EXACT integer activation test (1000·active_nbrs ≥ θ‰·deg): no
+    float ever enters the decision, so the unrolled DuckDB twin is
+    hash-identical round for round.  rounds=None runs to the fixpoint
+    (cascade dies out); rounds=R unrolls exactly R rounds (gate mode).
+
+    Scale shape: the neighbor table is static (partitioned once); each
+    round is one semi-join of it against the newly-active frontier +
+    one dst-keyed count + one anti-join — frontier-proportional work,
+    the SSSP/BFS discipline, nothing rescans the inactive majority.
+    """
+    nbrs = (
+        edges.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    )
+    deg = nbrs.groupBy(F.col("dst").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    active = (
+        seeds.select("id").distinct().select("id", F.lit(0).alias("round_activated"))
+    ).localCheckpoint(eager=True)
+    for i in range(1, (rounds if rounds is not None else max_iterations) + 1):
+        cnt = (
+            nbrs.join(
+                active.select(F.col("id").alias("src")).hint("SHUFFLE_HASH"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.count("*").cast("long").alias("act"))
+        )
+        newly = (
+            cnt.join(deg, "id")
+            .filter(F.lit(1000) * F.col("act") >= F.lit(theta_permille) * F.col("deg"))
+            .join(active.select("id"), "id", "left_anti")
+            .select("id", F.lit(i).alias("round_activated"))
+        )
+        nxt = active.unionByName(newly).localCheckpoint(eager=True)
+        n_new = nxt.count() - active.count()
+        active.unpersist()
+        active = nxt
+        if rounds is None and n_new == 0:
+            break
+    return active.select("id", F.col("round_activated").cast("int").alias("round_activated"))
+
+
+def threshold_cascade_sql(
+    theta_permille: int = 300, rounds: int = 4, n_seeds: int = 5
+) -> str:
+    """DuckDB twin over the `edges` CTE with top-degree seeds (deg desc,
+    id asc, LIMIT ``n_seeds``) — the gate wrapper's seed rule."""
+    parts = [
+        "tc_n AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        "tc_deg AS (SELECT dst AS id, COUNT(*)::BIGINT AS deg FROM tc_n GROUP BY dst)",
+        f"""tc_a0 AS (
+    SELECT id, 0 AS round_activated
+    FROM (SELECT src AS id, COUNT(*) AS d FROM tc_n GROUP BY src
+          ORDER BY d DESC, id ASC LIMIT {n_seeds})
+)""",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""tc_a{i} AS (
+    SELECT id, round_activated FROM tc_a{i - 1}
+    UNION ALL
+    SELECT c.id, {i} AS round_activated
+    FROM (SELECT n.dst AS id, COUNT(*)::BIGINT AS act
+          FROM tc_n n JOIN tc_a{i - 1} a ON n.src = a.id
+          GROUP BY n.dst) c
+    JOIN tc_deg d ON c.id = d.id
+    WHERE 1000 * c.act >= {theta_permille} * d.deg
+      AND c.id NOT IN (SELECT id FROM tc_a{i - 1})
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, round_activated::INT AS round_activated FROM tc_a{rounds}"
+    )

@@ -1057,3 +1057,72 @@ def coverage_select_topk_sql(
         + ",\n    ".join(parts)
         + f"\nSELECT rank::INT AS rank, doc_id, gain FROM ({unions})"
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    n: int = NGRAM_N,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(a, b, containment) — Broder's ASYMMETRIC containment
+    c(a→b) = |S_a ∩ S_b| / |S_a| ≥ threshold, both directions emitted
+    (a ≠ b, each ordered pair scored on its own denominator).
+
+    The dedup signal symmetric Jaccard structurally misses: a short doc
+    quoted whole inside a long one (boilerplate-wrapped article, quoted
+    reply, prompt embedded in a transcript dump) has tiny Jaccard —
+    |∩|/|∪| is diluted by the long side — but containment of the short
+    side is ~1.  Standard curation policy drops the CONTAINED doc and
+    keeps the superset; this op emits exactly that decision table.
+
+    Scale shape: identical to ngram_jaccard_pairs — inverted shingle
+    index join with the same optional ``max_shingle_df`` stop-shingle
+    guard; the only addition is scoring each unordered intersection
+    row twice (once per denominator), which is free — the join output
+    was the cost.
+    """
+    sh = _doc_shingles(docs, n)
+    if max_shingle_df is not None:
+        rare = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(rare.select("shingle"), "shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    left = sh.select(F.col("doc_id").alias("a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        left.join(right, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("i"))
+    )
+    both = inter.unionByName(
+        inter.select(F.col("b").alias("a"), F.col("a").alias("b"), "i")
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza"))
+    cont = F.round(F.col("i") / F.col("sza"), 6)
+    return (
+        both.join(sa, "a")
+        .select("a", "b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def containment_pairs_sql(
+    table: str = "documents", threshold: float = 0.6, n: int = NGRAM_N
+) -> str:
+    return f"""
+    WITH {_shingle_cte_sql(table, n)},
+    cp_inter AS (
+        SELECT l.doc_id AS a, r.doc_id AS b, COUNT(*) AS i
+        FROM sh l JOIN sh r ON l.shingle = r.shingle AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    ),
+    cp_both AS (
+        SELECT a, b, i FROM cp_inter
+        UNION ALL
+        SELECT b AS a, a AS b, i FROM cp_inter
+    )
+    SELECT p.a, p.b, ROUND(i / s.sz, 6) AS containment
+    FROM cp_both p JOIN sizes s ON p.a = s.doc_id
+    WHERE ROUND(i / s.sz, 6) >= {threshold}
+    """

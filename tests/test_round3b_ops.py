@@ -929,3 +929,46 @@ def test_influence_seeds_star_discount(spark):
     assert got[0] == (0, 0)  # hub: deg 7
     # rounds 2-3: K5 members (deg 4, undiscounted) beat all leaves
     assert got[1][1] == 100 and got[2][1] == 101
+
+
+def test_threshold_cascade_chain_rounds_and_fixpoint(spark):
+    """Line 0-1-2-3 with seed 0 and θ=50%: vertex 1 (neighbors {0,2},
+    1/2 active) fires round 1, vertex 2 round 2, vertex 3 (neighbor {2},
+    1/1) round 3 — one hop per round; fixpoint mode stops by itself.
+    θ=60% > 1/2 freezes the cascade at the seed."""
+    from sbm_communitydetection_spark.operators.graph_ops import threshold_cascade
+
+    und = [(0, 1), (1, 2), (2, 3)]
+    edges = spark.createDataFrame(
+        [(a, b, 1) for a, b in und] + [(b, a, 1) for a, b in und],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {
+        r.id: r.round_activated
+        for r in threshold_cascade(edges, seeds, theta_permille=500).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+    frozen = threshold_cascade(edges, seeds, theta_permille=600).collect()
+    assert {(r.id, r.round_activated) for r in frozen} == {(0, 0)}
+
+
+def test_containment_asymmetric_quote(spark):
+    """A short doc quoted whole inside a long one: containment of the
+    short side ≈ 1, the reverse direction well below, and symmetric
+    Jaccard would miss it at the same threshold."""
+    from sbm_communitydetection_spark.textops.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long_ = short + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(20))
+    d = spark.createDataFrame(
+        [(100, short), (200, long_)], "doc_id long, text string"
+    )
+    cont = {(r.a, r.b): r.containment for r in containment_pairs(d, threshold=0.5).collect()}
+    assert cont.get((100, 200), 0) >= 0.99  # short contained in long
+    assert (200, 100) not in cont  # reverse direction dilutes away
+    jac = ngram_jaccard_pairs(d, threshold=0.5).collect()
+    assert not jac  # symmetric Jaccard misses the quote at 0.5
