@@ -1764,6 +1764,12 @@ def _q_containment_pairs(spark, sf_dir):
     return TD.containment_pairs(_docs(spark, sf_dir))
 
 
+def _q_knn_graph_clusters(spark, sf_dir):
+    """Mutual-kNN graph clustering: cosine ranking → mutual edges →
+    north-star connected components; singletons keep their own id."""
+    return TS.knn_graph_clusters(_embs(spark, sf_dir), k=5)
+
+
 TRUSS_ROUNDS = 3
 
 
@@ -2223,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "influence_seeds": _q_influence_seeds,  # IC-model seed selection
         "threshold_cascade": _q_threshold_cascade,  # diffusion-reach evaluation
         "containment_pairs": _q_containment_pairs,  # asymmetric dedup signal
+        "knn_graph_clusters": _q_knn_graph_clusters,  # textops × graph composition
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2759,6 +2766,7 @@ WITH injected AS (
             theta_permille=CASCADE_THETA_PM, rounds=CASCADE_ROUNDS
         ),
         "containment_pairs": TD.containment_pairs_sql(),
+        "knn_graph_clusters": TS.knn_graph_clusters_sql(k=5),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -1209,3 +1209,69 @@ def cluster_silhouette_sql(
                 ELSE ROUND((b.b - a.a) / GREATEST(a.a, b.b), 6) END AS sil
     FROM sil_a a JOIN sil_b b ON a.vec_id = b.vec_id"""
     )
+
+
+def knn_graph_clusters(embs: DataFrame, k: int = 5) -> DataFrame:
+    """(id, cluster) — mutual-kNN graph clustering: build the cosine
+    k-nearest-neighbor graph, keep only MUTUAL edges (u ∈ kNN(v) AND
+    v ∈ kNN(u) — the standard density-adaptive sparsifier: hubs can't
+    glue unrelated regions through one-directional attraction), then
+    label connected components.  The classic no-parameter-k clustering
+    over an embedding store, and the composition that ties the textops
+    world to the graph engine: ranking from cosine_topk, components
+    from the north-star large-star/small-star operator.
+
+    Every vector appears: mutual-kNN singletons keep cluster = own id.
+
+    Scale shape: the ranking is the documented brute-force correctness
+    anchor (swap ivf_topk at 10^12 rows); the mutual filter is one
+    self-semi-join on the k·n ranking table; CC then runs on a graph of
+    ≤ k·n edges — vertex-linear, the cheap part.
+    """
+    from ..operators.components import connected_components
+
+    nn = cosine_topk(embs, k=k).select("vec_id", "neighbor_id")
+    rev = nn.select(
+        F.col("neighbor_id").alias("vec_id"), F.col("vec_id").alias("neighbor_id")
+    )
+    mut = nn.join(rev, ["vec_id", "neighbor_id"], "left_semi")
+    edges = mut.select(F.col("vec_id").alias("src"), F.col("neighbor_id").alias("dst"))
+    ids = embs.select(F.col("vec_id").alias("id"))
+    return connected_components(
+        embs.sparkSession, edges, vertices=ids
+    ).select("id", F.col("component").alias("cluster"))
+
+
+def knn_graph_clusters_sql(table: str = "embeddings", k: int = 5) -> str:
+    return f"""
+    WITH RECURSIVE kgc_w AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM {table}
+    ),
+    kgc_ranked AS (
+        SELECT vec_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM (
+            SELECT l.vec_id, r.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6) AS cos
+            FROM kgc_w l JOIN kgc_w r ON l.vec_id <> r.vec_id
+        )
+    ),
+    kgc_nn AS (SELECT vec_id, neighbor_id FROM kgc_ranked WHERE rank <= {k}),
+    kgc_mut AS (
+        SELECT n.vec_id, n.neighbor_id
+        FROM kgc_nn n JOIN kgc_nn m
+          ON m.vec_id = n.neighbor_id AND m.neighbor_id = n.vec_id
+    ),
+    kgc_verts AS (SELECT vec_id AS id FROM {table}),
+    kgc_reach(u, v) AS (
+        SELECT id, id FROM kgc_verts
+        UNION
+        SELECT r.u, e.neighbor_id
+        FROM kgc_reach r JOIN kgc_mut e ON r.v = e.vec_id
+    )
+    SELECT u AS id, MIN(v) AS cluster FROM kgc_reach GROUP BY u
+    """

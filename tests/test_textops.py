@@ -878,3 +878,25 @@ def test_cluster_silhouette_separated_blobs(spark):
         assert got[v] > 0.85
         assert got[10 + v] > 0.85
     assert abs(got[99]) < 0.3
+
+
+def test_knn_graph_clusters_blobs_and_singleton(spark):
+    """Two tight blobs cluster together; an isolated far vector whose
+    kNN attraction is one-directional stays a singleton under the
+    MUTUAL filter."""
+    from sbm_communitydetection_spark.textops.similarity import knn_graph_clusters
+
+    rows = (
+        [(i, [1.0, 0.01 * i], 0) for i in range(4)]
+        + [(10 + i, [-1.0, 0.01 * i], 1) for i in range(4)]
+        + [(99, [0.0, 1.0], 2)]  # orthogonal outlier
+    )
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {r.id: r.cluster for r in knn_graph_clusters(e, k=2).collect()}
+    assert len(got) == 9
+    assert len({got[i] for i in range(4)}) == 1
+    assert len({got[10 + i] for i in range(4)}) == 1
+    assert got[0] != got[10]
+    # the outlier ranks blob members as ITS neighbors, but no blob member
+    # ranks the outlier back within k=2 → singleton
+    assert got[99] == 99
