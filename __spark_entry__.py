@@ -1058,13 +1058,14 @@ def _q_session_stats(spark, sf_dir):
     return session_stats(events_transcripts(spark, sf_dir), gap_ms=SESSION_GAP_MS)
 
 
-def _actor_keyed_edges(spark, sf_dir):
+def _actor_keyed_edges(spark, sf_dir, before_ms=None):
     """Extracted, symmetrized transcript link graph on STRING actor keys
-    (hashed ids joined back to keys so the DuckDB oracle mirrors)."""
+    (hashed ids joined back to keys so the DuckDB oracle mirrors).
+    ``before_ms`` builds the graph as of that event-time instant."""
     from sbm_communitydetection_spark.operators.extract import extract_edges, extract_vertices
     from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
 
-    t = events_transcripts(spark, sf_dir)
+    t = events_transcripts(spark, sf_dir, before_ms=before_ms)
     edges, verts = extract_edges(t), extract_vertices(t)
     return (
         edges.join(
@@ -1076,6 +1077,40 @@ def _actor_keyed_edges(spark, sf_dir):
             "dst",
         )
         .select(F.col("sk").alias("src"), F.col("dk").alias("dst"), "weight")
+    )
+
+
+def _q_actor_rank_drift(spark, sf_dir):
+    """Temporal influence drift: PageRank over the actor graph AS OF the
+    event-time midpoint vs over the full history — who is gaining or
+    losing influence in the reply graph.  Pivot = (min+max epoch-ms)/2,
+    computed identically in both engines; turn order is recomputed over
+    the surviving early events (the snapshot as it actually stood)."""
+    from sbm_communitydetection_spark.operators.pagerank import pagerank
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))  # NTZ + UTC session
+    row = ev.agg(F.min(ms).alias("mn"), F.max(ms).alias("mx")).collect()[0]
+    pivot = (row.mn + row.mx) // 2
+    early = pagerank(
+        spark,
+        _actor_keyed_edges(spark, sf_dir, before_ms=pivot),
+        damping=0.85,
+        tolerance=-1.0,
+        max_iterations=PR_ITERS,
+    ).select("id", F.round("rank", 8).alias("rank_early"))
+    full = pagerank(
+        spark,
+        _actor_keyed_edges(spark, sf_dir),
+        damping=0.85,
+        tolerance=-1.0,
+        max_iterations=PR_ITERS,
+    ).select("id", F.round("rank", 8).alias("rank_full"))
+    return early.join(full, "id").select(
+        "id",
+        "rank_early",
+        "rank_full",
+        F.round(F.col("rank_full") - F.col("rank_early"), 8).alias("delta"),
     )
 
 
@@ -2230,6 +2265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_cascade": _q_threshold_cascade,  # diffusion-reach evaluation
         "containment_pairs": _q_containment_pairs,  # asymmetric dedup signal
         "knn_graph_clusters": _q_knn_graph_clusters,  # textops × graph composition
+        "actor_rank_drift": _q_actor_rank_drift,  # temporal influence drift
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2767,6 +2803,21 @@ WITH injected AS (
         ),
         "containment_pairs": TD.containment_pairs_sql(),
         "knn_graph_clusters": TS.knn_graph_clusters_sql(k=5),
+        "actor_rank_drift": (
+            "SELECT e.id AS id, e.rank AS rank_early, f.rank AS rank_full,"
+            " ROUND(f.rank - e.rank, 8) AS delta FROM (WITH "
+            + ET.actor_edges_cte_sql(
+                "epoch_ms(ts) < (SELECT (epoch_ms(MIN(ts)) + epoch_ms(MAX(ts)))"
+                " // 2 FROM events)"
+            )
+            + ",\n"
+            + O.pagerank_unrolled_sql(PR_ITERS)
+            + ") e JOIN (WITH "
+            + ET.actor_edges_cte_sql()
+            + ",\n"
+            + O.pagerank_unrolled_sql(PR_ITERS)
+            + ") f ON e.id = f.id"
+        ),
         "coreness": edges_cte + ",\n" + KC.coreness_unrolled_sql(CORENESS_ROUNDS),
         "boilerplate_strip": TA.boilerplate_strip_sql(min_df=5),
         "corpus_stats": TA.corpus_stats_sql(),

@@ -40,9 +40,19 @@ N_TOOL_NAMES = 7
 TOOL_EVERY = 5
 
 
-def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """transcripts(conv_id, turn_idx, role, text, tool, ts) from events."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+def events_transcripts(
+    spark: SparkSession, sf_dir: str, before_ms: int | None = None
+) -> DataFrame:
+    """transcripts(conv_id, turn_idx, role, text, tool, ts) from events.
+
+    ``before_ms`` keeps only events with epoch-ms strictly below it —
+    the as-of-time snapshot input for temporal drift queries (turn
+    indices are recomputed over the surviving events, i.e. the
+    transcript exactly as it stood then)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if before_ms is not None:
+        ev = ev.filter(F.unix_millis(F.col("ts").cast("timestamp")) < before_ms)
+    ev = ev.withColumn(
         "conv_id", F.concat(F.lit("u"), F.col("user_id").cast("string"))
     )
     # Partition the turn-ordering window by the DERIVED conv_id (1:1 with
@@ -64,8 +74,11 @@ def events_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def transcripts_cte_sql() -> str:
-    """DuckDB-equivalent of events_transcripts as a CTE named `transcripts`."""
+def transcripts_cte_sql(events_filter: str = "") -> str:
+    """DuckDB-equivalent of events_transcripts as a CTE named
+    `transcripts`; ``events_filter`` is an optional WHERE predicate over
+    the raw events table (mirrors events_transcripts(before_ms=...))."""
+    where = f"WHERE {events_filter}" if events_filter else ""
     return f"""
     transcripts AS (
         SELECT
@@ -78,18 +91,18 @@ def transcripts_cte_sql() -> str:
                  THEN 'tool_' || CAST(event_id % {N_TOOL_NAMES} AS VARCHAR)
             END AS tool,
             ts
-        FROM events
+        FROM events {where}
     )
     """
 
 
-def actor_edges_cte_sql() -> str:
+def actor_edges_cte_sql(events_filter: str = "") -> str:
     """The extracted transcript link graph as a CTE chain ending in
     `edges(src, dst, weight)` over STRING actor keys — the composition
     point for graph algorithms over the transcript graph (mirrors
     extract.extract_edges exactly)."""
     return (
-        transcripts_cte_sql()
+        transcripts_cte_sql(events_filter)
         + """,
     lagged AS (
         SELECT role,

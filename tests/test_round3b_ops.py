@@ -972,3 +972,34 @@ def test_containment_asymmetric_quote(spark):
     assert (200, 100) not in cont  # reverse direction dilutes away
     jac = ngram_jaccard_pairs(d, threshold=0.5).collect()
     assert not jac  # symmetric Jaccard misses the quote at 0.5
+
+
+def test_events_transcripts_before_ms_snapshot(spark):
+    """before_ms recomputes turn order over the surviving events only:
+    the snapshot's turn_idx is dense from 0 even when later events are
+    interleaved per user in the full table."""
+    import pandas as pd
+
+    from sbm_communitydetection_spark.sources.events_transcripts import (
+        events_transcripts,
+    )
+
+    tmp = "/tmp/evt_snap_test"
+    pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2026-01-01 00:00:00", "2026-01-01 00:02:00",
+                 "2026-01-01 00:01:00", "2026-01-01 00:03:00"]
+            ),
+            "user_id": [7, 7, 7, 7],
+            "event_type": ["a", "b", "c", "d"],
+            "value": [0.0] * 4,
+            "props": ["p1", "p2", "p3", "p4"],
+        }
+    ).astype({"ts": "datetime64[ms]"}).to_parquet(f"{tmp}/events.parquet")
+    full = events_transcripts(spark, tmp).orderBy("turn_idx").collect()
+    assert [r.role for r in full] == ["a", "c", "b", "d"]  # ts order
+    pivot = int(pd.Timestamp("2026-01-01 00:01:30").timestamp() * 1000)
+    early = events_transcripts(spark, tmp, before_ms=pivot).orderBy("turn_idx").collect()
+    assert [(r.turn_idx, r.role) for r in early] == [(0, "a"), (1, "c")]
