@@ -29,6 +29,7 @@ from sbm_communitydetection_spark.operators.frontier import (  # noqa: E402
 from sbm_communitydetection_spark.operators.linkpred import (  # noqa: E402
     adamic_adar_sql as _aa_sql,
     jaccard_sql as _jac_sql,
+    linkpred_precision_sql as _lp_eval_sql,
 )
 from sbm_communitydetection_spark.operators.betweenness import (  # noqa: E402
     betweenness_sql as _betw_sql,
@@ -1078,6 +1079,26 @@ def _actor_keyed_edges(spark, sf_dir, before_ms=None):
         )
         .select(F.col("sk").alias("src"), F.col("dk").alias("dst"), "weight")
     )
+
+
+LP_SPLIT_SQL = (
+    md5_long_sql("concat(l_orderkey, ':', l_partkey)") + " % 5 <> 0"
+)
+
+
+def _q_linkpred_eval(spark, sf_dir):
+    """Link-prediction eval protocol: hold out ~20% of lineitem
+    interactions (portable hash coin), rank Adamic-Adar on the train
+    graph, precision@{5,10,20} against the held-out edges."""
+    from sbm_communitydetection_spark.operators.linkpred import linkpred_precision_at_k
+    from sbm_communitydetection_spark.textops.portable import md5_long
+
+    keep = (
+        md5_long(F.concat_ws(":", F.col("l_orderkey"), F.col("l_partkey"))) % 5 != 0
+    )
+    train = lineitem_edges(spark, sf_dir, row_filter=keep)
+    full = lineitem_edges(spark, sf_dir)
+    return linkpred_precision_at_k(train, full)
 
 
 def _q_actor_rank_drift(spark, sf_dir):
@@ -2266,6 +2287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,  # asymmetric dedup signal
         "knn_graph_clusters": _q_knn_graph_clusters,  # textops × graph composition
         "actor_rank_drift": _q_actor_rank_drift,  # temporal influence drift
+        "linkpred_eval": _q_linkpred_eval,  # holdout precision@k protocol
         # Entries below are the round-3 session-2 additions — same queue.
         "tool_chains": _q_tool_chains,
         "agent_loops": _q_agent_loops,
@@ -2803,6 +2825,10 @@ WITH injected AS (
         ),
         "containment_pairs": TD.containment_pairs_sql(),
         "knn_graph_clusters": TS.knn_graph_clusters_sql(k=5),
+        "linkpred_eval": _lp_eval_sql(
+            lineitem_edges_sql(lineitem_where=LP_SPLIT_SQL),
+            lineitem_edges_sql(),
+        ),
         "actor_rank_drift": (
             "SELECT e.id AS id, e.rank AS rank_early, f.rank AS rank_full,"
             " ROUND(f.rank - e.rank, 8) AS delta FROM (WITH "

@@ -26,7 +26,7 @@ mirrored DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -173,3 +173,97 @@ existing AS (
 SELECT s.a, s.b, s.cn_count, ROUND(s.aa_score, {round_to}) AS aa_score
 FROM scores s LEFT JOIN existing e ON s.a = e.a AND s.b = e.b
 WHERE e.a IS NULL"""
+
+
+LINKPRED_KS = (5, 10, 20)
+
+
+def linkpred_precision_at_k(
+    edges_train: DataFrame, edges_full: DataFrame, ks: tuple[int, ...] = LINKPRED_KS
+) -> DataFrame:
+    """(k, hits, precision) — the standard link-prediction evaluation
+    protocol (Liben-Nowell & Kleinberg): hold out part of the graph,
+    rank non-adjacent pairs of the TRAIN graph by Adamic-Adar, and
+    measure what fraction of the top-k predicted pairs are true edges
+    of the FULL graph that the train split hid.  The model-selection
+    loop for the linkpred family (adamic_adar / jaccard) — run per
+    refresh to catch scorer or extraction drift.
+
+    Deterministic: scores rounded to 6 dp before ranking, ties broken
+    by (a, b); the top-max(k) cut is an orderBy().limit() TakeOrdered
+    (k is tens — driver-scale by definition), so NO global window ever
+    sorts the full candidate set.  Held-out pairs = canonical full
+    pairs anti-join train pairs.
+    """
+    scored = adamic_adar(edges_train).select(
+        "a", "b", F.round("aa_score", 6).alias("s")
+    )
+    mk = max(ks)
+    top = scored.orderBy(F.desc("s"), F.asc("a"), F.asc("b")).limit(mk)
+    w = Window.orderBy(F.desc("s"), F.asc("a"), F.asc("b"))
+    ranked = top.select("a", "b", F.row_number().over(w).alias("rnk"))
+
+    def canon(e):
+        return (
+            e.select("src", "dst")
+            .filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+            )
+            .distinct()
+        )
+
+    new = canon(edges_full).join(canon(edges_train), ["a", "b"], "left_anti")
+    hits = ranked.join(new, ["a", "b"], "left_semi").select(
+        "rnk", F.lit(1).alias("hit")
+    )
+    flagged = ranked.select("rnk").join(hits, "rnk", "left").select(
+        "rnk", F.coalesce("hit", F.lit(0)).alias("hit")
+    )
+    ksdf = edges_train.sparkSession.createDataFrame([(k,) for k in ks], "k int")
+    return (
+        flagged.crossJoin(F.broadcast(ksdf))
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("hit").cast("long").alias("hits"))
+        .select("k", "hits", F.round(F.col("hits") / F.col("k"), 6).alias("precision"))
+    )
+
+
+def linkpred_precision_sql(
+    train_edges_with: str, full_edges_with: str, ks: tuple[int, ...] = LINKPRED_KS
+) -> str:
+    """DuckDB twin: ``train_edges_with`` / ``full_edges_with`` are full
+    WITH-clause bodies each defining an `edges` CTE (name collisions are
+    avoided by nesting them as subqueries)."""
+    mk = max(ks)
+    vals = ", ".join(f"({k})" for k in ks)
+    return f"""
+    WITH lp_scored AS (
+        SELECT a, b, ROUND(aa_score, 6) AS s
+        FROM (WITH {train_edges_with},\n{adamic_adar_sql()})
+    ),
+    lp_top AS (SELECT a, b, s FROM lp_scored ORDER BY s DESC, a, b LIMIT {mk}),
+    lp_rnk AS (
+        SELECT a, b, ROW_NUMBER() OVER (ORDER BY s DESC, a, b) AS rnk FROM lp_top
+    ),
+    lp_new AS (
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM (WITH {full_edges_with} SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+        EXCEPT
+        SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM (WITH {train_edges_with} SELECT DISTINCT src, dst FROM edges WHERE src <> dst)
+    ),
+    lp_flag AS (
+        SELECT r.rnk,
+               CASE WHEN EXISTS (SELECT 1 FROM lp_new n
+                                 WHERE n.a = r.a AND n.b = r.b)
+                    THEN 1 ELSE 0 END AS hit
+        FROM lp_rnk r
+    )
+    SELECT k, SUM(hit)::BIGINT AS hits,
+           ROUND(SUM(hit) / k, 6) AS precision
+    FROM lp_flag CROSS JOIN (VALUES {vals}) AS kv(k)
+    WHERE rnk <= k
+    GROUP BY k
+    """

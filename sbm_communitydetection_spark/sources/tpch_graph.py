@@ -23,9 +23,18 @@ N_VERTS = 1000
 N_LABELS = 10
 
 
-def lineitem_edges(spark: SparkSession, sf_dir: str, n_verts: int = N_VERTS) -> DataFrame:
-    """edges(src, dst, weight) — symmetrized derived graph."""
+def lineitem_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_verts: int = N_VERTS,
+    row_filter=None,
+) -> DataFrame:
+    """edges(src, dst, weight) — symmetrized derived graph.
+    ``row_filter`` (a Column predicate over raw lineitem rows) carves
+    deterministic sub-graphs — e.g. the link-prediction train split."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    if row_filter is not None:
+        li = li.filter(row_filter)
     raw = li.select(
         F.pmod(F.col("l_orderkey"), F.lit(n_verts)).cast("long").alias("src"),
         F.pmod(F.col("l_partkey"), F.lit(n_verts)).cast("long").alias("dst"),
@@ -34,12 +43,14 @@ def lineitem_edges(spark: SparkSession, sf_dir: str, n_verts: int = N_VERTS) -> 
     return symmetrize(raw)
 
 
-def lineitem_edges_sql(n_verts: int = N_VERTS) -> str:
-    """DuckDB-equivalent of lineitem_edges as a CTE body named `edges`."""
+def lineitem_edges_sql(n_verts: int = N_VERTS, lineitem_where: str = "") -> str:
+    """DuckDB-equivalent of lineitem_edges as a CTE body named `edges`;
+    ``lineitem_where`` mirrors lineitem_edges(row_filter=...)."""
+    where = f"WHERE {lineitem_where}" if lineitem_where else ""
     return f"""
     raw AS (
         SELECT l_orderkey % {n_verts} AS src, l_partkey % {n_verts} AS dst, 1::BIGINT AS weight
-        FROM lineitem
+        FROM lineitem {where}
     ),
     sym AS (
         SELECT src, dst, weight FROM raw

@@ -1003,3 +1003,32 @@ def test_events_transcripts_before_ms_snapshot(spark):
     pivot = int(pd.Timestamp("2026-01-01 00:01:30").timestamp() * 1000)
     early = events_transcripts(spark, tmp, before_ms=pivot).orderBy("turn_idx").collect()
     assert [(r.turn_idx, r.role) for r in early] == [(0, "a"), (1, "c")]
+
+
+def test_linkpred_precision_recovers_planted_holdout(spark):
+    """Two K4 cliques with one edge hidden from the train split: the
+    hidden intra-clique edge has two common neighbors in train (max AA),
+    so precision@1-equivalent (k=(1,)) is 1.0 and the pair tops the
+    ranking; a cross-clique pair never outranks it."""
+    from itertools import combinations
+
+    from sbm_communitydetection_spark.operators.linkpred import (
+        linkpred_precision_at_k,
+    )
+
+    full_und = list(combinations(range(4), 2)) + list(combinations(range(10, 14), 2))
+    hidden = (0, 1)
+    train_und = [e for e in full_und if e != hidden]
+
+    def df(pairs):
+        return spark.createDataFrame(
+            [(a, b, 1) for a, b in pairs] + [(b, a, 1) for a, b in pairs],
+            "src long, dst long, weight long",
+        )
+
+    got = {
+        r.k: (r.hits, r.precision)
+        for r in linkpred_precision_at_k(df(train_und), df(full_und), ks=(1, 3)).collect()
+    }
+    assert got[1] == (1, 1.0)  # the hidden edge is the top prediction
+    assert got[3][0] == 1  # and the only true edge in the top 3
