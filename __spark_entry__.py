@@ -120,6 +120,7 @@ from sbm_communitydetection_spark.operators.fastrp import (  # noqa: E402
     fastrp_sql as _fastrp_sql,
 )
 from sbm_communitydetection_spark.textops.bpe import (  # noqa: E402
+    bpe_apply_sql as _bpe_apply_sql,
     bpe_train_sql as _bpe_sql,
 )
 
@@ -1856,6 +1857,19 @@ def _q_bpe_train(spark, sf_dir):
     return bpe_train(_docs(spark, sf_dir))
 
 
+def _q_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility audit: apply the 8 learned BPE merges to the
+    corpus, per-doc token count and tokens-per-word."""
+    from sbm_communitydetection_spark.textops.bpe import bpe_apply, bpe_train
+
+    docs = _docs(spark, sf_dir)
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train(docs).orderBy("merge_idx").collect()
+    ]
+    return bpe_apply(docs, merges)
+
+
 def _q_retrieval_metrics(spark, sf_dir):
     """recall@k / MRR@k / nDCG@k of the cosine ranking against label
     agreement — the per-refresh embedding-quality eval card."""
@@ -2279,6 +2293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_prefix_dups": _q_conv_prefix_dups,  # scripted-opening detection
         "retrieval_metrics": _q_retrieval_metrics,  # embedding eval card
         "bpe_train": _q_bpe_train,  # tokenizer merge learning
+        "bpe_fertility": _q_bpe_fertility,  # tokenize + fertility audit
         "cluster_silhouette": _q_cluster_silhouette,  # clustering-quality audit
         "label_assortativity": _q_label_assortativity,  # homophily scalar
         "trussness": _q_trussness,  # full truss decomposition
@@ -2812,6 +2827,7 @@ WITH injected AS (
         "conv_prefix_dups": ET.conv_prefix_dups_oracle_sql(),
         "retrieval_metrics": TS.retrieval_metrics_sql(k=10),
         "bpe_train": _bpe_sql(),
+        "bpe_fertility": _bpe_apply_sql(),
         "cluster_silhouette": TS.cluster_silhouette_sql(),
         "label_assortativity": edges_cte
         + ",\n"

@@ -163,3 +163,91 @@ def bpe_train_sql(table: str = "documents", n_merges: int = BPE_MERGES) -> str:
         for m in range(n_merges)
     )
     return "WITH " + ",\n".join(parts) + "\n" + tail
+
+
+def bpe_apply(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """(doc_id, n_words, n_tokens, fertility) — tokenize every document
+    with a learned merge list (bpe_train order matters) and report the
+    per-doc BPE token count and fertility (tokens per word), THE
+    tokenizer-quality audit a pipeline runs before committing a vocab:
+    fertility spikes flag domains the merges don't cover.
+
+    Application is k chained literal replaces over the STX/ETX-framed
+    document string — all inside whole-stage codegen, zero shuffles,
+    zero Python (the merge list is tens-of-rows driver data by
+    construction).  Token count = STX occurrences (each symbol carries
+    exactly one frame byte).  Documents with no words are dropped.
+    Unlike training (which excludes them), documents containing raw
+    frame bytes are tokenized as-is — counts for such pathological
+    docs are engine-identical either way, just not meaningful.
+    """
+    s = F.concat_ws(
+        " ",
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w: F.concat_ws("", F.transform(
+                F.filter(F.split(w, ""), lambda c: c != ""),
+                lambda c: F.concat(F.lit(STX), c, F.lit(ETX)),
+            )),
+        ),
+    )
+    n_words = F.size(F.filter(F.split(F.col("text"), " "), lambda w: F.length(w) >= 1))
+    d = docs.select("doc_id", s.alias("s"), n_words.alias("n_words")).filter(
+        F.col("n_words") >= 1
+    )
+    col = F.col("s")
+    for l, r in merges:
+        col = F.replace(col, F.lit(STX + l + ETX + STX + r + ETX), F.lit(STX + l + r + ETX))
+    n_tokens = (F.length(col) - F.length(F.replace(col, F.lit(STX), F.lit("")))).cast(
+        "long"
+    )
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        n_tokens.alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("fertility"),
+    )
+
+
+def bpe_apply_sql(table: str = "documents", n_merges: int = BPE_MERGES) -> str:
+    """DuckDB twin: retrains the merge chain (bpe_train_sql CTE parts)
+    and applies it with the same chained replaces."""
+    train = bpe_train_sql(table, n_merges)
+    # reuse the training CTE chain; strip its final SELECT tail
+    head = train[: train.rindex("\nSELECT 0::INT")]
+    parts = [head]
+    parts.append(
+        f""",
+bpe_d0 AS (
+    SELECT doc_id,
+           array_to_string(list_transform(string_split(text, ' '),
+               w -> array_to_string(list_transform(
+                        list_filter(string_split(w, ''), c -> c <> ''),
+                        c -> chr(2) || c || chr(3)), '')), ' ') AS s,
+           len(list_filter(string_split(text, ' '), w -> len(w) >= 1))::BIGINT
+               AS n_words
+    FROM {table}
+)"""
+    )
+    for m in range(n_merges):
+        parts.append(
+            f""",
+bpe_d{m + 1} AS (
+    SELECT doc_id,
+           replace(d.s, chr(2) || b.l || chr(3) || chr(2) || b.r || chr(3),
+                   chr(2) || b.l || b.r || chr(3)) AS s, d.n_words
+    FROM bpe_d{m} d CROSS JOIN bpe_best{m} b
+)"""
+        )
+    parts.append(
+        f"""
+SELECT doc_id, n_words,
+       (len(s) - len(replace(s, chr(2), '')))::BIGINT AS n_tokens,
+       ROUND((len(s) - len(replace(s, chr(2), ''))) / n_words, 6) AS fertility
+FROM bpe_d{n_merges} WHERE n_words >= 1"""
+    )
+    return "".join(parts)

@@ -900,3 +900,16 @@ def test_knn_graph_clusters_blobs_and_singleton(spark):
     # the outlier ranks blob members as ITS neighbors, but no blob member
     # ranks the outlier back within k=2 → singleton
     assert got[99] == 99
+
+
+def test_bpe_apply_fertility_hand_counts(spark):
+    """'low low' with merges [(l,o),(lo,w)]: each word collapses to ONE
+    token → fertility 1.0; with no merges fertility = avg word length."""
+    from sbm_communitydetection_spark.textops.bpe import bpe_apply
+
+    d = spark.createDataFrame([(1, "low low"), (2, "ab")], "doc_id long, text string")
+    full = {r.doc_id: r for r in bpe_apply(d, [("l", "o"), ("lo", "w")]).collect()}
+    assert (full[1].n_words, full[1].n_tokens, full[1].fertility) == (2, 2, 1.0)
+    assert (full[2].n_words, full[2].n_tokens) == (1, 2)  # merges don't apply
+    none = {r.doc_id: r for r in bpe_apply(d, []).collect()}
+    assert none[1].n_tokens == 6 and none[1].fertility == 3.0
