@@ -2143,6 +2143,69 @@ def _q_multimodal_features(spark, sf_dir):
     return TM.extract_features(TM.payload_table(_docs(spark, sf_dir)))
 
 
+# --- session-7 wave: ANF/HyperBall, temporal reachability, Gopher rules,
+# --- PQ, PPR sweep cut, spectral bisection -------------------------------
+
+
+def _q_anf_profile(spark, sf_dir):
+    """ANF neighborhood function (FM bitmask bit_or fold), rounds=3."""
+    from sbm_communitydetection_spark.operators import anf as ANF
+
+    return ANF.anf_profile(spark, lineitem_edges(spark, sf_dir), rounds=3)
+
+
+def _q_effective_diameter(spark, sf_dir):
+    from sbm_communitydetection_spark.operators import anf as ANF
+
+    return ANF.effective_diameter(spark, lineitem_edges(spark, sf_dir), rounds=3)
+
+
+def _q_hyperball_closeness(spark, sf_dir):
+    """Per-vertex approximate harmonic centrality from the ANF sketches."""
+    from sbm_communitydetection_spark.operators import anf as ANF
+
+    return ANF.hyperball_closeness(spark, lineitem_edges(spark, sf_dir), rounds=2)
+
+
+def _q_temporal_reachability(spark, sf_dir):
+    """Earliest time-respecting arrival from the 'signup' actor."""
+    from sbm_communitydetection_spark.operators import temporal as TEMP
+
+    return TEMP.temporal_reachability(
+        ET.events_transcripts(spark, sf_dir), ["signup"], rounds=4
+    )
+
+
+def _q_gopher_rule_flags(spark, sf_dir):
+    return TA.gopher_rule_flags(_docs(spark, sf_dir))
+
+
+def _q_pq_codes(spark, sf_dir):
+    codes, _ = TS.pq_train(_embs(spark, sf_dir))
+    return codes
+
+
+def _q_pq_adc_topk(spark, sf_dir):
+    return TS.pq_adc_topk(_embs(spark, sf_dir))
+
+
+def _q_ppr_sweep_cut(spark, sf_dir):
+    """ACL local-cluster sweep over the gated PPR trajectory."""
+    from sbm_communitydetection_spark.operators.pagerank import ppr_sweep_cut
+
+    edges = lineitem_edges(spark, sf_dir)
+    members = edges.select(F.col("src").alias("id")).distinct().filter(
+        F.pmod(F.col("id"), F.lit(PPR_SRC_MOD)) == 0
+    )
+    return ppr_sweep_cut(spark, edges, members, rounds=PR_ITERS)
+
+
+def _q_spectral_bisection(spark, sf_dir):
+    from sbm_communitydetection_spark.operators.spectral import spectral_bisection
+
+    return spectral_bisection(spark, lineitem_edges(spark, sf_dir), iters=6)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.13 plus
     the training-data pipeline ops (textops/).
@@ -2159,6 +2222,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     in line for the round-4 rotation), then (c) the long-green
     remainder. Rotate per round as coverage shifts."""
     return {
+        # (a0) session-7 wave — never driver-checked, first in the window
+        "anf_profile": _q_anf_profile,  # FM-sketch neighborhood function
+        "effective_diameter": _q_effective_diameter,  # ANF 0.9-coverage readout
+        "hyperball_closeness": _q_hyperball_closeness,  # all-vertex harmonic est
+        "temporal_reachability": _q_temporal_reachability,  # time-respecting BFS
+        "gopher_rule_flags": _q_gopher_rule_flags,  # hard quality rule set
+        "pq_codes": _q_pq_codes,  # product-quantization codebook assignment
+        "pq_adc_topk": _q_pq_adc_topk,  # asymmetric-distance ANN top-k
+        "ppr_sweep_cut": _q_ppr_sweep_cut,  # ACL local community sweep
+        "spectral_bisection": _q_spectral_bisection,  # deflated power iteration
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
         "greedy_coloring": _q_coloring,  # Jones–Plassmann, new this session
@@ -2413,7 +2486,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent ANSI SQL per query (same parquet views)."""
     edges_cte = "WITH " + lineitem_edges_sql()
+    from sbm_communitydetection_spark.operators import anf as ANF
+    from sbm_communitydetection_spark.operators import temporal as TEMP
+    from sbm_communitydetection_spark.operators.spectral import spectral_bisection_sql
+
     return {
+        # session-7 wave
+        "anf_profile": edges_cte + ",\n" + ANF.anf_profile_sql(3),
+        "effective_diameter": edges_cte + ",\n" + ANF.effective_diameter_sql(3),
+        "hyperball_closeness": edges_cte + ",\n" + ANF.hyperball_sql(2),
+        "temporal_reachability": TEMP.temporal_reachability_sql(["signup"], rounds=4),
+        "gopher_rule_flags": TA.gopher_rule_flags_sql(),
+        "pq_codes": TS.pq_codes_sql(),
+        "pq_adc_topk": TS.pq_adc_topk_sql(),
+        "ppr_sweep_cut": edges_cte
+        + ",\n"
+        + O.ppr_sweep_cut_sql(PR_ITERS, src_mod=PPR_SRC_MOD),
+        "spectral_bisection": edges_cte + ",\n" + spectral_bisection_sql(6),
         # graph core + north-star algorithms
         "edge_extract_symmetrize": edges_cte + "SELECT src, dst, weight FROM edges",
         "weighted_degree": edges_cte

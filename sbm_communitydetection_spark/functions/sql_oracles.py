@@ -842,6 +842,19 @@ def ppr_unrolled_sql(
     """Fixed-iteration PERSONALIZED PageRank over the `edges` CTE with
     reset set S = {id : id % src_mod = 0}; valid on the symmetric
     (dangling-free) gate graph where the dangling term is exactly 0."""
+    parts = _ppr_cte_parts(n_iterations, damping, src_mod)
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{n_iterations}"
+    )
+
+
+def _ppr_cte_parts(
+    n_iterations: int, damping: float = 0.85, src_mod: int = 100
+) -> list[str]:
+    """The ppr_unrolled_sql chain as reusable CTE parts (final rank table
+    ``r{n_iterations}``) so composite readouts (ppr_sweep_cut_sql) replay
+    the identical trajectory."""
     parts = [
         "verts AS (SELECT DISTINCT src AS id FROM edges)",
         f"members AS (SELECT id FROM verts WHERE id % {src_mod} = 0)",
@@ -868,9 +881,59 @@ def ppr_unrolled_sql(
     ) s ON v.id = s.id
 )"""
         )
+    return parts
+
+
+def ppr_sweep_cut_sql(
+    n_iterations: int, damping: float = 0.85, src_mod: int = 100, round_to: int = 8
+) -> str:
+    """Sweep-cut twin over the identical unrolled PPR trajectory (see
+    operators/pagerank.ppr_sweep_cut): rank vertices by ppr/degree,
+    take the prefix with minimum conductance.  All cut/volume math is
+    exact int64; the conductance division and ppr/deg ordering are the
+    only float steps and operate on identical inputs in both engines."""
+    parts = _ppr_cte_parts(n_iterations, damping, src_mod)
+    parts.append(
+        f"""swdeg AS (SELECT src AS id, SUM(weight)::BIGINT AS deg FROM edges GROUP BY src),
+swrank AS (
+    SELECT d.id, d.deg,
+           ROW_NUMBER() OVER (
+               ORDER BY ROUND(r.rank, {round_to}) / d.deg DESC, d.id ASC
+           )::BIGINT AS rnk
+    FROM swdeg d JOIN r{n_iterations} r ON r.id = d.id
+)""",
+    )
+    parts.append(
+        """swedge AS (
+    SELECT GREATEST(rs.rnk, rd.rnk) AS mr, e.weight
+    FROM edges e
+    JOIN swrank rs ON rs.id = e.src
+    JOIN swrank rd ON rd.id = e.dst
+    WHERE e.src <> e.dst
+),
+swin AS (SELECT mr, SUM(weight)::BIGINT AS w_at FROM swedge GROUP BY mr),
+swtot AS (SELECT SUM(deg)::BIGINT AS vol_tot, COUNT(*)::BIGINT AS n FROM swrank),
+swpfx AS (
+    SELECT r.rnk,
+           SUM(r.deg) OVER (ORDER BY r.rnk) AS vol,
+           COALESCE(SUM(i.w_at) OVER (ORDER BY r.rnk), 0) AS internal
+    FROM swrank r LEFT JOIN swin i ON i.mr = r.rnk
+),
+swphi AS (
+    SELECT p.rnk,
+           (p.vol - p.internal)::DOUBLE
+           / LEAST(p.vol, t.vol_tot - p.vol) AS phi
+    FROM swpfx p, swtot t
+    WHERE p.rnk < t.n
+),
+swbest AS (SELECT rnk AS best_k, phi FROM swphi ORDER BY phi ASC, rnk ASC LIMIT 1)"""
+    )
     return (
         ",\n".join(parts)
-        + f"\nSELECT id, ROUND(rank, {round_to}) AS rank FROM r{n_iterations}"
+        + """
+SELECT r.id, r.rnk, ROUND(b.phi, 6) AS phi
+FROM swrank r, swbest b
+WHERE r.rnk <= b.best_k"""
     )
 
 

@@ -20,7 +20,7 @@ a pure-numpy oracle (tests/oracles.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.iterate import (
@@ -235,3 +235,92 @@ def pagerank(
     for df in statics:
         unpersist_checkpoint(df)
     return result.state
+
+
+def ppr_sweep_cut(
+    spark: SparkSession,
+    edges: DataFrame,
+    reset_ids: DataFrame,
+    rounds: int = 5,
+    damping: float = 0.85,
+    round_to: int = 8,
+) -> DataFrame:
+    """(id, rnk, phi) — the minimum-conductance sweep set of a
+    personalized-PageRank run (Andersen–Chung–Lang FOCS'06 §3): LOCAL
+    community detection around a seed set, the "what cluster does this
+    actor belong to, without clustering the whole graph" query.
+
+    Vertices are ranked by ppr/degree (descending, id tie-break); for
+    every prefix S_k the conductance phi(S_k) = cut(S_k) /
+    min(vol(S_k), vol(V)−vol(S_k)) is computed from two running sums
+    over that SAME ranking — volume (cumulative degree) and internal
+    edge weight (an edge joins the prefix when the LATER of its two
+    endpoints enters, so cumulative internal weight is the running sum
+    of edge weight grouped by max(rnk_src, rnk_dst)) — and the argmin
+    prefix (smallest k on ties) is returned, one row per member.
+
+    Cut/volume arithmetic is exact int64; ppr/deg ordering and the
+    conductance division are float ops over identical inputs in both
+    engines, so the DuckDB twin (sql_oracles.ppr_sweep_cut_sql) replays
+    the identical sweep.  The ranking window is global — fine for the
+    gate graph and for real local clusters (sweep sets are small by
+    construction: cap the sweep to the top ~10^4 ppr vertices at scale,
+    or replace row_number with the two-phase distributed prefix sum
+    used by textops/pipeline.pack_conversations)."""
+    ranks = pagerank(
+        spark,
+        edges,
+        damping=damping,
+        tolerance=-1.0,
+        max_iterations=rounds,
+        reset_ids=reset_ids,
+    )
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").cast("long").alias("deg")
+    )
+    scored = ranks.select("id", F.round("rank", round_to).alias("rank")).join(deg, "id")
+    w_rank = Window.orderBy((F.col("rank") / F.col("deg")).desc(), F.asc("id"))
+    rnk = scored.select(
+        "id", "deg", F.row_number().over(w_rank).cast("long").alias("rnk")
+    )
+
+    rs = rnk.select(F.col("id").alias("src"), F.col("rnk").alias("rnk_s"))
+    rd = rnk.select(F.col("id").alias("dst"), F.col("rnk").alias("rnk_d"))
+    internal_at = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(rs, "src")
+        .join(rd, "dst")
+        .groupBy(F.greatest("rnk_s", "rnk_d").alias("mr"))
+        .agg(F.sum("weight").cast("long").alias("w_at"))
+    )
+    w_pfx = Window.orderBy("rnk")
+    pfx = (
+        rnk.join(internal_at, rnk["rnk"] == internal_at["mr"], "left")
+        .select(
+            "rnk",
+            F.sum("deg").over(w_pfx).alias("vol"),
+            F.coalesce(F.sum("w_at").over(w_pfx), F.lit(0)).alias("internal"),
+        )
+    )
+    tot = rnk.agg(
+        F.sum("deg").cast("long").alias("vol_tot"), F.count("*").cast("long").alias("n")
+    )
+    phi = (
+        pfx.crossJoin(tot)
+        .filter(F.col("rnk") < F.col("n"))
+        .select(
+            "rnk",
+            (
+                (F.col("vol") - F.col("internal")).cast("double")
+                / F.least(F.col("vol"), F.col("vol_tot") - F.col("vol"))
+            ).alias("phi"),
+        )
+    )
+    best = phi.orderBy(F.asc("phi"), F.asc("rnk")).limit(1).select(
+        F.col("rnk").alias("best_k"), F.col("phi").alias("best_phi")
+    )
+    return (
+        rnk.crossJoin(best)
+        .filter(F.col("rnk") <= F.col("best_k"))
+        .select("id", "rnk", F.round("best_phi", 6).alias("phi"))
+    )

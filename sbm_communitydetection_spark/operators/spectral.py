@@ -1,0 +1,169 @@
+"""Spectral bisection — second eigenvector of the normalized adjacency
+via deflated power iteration (Fiedler '73; Shi–Malik normalized-cut
+form, PAMI 22(8) 2000).
+
+The engine's other partitioners are combinatorial (louvain/LPA/FM);
+spectral bisection is the embedding-based one: the sign pattern of the
+second eigenvector of B = D^(-1/2) A D^(-1/2) minimizes a relaxation
+of the normalized cut.  It is also the principled seed for the north
+rule's EXPLICIT partitioning mandate — a 2^k-way recursive bisection
+assigns vertices to executors so the cut (= shuffle traffic measured
+by operators/partition_audit.partition_quality) is small, where a
+hash partition cuts ~every edge.
+
+Spark-first shape: B's top eigenvector is known in closed form
+(u ∝ D^(1/2) 1), so the second eigenvector comes from power iteration
+WITH DEFLATION — per superstep one edge⋈vector join + per-vertex sum
+(the PageRank plan shape, pagerank.py:34), one dot-product aggregate
+(project out u), one norm aggregate.  State: one float per vertex.
+At 10^12 vertices this runs exactly like PageRank does; no dense
+matrix ever exists.
+
+Determinism: the init vector is ±1 from the portable-hash parity of
+the id, the normalized-adjacency fractions and u are 9 dp-rounded once
+up front, and the vector is renormalized and 9 dp-rounded after every
+superstep, so the DuckDB twin (spectral_bisection_sql) replays the
+trajectory with only sub-rounding float drift (same convention as the
+gated PageRank oracle at 8 dp).  Partition side = sign of the final
+6 dp-rounded loading (>= 0 → side 1).
+
+Reference parity: no spectral surface exists in the reference (its
+block inference is BP/greedy — src/belief_propagation.cpp); this is a
+north-star extension (SURVEY.md §2.13 family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans.iterate import cache_partitioned, unpersist_checkpoint
+from ..textops.portable import md5_long, md5_long_sql
+
+SPECTRAL_ROUND = 9
+
+
+def spectral_bisection(
+    spark: SparkSession,
+    edges: DataFrame,
+    iters: int = 6,
+) -> DataFrame:
+    """(id, loading, side) — per-vertex second-eigenvector loading of
+    the normalized adjacency after `iters` deflated power steps, and
+    the sign bisection.  `edges` must be symmetrized (src, dst, weight);
+    self-loops are ignored by construction of the gate tables."""
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").cast("double").alias("deg")
+    )
+    vol = deg.agg(F.sum("deg").alias("vol"))
+    u = (
+        deg.crossJoin(vol)
+        .select("id", "deg", F.round(F.sqrt(F.col("deg") / F.col("vol")), SPECTRAL_ROUND).alias("u"))
+    ).localCheckpoint(eager=True)
+
+    dsrc = deg.select(F.col("id").alias("src"), F.col("deg").alias("deg_s"))
+    ddst = deg.select(F.col("id").alias("dst"), F.col("deg").alias("deg_d"))
+    nadj = cache_partitioned(
+        edges.join(dsrc, "src")
+        .join(ddst, "dst")
+        .select(
+            "src",
+            "dst",
+            F.round(
+                F.col("weight") / F.sqrt(F.col("deg_s") * F.col("deg_d")),
+                SPECTRAL_ROUND,
+            ).alias("frac"),
+        )
+        .repartition("dst")
+    )
+
+    n = u.count()
+    x = u.select(
+        "id",
+        F.round(
+            ((md5_long(F.concat(F.lit("spec_"), F.col("id"))) % 2) * 2 - 1)
+            / F.lit(float(n) ** 0.5),
+            SPECTRAL_ROUND,
+        ).alias("x"),
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        xv = x.select(F.col("id").alias("dst"), F.col("x").alias("xd"))
+        y = (
+            nadj.join(xv.hint("SHUFFLE_HASH"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum(F.col("frac") * F.col("xd")).alias("y"))
+        )
+        yu = u.join(y, "id", "left").select(
+            "id", "u", F.coalesce("y", F.lit(0.0)).alias("y")
+        )
+        proj = yu.agg(F.sum(F.col("u") * F.col("y")).alias("proj"))
+        defl = yu.crossJoin(proj).select(
+            "id", (F.col("y") - F.col("proj") * F.col("u")).alias("y")
+        )
+        nrm = defl.agg(F.sqrt(F.sum(F.col("y") * F.col("y"))).alias("nrm"))
+        nxt = (
+            defl.crossJoin(nrm)
+            .select("id", F.round(F.col("y") / F.col("nrm"), SPECTRAL_ROUND).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        unpersist_checkpoint(x)
+        x = nxt
+
+    out = x.select(
+        "id",
+        F.round("x", 6).alias("loading"),
+        F.when(F.round("x", 6) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("side"),
+    )
+    unpersist_checkpoint(nadj)
+    unpersist_checkpoint(u)
+    return out
+
+
+def spectral_bisection_sql(iters: int = 6) -> str:
+    """DuckDB twin as a CTE tail over a pre-defined symmetrized `edges`
+    CTE (src, dst, weight)."""
+    h = md5_long_sql("concat('spec_', id)")
+    parts = [
+        "spdeg AS MATERIALIZED (SELECT src AS id, SUM(weight)::DOUBLE AS deg FROM edges GROUP BY src)",
+        "spvol AS (SELECT SUM(deg) AS vol FROM spdeg)",
+        f"spu AS MATERIALIZED (SELECT id, deg, ROUND(sqrt(deg / (SELECT vol FROM spvol)), {SPECTRAL_ROUND}) AS u FROM spdeg)",
+        f"""spadj AS MATERIALIZED (
+    SELECT e.src, e.dst,
+           ROUND(e.weight / sqrt(ds.deg * dd.deg), {SPECTRAL_ROUND}) AS frac
+    FROM edges e
+    JOIN spdeg ds ON ds.id = e.src
+    JOIN spdeg dd ON dd.id = e.dst
+)""",
+        "spn AS (SELECT COUNT(*)::DOUBLE AS n FROM spdeg)",
+        f"""spx0 AS MATERIALIZED (
+    SELECT id,
+           ROUND((({h} % 2) * 2 - 1) / sqrt((SELECT n FROM spn)), {SPECTRAL_ROUND}) AS x
+    FROM spdeg
+)""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""spy{t} AS MATERIALIZED (
+    SELECT u.id, u.u, COALESCE(s.y, 0.0) AS y
+    FROM spu u LEFT JOIN (
+        SELECT a.src AS id, SUM(a.frac * x.x) AS y
+        FROM spadj a JOIN spx{t - 1} x ON a.dst = x.id
+        GROUP BY a.src
+    ) s ON s.id = u.id
+),
+spp{t} AS (SELECT SUM(u * y) AS proj FROM spy{t}),
+spd{t} AS MATERIALIZED (SELECT id, y - (SELECT proj FROM spp{t}) * u AS y FROM spy{t}),
+spnrm{t} AS (SELECT sqrt(SUM(y * y)) AS nrm FROM spd{t}),
+spx{t} AS MATERIALIZED (
+    SELECT id, ROUND(y / (SELECT nrm FROM spnrm{t}), {SPECTRAL_ROUND}) AS x
+    FROM spd{t}
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT id, ROUND(x, 6) AS loading,
+       (CASE WHEN ROUND(x, 6) >= 0 THEN 1 ELSE 0 END)::BIGINT AS side
+FROM spx{iters}"""
+    )

@@ -1659,3 +1659,104 @@ def winnowing_fingerprints_sql(
     SELECT DISTINCT doc_id, list_aggregate(h[s : s + {w - 1}], 'min') AS fp
     FROM wf_win
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule-based quality filtering (Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rule_flags(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac,
+    n_stopwords, ok_words, ok_word_len, ok_symbols, ok_alpha,
+    ok_stopwords, keep) — the Gopher HARD keep/drop rule set (Rae et
+    al. 2021 §A1.1), the binary sibling of text_quality's continuous
+    score and repetition_stats' repetition signals:
+
+      * 50 <= word count <= 100k
+      * 3 <= mean word length <= 10
+      * (# + ellipsis) symbols per word <= 0.1
+      * >= 80% of words contain an alphabetic character
+      * >= 2 English stopwords present
+
+    All signals are per-row JVM expressions riding the scan (zero
+    shuffles, the pii_scrub discipline); each ratio is computed from
+    exact int counts then 6dp-rounded BEFORE the threshold compare, so
+    the keep decision cannot ulp-flip across engines.  The original
+    rules also bound bullet-/ellipsis-LINE fractions; the corpus here
+    is single-line (no \\n in the testdata documents) so those two
+    rules are vacuously true and omitted — add them as two more
+    line-array filters when ingesting multi-line corpora.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    n_chars = F.length(F.col("text"))
+    mwl = F.round((n_chars - (n_words - 1)) / n_words, 6)
+    hash_cnt = n_chars - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))
+    ell_cnt = (
+        n_chars - F.length(F.replace(F.col("text"), F.lit("..."), F.lit("")))
+    ) / 3
+    sym_ratio = F.round((hash_cnt + ell_cnt) / n_words, 6)
+    alpha = F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).cast("long")
+    alpha_frac = F.round(alpha / n_words, 6)
+    n_stop = F.size(F.filter(toks, _in_set_fn(LANG_STOPWORDS["en"]))).cast("long")
+    ok_words = (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+    ok_wl = (mwl >= GOPHER_MIN_MEAN_WORD_LEN) & (mwl <= GOPHER_MAX_MEAN_WORD_LEN)
+    ok_sym = sym_ratio <= GOPHER_MAX_SYMBOL_RATIO
+    ok_alpha = alpha_frac >= GOPHER_MIN_ALPHA_FRAC
+    ok_stop = n_stop >= GOPHER_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        ok_words.alias("ok_words"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_wl & ok_sym & ok_alpha & ok_stop).alias("keep"),
+    )
+
+
+def gopher_rule_flags_sql(table: str = "documents") -> str:
+    n_words = "len(string_split(text, ' '))"
+    mwl = f"ROUND((length(text) - ({n_words} - 1)) / CAST({n_words} AS DOUBLE), 6)"
+    hash_cnt = "(length(text) - length(replace(text, '#', '')))"
+    ell_cnt = "((length(text) - length(replace(text, '...', ''))) / 3.0)"
+    sym = f"ROUND(({hash_cnt} + {ell_cnt}) / CAST({n_words} AS DOUBLE), 6)"
+    alpha = (
+        "len(list_filter(string_split(text, ' '),"
+        " w -> regexp_matches(w, '[a-zA-Z]')))"
+    )
+    alpha_frac = f"ROUND({alpha} / CAST({n_words} AS DOUBLE), 6)"
+    n_stop = _stopword_count_sql(LANG_STOPWORDS["en"])
+    return f"""
+    SELECT doc_id,
+           {n_words}::BIGINT AS n_words,
+           {mwl} AS mean_word_len,
+           {sym} AS symbol_ratio,
+           {alpha_frac} AS alpha_frac,
+           {n_stop}::BIGINT AS n_stopwords,
+           ({n_words} >= {GOPHER_MIN_WORDS} AND {n_words} <= {GOPHER_MAX_WORDS}) AS ok_words,
+           ({mwl} >= {GOPHER_MIN_MEAN_WORD_LEN} AND {mwl} <= {GOPHER_MAX_MEAN_WORD_LEN}) AS ok_word_len,
+           ({sym} <= {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbols,
+           ({alpha_frac} >= {GOPHER_MIN_ALPHA_FRAC}) AS ok_alpha,
+           ({n_stop} >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+           (({n_words} >= {GOPHER_MIN_WORDS} AND {n_words} <= {GOPHER_MAX_WORDS})
+            AND ({mwl} >= {GOPHER_MIN_MEAN_WORD_LEN} AND {mwl} <= {GOPHER_MAX_MEAN_WORD_LEN})
+            AND ({sym} <= {GOPHER_MAX_SYMBOL_RATIO})
+            AND ({alpha_frac} >= {GOPHER_MIN_ALPHA_FRAC})
+            AND ({n_stop} >= {GOPHER_MIN_STOPWORDS})) AS keep
+    FROM {table}
+    """

@@ -1275,3 +1275,293 @@ def knn_graph_clusters_sql(table: str = "embeddings", k: int = 5) -> str:
     )
     SELECT u AS id, MIN(v) AS cluster FROM kgc_reach GROUP BY u
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. TPAMI'11) — the IVF-PQ memory path
+# ---------------------------------------------------------------------------
+
+PQ_M = 4
+PQ_CODES = 8
+PQ_ITERS = 2
+
+
+def pq_train(
+    embs: DataFrame,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = COV_DIM,
+):
+    """(codes, cents) — product-quantization codebooks + per-vector codes.
+
+    PQ is the memory half of the 100 TB ANN story: ivf_topk prunes WHERE
+    to search (coarse cells), PQ compresses WHAT is searched — a dim-D
+    float vector (256 bytes at d=64) becomes ``m`` uint8 codes by
+    k-means-quantizing each of the m disjoint dim/m-dim subspaces
+    independently (Jégou, Douze, Schmid, TPAMI 33(1), 2011 §II).  At
+    10^12 vectors the codes table is m bytes/row however large d is, and
+    scan-time distances need only the m×n_codes lookup table per query
+    (pq_adc_topk below) instead of the raw vectors.
+
+    Training runs Lloyd on ALL m subspaces simultaneously over ONE
+    exploded (vec_id, sub, dl, val) table — the kmeans_lloyd recipe with
+    a compound (sub, code) key, so adding subspaces adds zero extra
+    passes.  Determinism follows kmeans_lloyd exactly: seed codebook =
+    the n_codes smallest-portable-hash vectors (rank = code, same seed
+    rows for every subspace), squared distances and centroids 6
+    dp-rounded, argmin tie-break on smaller code — the unrolled DuckDB
+    twin (pq_codes_sql / pq_adc_topk_sql) replays the identical
+    trajectory.  Empty codes keep their previous centroid.
+    """
+    from ..plans.iterate import unpersist_checkpoint
+    from .portable import md5_long
+
+    d_sub = dim // m
+    vexp = (
+        embs.select(
+            "vec_id",
+            F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))),
+        )
+        .select(
+            "vec_id",
+            (F.col("pos") / d_sub).cast("int").alias("sub"),
+            F.pmod(F.col("pos"), F.lit(d_sub)).cast("int").alias("dl"),
+            F.col("col").alias("val"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seeds = (
+        embs.select("vec_id", md5_long(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(n_codes)
+        .select(
+            "vec_id",
+            (F.row_number().over(Window.orderBy("h", "vec_id")) - 1)
+            .cast("long")
+            .alias("code"),
+        )
+    )
+    cents = (
+        seeds.join(vexp, "vec_id")
+        .select("sub", "code", "dl", F.round("val", 6).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    owned = [vexp, cents]
+
+    def _assign(cc):
+        d2 = (
+            vexp.join(F.broadcast(cc), ["sub", "dl"])
+            .groupBy("vec_id", "sub", "code")
+            .agg(F.round(F.sum((F.col("val") - F.col("c")) ** 2), 6).alias("d2"))
+        )
+        return (
+            d2.withColumn(
+                "rnk",
+                F.row_number().over(
+                    Window.partitionBy("vec_id", "sub").orderBy(
+                        F.asc("d2"), F.asc("code")
+                    )
+                ),
+            )
+            .filter(F.col("rnk") == 1)
+            .select("vec_id", "sub", "code")
+        )
+
+    for _ in range(iters):
+        best = _assign(cents)
+        fresh = (
+            best.join(vexp, ["vec_id", "sub"])
+            .groupBy("sub", "code", "dl")
+            .agg(F.round(F.avg("val"), 6).alias("c_new"))
+        )
+        nxt = (
+            cents.join(fresh, ["sub", "code", "dl"], "left")
+            .select("sub", "code", "dl", F.coalesce("c_new", "c").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+        owned.append(nxt)
+        cents = nxt
+
+    codes = _assign(cents).localCheckpoint(eager=True)
+    for df in owned[:-1]:
+        unpersist_checkpoint(df)
+    return codes, cents
+
+
+def pq_adc_topk(
+    embs: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = COV_DIM,
+    query_mod: int = 97,
+    query_rem: int = 3,
+) -> DataFrame:
+    """(qid, vec_id, adist, rnk) — asymmetric-distance top-k (ADC,
+    Jégou §III): each deterministic query (vec_id % query_mod ==
+    query_rem, the cosine_topk convention) computes its m×n_codes
+    subspace-distance lookup table against the trained codebooks (tiny:
+    one broadcast join), then every database vector's approximate
+    distance is the SUM of m table lookups keyed by its codes — the
+    corpus-side scan touches only the m-codes table, never the raw
+    vectors.  Self-matches excluded; ties broken on vec_id."""
+    codes, cents = pq_train(embs, m=m, n_codes=n_codes, iters=iters, dim=dim)
+    d_sub = dim // m
+    qexp = (
+        embs.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == query_rem)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode(F.transform(F.col("embedding"), lambda x: x.cast("double"))),
+        )
+        .select(
+            "qid",
+            (F.col("pos") / d_sub).cast("int").alias("sub"),
+            F.pmod(F.col("pos"), F.lit(d_sub)).cast("int").alias("dl"),
+            F.col("col").alias("qval"),
+        )
+    )
+    lut = (
+        qexp.join(F.broadcast(cents), ["sub", "dl"])
+        .groupBy("qid", "sub", "code")
+        .agg(F.round(F.sum((F.col("qval") - F.col("c")) ** 2), 6).alias("dpart"))
+    )
+    approx = (
+        codes.join(lut.hint("SHUFFLE_HASH"), ["sub", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum("dpart"), 6).alias("adist"))
+        .filter(F.col("qid") != F.col("vec_id"))
+    )
+    return (
+        approx.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+            ),
+        )
+        .filter(F.col("rnk") <= k)
+        .select("qid", "vec_id", "adist", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def _pq_cte_parts(
+    table: str = "embeddings",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = COV_DIM,
+) -> list[str]:
+    """Unrolled DuckDB twin of pq_train; final codebook ``pqc{iters}``,
+    final assignment ``pqbest``."""
+    from .portable import md5_long_sql
+
+    d_sub = dim // m
+    h = md5_long_sql("CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"""pqidx AS (SELECT UNNEST(generate_series(0, {dim - 1})) AS pos),
+    pqexp AS MATERIALIZED (
+        SELECT vec_id, (pos // {d_sub})::INT AS sub, (pos % {d_sub})::INT AS dl,
+               CAST(embedding[pos + 1] AS DOUBLE) AS val
+        FROM {table}, pqidx
+    ),
+    pqseeds AS (
+        SELECT vec_id, (ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1)::BIGINT AS code
+        FROM (SELECT vec_id, {h} AS h FROM {table} ORDER BY h, vec_id LIMIT {n_codes})
+    ),
+    pqc0 AS MATERIALIZED (
+        SELECT v.sub, s.code, v.dl, ROUND(v.val, 6) AS c
+        FROM pqseeds s JOIN pqexp v ON v.vec_id = s.vec_id
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f"""pqd2_{t} AS MATERIALIZED (
+        SELECT v.vec_id, v.sub, c.code, ROUND(SUM((v.val - c.c) * (v.val - c.c)), 6) AS d2
+        FROM pqexp v JOIN pqc{t - 1} c ON v.sub = c.sub AND v.dl = c.dl
+        GROUP BY v.vec_id, v.sub, c.code
+    ),
+    pqbest{t} AS MATERIALIZED (
+        SELECT vec_id, sub, code FROM (
+            SELECT vec_id, sub, code,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rnk
+            FROM pqd2_{t}
+        ) WHERE rnk = 1
+    ),
+    pqfresh{t} AS (
+        SELECT b.sub, b.code, v.dl, ROUND(AVG(v.val), 6) AS c_new
+        FROM pqbest{t} b JOIN pqexp v ON v.vec_id = b.vec_id AND v.sub = b.sub
+        GROUP BY b.sub, b.code, v.dl
+    ),
+    pqc{t} AS MATERIALIZED (
+        SELECT c.sub, c.code, c.dl, COALESCE(f.c_new, c.c) AS c
+        FROM pqc{t - 1} c LEFT JOIN pqfresh{t} f
+          ON f.sub = c.sub AND f.code = c.code AND f.dl = c.dl
+    )"""
+        )
+    parts.append(
+        f"""pqbest AS MATERIALIZED (
+        SELECT vec_id, sub, code FROM (
+            SELECT v.vec_id, v.sub, c.code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY v.vec_id, v.sub
+                       ORDER BY ROUND(SUM((v.val - c.c) * (v.val - c.c)), 6) ASC, c.code ASC
+                   ) AS rnk
+            FROM pqexp v JOIN pqc{iters} c ON v.sub = c.sub AND v.dl = c.dl
+            GROUP BY v.vec_id, v.sub, c.code
+        ) WHERE rnk = 1
+    )"""
+    )
+    return parts
+
+
+def pq_codes_sql(
+    table: str = "embeddings",
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = COV_DIM,
+) -> str:
+    return (
+        "WITH "
+        + ",\n    ".join(_pq_cte_parts(table, m, n_codes, iters, dim))
+        + "\n    SELECT vec_id, sub::INT AS sub, code::BIGINT AS code FROM pqbest"
+    )
+
+
+def pq_adc_topk_sql(
+    table: str = "embeddings",
+    k: int = 10,
+    m: int = PQ_M,
+    n_codes: int = PQ_CODES,
+    iters: int = PQ_ITERS,
+    dim: int = COV_DIM,
+    query_mod: int = 97,
+    query_rem: int = 3,
+) -> str:
+    d_sub = dim // m
+    parts = _pq_cte_parts(table, m, n_codes, iters, dim)
+    parts.append(
+        f"""pqlut AS MATERIALIZED (
+        SELECT q.qid, q.sub, c.code, ROUND(SUM((q.qval - c.c) * (q.qval - c.c)), 6) AS dpart
+        FROM (
+            SELECT vec_id AS qid, (pos // {d_sub})::INT AS sub, (pos % {d_sub})::INT AS dl,
+                   CAST(embedding[pos + 1] AS DOUBLE) AS qval
+            FROM {table}, pqidx
+            WHERE vec_id % {query_mod} = {query_rem}
+        ) q JOIN pqc{iters} c ON q.sub = c.sub AND q.dl = c.dl
+        GROUP BY q.qid, q.sub, c.code
+    ),
+    pqapprox AS (
+        SELECT l.qid, b.vec_id, ROUND(SUM(l.dpart), 6) AS adist
+        FROM pqbest b JOIN pqlut l ON l.sub = b.sub AND l.code = b.code
+        GROUP BY l.qid, b.vec_id
+        HAVING l.qid <> b.vec_id
+    )
+    SELECT qid, vec_id, adist, rnk::BIGINT AS rnk FROM (
+        SELECT qid, vec_id, adist,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist ASC, vec_id ASC) AS rnk
+        FROM pqapprox
+    ) WHERE rnk <= {k}"""
+    )
+    return "WITH " + ",\n    ".join(parts)

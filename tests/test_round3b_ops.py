@@ -8,6 +8,7 @@ op lives in __spark_entry__ (driver gates of the same names).
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -985,6 +986,7 @@ def test_events_transcripts_before_ms_snapshot(spark):
     )
 
     tmp = "/tmp/evt_snap_test"
+    os.makedirs(tmp, exist_ok=True)
     pd.DataFrame(
         {
             "event_id": [1, 2, 3, 4],

@@ -1,0 +1,200 @@
+"""Semantic unit tests for the session-7 operator wave: ANF/HyperBall,
+temporal reachability, Gopher rule flags, product quantization, PPR
+sweep cut, spectral bisection.  (Engine-vs-DuckDB parity is gated by
+the __spark_entry__ oracle entries; these tests pin the MEANING on
+hand fixtures where the right answer is known by construction.)"""
+
+from __future__ import annotations
+
+from sbm_communitydetection_spark.operators import anf as ANF
+from sbm_communitydetection_spark.operators import temporal as TEMP
+from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+from sbm_communitydetection_spark.operators.pagerank import ppr_sweep_cut
+from sbm_communitydetection_spark.operators.spectral import spectral_bisection
+from sbm_communitydetection_spark.textops import analysis as TA
+from sbm_communitydetection_spark.textops import similarity as TS
+
+
+def _sym_edges(spark, pairs):
+    return symmetrize(
+        spark.createDataFrame(
+            [(a, b, 1) for a, b in pairs], "src long, dst long, weight long"
+        )
+    )
+
+
+def _path_graph(spark, n):
+    return _sym_edges(spark, [(i, i + 1) for i in range(n - 1)])
+
+
+# --- ANF / HyperBall -------------------------------------------------------
+
+
+def test_anf_profile_monotone_and_saturating(spark):
+    e = _path_graph(spark, 8)
+    prof = {r["t"]: (r["sum_b"], r["est_reach"]) for r in ANF.anf_profile(spark, e, rounds=7).collect()}
+    # masks only gain bits: both readouts are monotone non-decreasing
+    for t in range(1, 8):
+        assert prof[t][0] >= prof[t - 1][0]
+        assert prof[t][1] >= prof[t - 1][1]
+    # a path of 8 vertices has diameter 7: by t=7 every sketch has folded
+    # every other vertex's register, so one more round changes nothing
+    prof8 = {r["t"]: r["sum_b"] for r in ANF.anf_profile(spark, e, rounds=8).collect()}
+    assert prof8[8] == prof8[7]
+
+
+def test_anf_estimate_scales_with_reach(spark):
+    # two disconnected 4-cliques: each vertex reaches 4 at t=1; the
+    # estimate at t>=1 must exceed the t=0 (singleton) estimate clearly
+    cliq = [(i, j) for i in range(4) for j in range(4) if i < j]
+    cliq += [(i + 10, j + 10) for i, j in cliq]
+    prof = {r["t"]: r["est_reach"] for r in ANF.anf_profile(spark, _sym_edges(spark, cliq), rounds=2).collect()}
+    assert prof[1] > prof[0]
+    # saturated at t=1 (cliques): t=2 adds nothing
+    assert prof[2] == prof[1]
+
+
+def test_hyperball_monotone_ball_and_positive_harmonic(spark):
+    e = _path_graph(spark, 6)
+    rows = ANF.hyperball_closeness(spark, e, rounds=3).collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert r["est_ball"] > 0
+        assert r["harmonic_est"] >= 0
+    # middle vertices reach more within 3 hops than endpoints
+    by_id = {r["id"]: r["harmonic_est"] for r in rows}
+    assert by_id[2] > by_id[0]
+    assert by_id[3] > by_id[5]
+
+
+def test_effective_diameter_path(spark):
+    e = _path_graph(spark, 5)
+    row = ANF.effective_diameter(spark, e, rounds=4, q=0.9).collect()[0]
+    # 90% coverage of a 5-path needs several hops; must exceed 0 and be <= 4
+    assert 1 <= row["eff_diameter"] <= 4
+
+
+# --- temporal reachability -------------------------------------------------
+
+
+def test_temporal_reachability_respects_time(spark):
+    import datetime as dt
+
+    def ts(ms):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(milliseconds=ms)
+
+    rows = [
+        # conv1: a -> b at t=1000 (b replies to a)
+        ("c1", 0, "a", ts(0)), ("c1", 1, "b", ts(1000)),
+        # conv2: b -> c at t=500 — BEFORE b learned (b knows at 1000)
+        ("c2", 0, "b", ts(400)), ("c2", 1, "c", ts(500)),
+        # conv3: b -> d at t=2000 — after b learned
+        ("c3", 0, "b", ts(1900)), ("c3", 1, "d", ts(2000)),
+    ]
+    tr = spark.createDataFrame(
+        [(c, i, r, "x", None, t) for (c, i, r, t) in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    arr = {r["actor"]: r["arrival_ms"] for r in TEMP.temporal_reachability(tr, ["a"], rounds=3).collect()}
+    assert arr["a"] == 0
+    assert arr["b"] == 1704067201000  # 2024-01-01 + 1000ms
+    assert "c" not in arr  # time-respecting: contact happened too early
+    assert arr["d"] == 1704067202000
+
+
+def test_temporal_contacts_direction(spark):
+    import datetime as dt
+
+    tr = spark.createDataFrame(
+        [("c1", 0, "x", "t", None, dt.datetime(2024, 1, 1)),
+         ("c1", 1, "y", "t", None, dt.datetime(2024, 1, 1, 0, 0, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    c = TEMP.temporal_contacts(tr).collect()
+    assert len(c) == 1 and c[0]["src"] == "x" and c[0]["dst"] == "y"
+
+
+# --- Gopher rule flags -----------------------------------------------------
+
+
+def test_gopher_rule_flags_semantics(spark):
+    good = "the " + " ".join(f"word{i}" for i in range(60)) + " of a"
+    short = "too short entirely"
+    symbols = "the of " + "# " * 60 + " ".join(f"w{i}" for i in range(50))
+    numeric = "the of " + " ".join(str(i) * 3 for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, good, "en", "s", len(good)),
+         (2, short, "en", "s", len(short)),
+         (3, symbols, "en", "s", len(symbols)),
+         (4, numeric, "en", "s", len(numeric))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["doc_id"]: r for r in TA.gopher_rule_flags(docs).collect()}
+    assert out[1]["keep"]
+    assert not out[2]["ok_words"] and not out[2]["keep"]
+    assert not out[3]["ok_symbols"] and not out[3]["keep"]
+    assert not out[4]["ok_alpha"] and not out[4]["keep"]
+
+
+# --- product quantization --------------------------------------------------
+
+
+def _blob_embs(spark, n_per=12, dim=16):
+    rows = []
+    for i in range(n_per):
+        rows.append((i, [10.0 + 0.01 * i] * dim, 0))
+        rows.append((100 + i, [-10.0 - 0.01 * i] * dim, 1))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_pq_codes_separate_blobs(spark):
+    embs = _blob_embs(spark)
+    codes, cents = TS.pq_train(embs, m=2, n_codes=2, iters=3, dim=16)
+    rows = codes.collect()
+    # within a subspace, all vectors of one blob share a code, and the
+    # two blobs use different codes
+    for sub in (0, 1):
+        c0 = {r["code"] for r in rows if r["sub"] == sub and r["vec_id"] < 100}
+        c1 = {r["code"] for r in rows if r["sub"] == sub and r["vec_id"] >= 100}
+        assert len(c0) == 1 and len(c1) == 1 and c0 != c1
+
+
+def test_pq_adc_topk_prefers_own_blob(spark):
+    embs = _blob_embs(spark)
+    # query_mod chosen so queries hit both blobs: vec_id % 4 == 1
+    top = TS.pq_adc_topk(
+        embs, k=5, m=2, n_codes=2, iters=3, dim=16, query_mod=4, query_rem=1
+    ).collect()
+    assert top, "no queries selected"
+    for r in top:
+        same_blob = (r["qid"] < 100) == (r["vec_id"] < 100)
+        assert same_blob, f"{r['qid']} ranked cross-blob neighbor {r['vec_id']}"
+
+
+# --- PPR sweep cut ---------------------------------------------------------
+
+
+def test_ppr_sweep_cut_recovers_planted_clique(spark):
+    # barbell: two 6-cliques joined by a single bridge edge
+    k = 6
+    left = [(i, j) for i in range(k) for j in range(k) if i < j]
+    right = [(i + 10, j + 10) for (i, j) in left]
+    e = _sym_edges(spark, left + right + [(0, 10)])
+    seeds = spark.createDataFrame([(1,)], "id long")
+    cut = ppr_sweep_cut(spark, e, seeds, rounds=8)
+    members = {r["id"] for r in cut.collect()}
+    assert members == set(range(k)), members
+
+
+# --- spectral bisection ----------------------------------------------------
+
+
+def test_spectral_bisection_splits_barbell(spark):
+    k = 6
+    left = [(i, j) for i in range(k) for j in range(k) if i < j]
+    right = [(i + 10, j + 10) for (i, j) in left]
+    e = _sym_edges(spark, left + right + [(0, 10)])
+    sides = {r["id"]: r["side"] for r in spectral_bisection(spark, e, iters=30).collect()}
+    s_left = {sides[i] for i in range(k)}
+    s_right = {sides[i + 10] for i in range(k)}
+    assert len(s_left) == 1 and len(s_right) == 1 and s_left != s_right
