@@ -2206,6 +2206,42 @@ def _q_spectral_bisection(spark, sf_dir):
     return spectral_bisection(spark, lineitem_edges(spark, sf_dir), iters=6)
 
 
+def _q_actor_coparticipation(spark, sf_dir):
+    """Bipartite projection of the actor×conversation incidence."""
+    from sbm_communitydetection_spark.operators.extract import actor_coparticipation
+
+    return actor_coparticipation(ET.events_transcripts(spark, sf_dir))
+
+
+def _q_disparity_backbone(spark, sf_dir):
+    """Serrano disparity-filter multiscale backbone of the lineitem graph."""
+    from sbm_communitydetection_spark.operators.backbone import disparity_filter
+
+    return disparity_filter(lineitem_edges(spark, sf_dir))
+
+
+def _q_dcsbm_loglik(spark, sf_dir):
+    """Degree-corrected SBM log-likelihood of the derived partition."""
+    from sbm_communitydetection_spark.functions.metrics import dcsbm_loglik_df
+
+    e = lineitem_edges(spark, sf_dir)
+    return dcsbm_loglik_df(e, derived_labels(e))
+
+
+def _q_spectral_partition_quality(spark, sf_dir):
+    """partition_quality audit of the spectral bisection — the measuring
+    stick (edge cut / balance / comm volume) applied to the principled
+    2-way layout, comparable side-by-side with the hash-layout
+    `partition_quality` gate entry."""
+    from sbm_communitydetection_spark.operators.spectral import spectral_bisection
+
+    e = lineitem_edges(spark, sf_dir)
+    assign = spectral_bisection(spark, e, iters=6).select(
+        "id", F.col("side").alias("part")
+    )
+    return PA.partition_quality(e, assign)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.13 plus
     the training-data pipeline ops (textops/).
@@ -2232,6 +2268,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk": _q_pq_adc_topk,  # asymmetric-distance ANN top-k
         "ppr_sweep_cut": _q_ppr_sweep_cut,  # ACL local community sweep
         "spectral_bisection": _q_spectral_bisection,  # deflated power iteration
+        "actor_coparticipation": _q_actor_coparticipation,  # bipartite projection
+        "disparity_backbone": _q_disparity_backbone,  # multiscale edge backbone
+        "dcsbm_loglik": _q_dcsbm_loglik,  # degree-corrected SBM model score
+        "spectral_partition_quality": _q_spectral_partition_quality,  # layout audit
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
         "greedy_coloring": _q_coloring,  # Jones–Plassmann, new this session
@@ -2488,7 +2528,16 @@ def oracle_sql() -> dict[str, str]:
     edges_cte = "WITH " + lineitem_edges_sql()
     from sbm_communitydetection_spark.operators import anf as ANF
     from sbm_communitydetection_spark.operators import temporal as TEMP
-    from sbm_communitydetection_spark.operators.spectral import spectral_bisection_sql
+    from sbm_communitydetection_spark.operators.spectral import (
+        spectral_bisection_sql,
+        spectral_cte_parts as _spectral_parts,
+    )
+    from sbm_communitydetection_spark.operators.backbone import (
+        disparity_filter_sql as _disparity_sql,
+    )
+    from sbm_communitydetection_spark.functions.metrics import (
+        dcsbm_loglik_sql as _dcsbm_sql,
+    )
 
     return {
         # session-7 wave
@@ -2503,6 +2552,14 @@ def oracle_sql() -> dict[str, str]:
         + ",\n"
         + O.ppr_sweep_cut_sql(PR_ITERS, src_mod=PPR_SRC_MOD),
         "spectral_bisection": edges_cte + ",\n" + spectral_bisection_sql(6),
+        "actor_coparticipation": ET.actor_coparticipation_oracle_sql(),
+        "disparity_backbone": edges_cte + ",\n" + _disparity_sql(),
+        "dcsbm_loglik": edges_cte + ",\n" + _dcsbm_sql(N_LABELS),
+        "spectral_partition_quality": edges_cte
+        + ",\n"
+        + ",\n".join(_spectral_parts(6))
+        + f",\nassignment AS (SELECT id, (CASE WHEN ROUND(x, 6) >= 0 THEN 1 ELSE 0 END)::BIGINT AS part FROM spx6),\n"
+        + PA.partition_quality_body_sql(),
         # graph core + north-star algorithms
         "edge_extract_symmetrize": edges_cte + "SELECT src, dst, weight FROM edges",
         "weighted_degree": edges_cte

@@ -583,3 +583,67 @@ SELECT old_label, new_label, overlap, frac_old, frac_new,
             WHEN frac_old >= 0.5 THEN 'shrink'
             ELSE 'split' END AS event
 FROM scored"""
+
+
+def dcsbm_loglik_df(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """(m_tot, ll) — DEGREE-CORRECTED SBM maximized log-likelihood of a
+    partition (Karrer & Newman, PRE 83:016107 2011, eq. 34):
+
+        L = Σ_rs m_rs · ln( m_rs / (κ_r · κ_s) )
+
+    over directed block edge counts m_rs (both directions of the
+    symmetric table, the paper's convention) and block degree sums κ_r.
+    The plain-SBM plug-in (log_likelihood, Q4 — the reference's
+    utils/quality_measures.cpp:264-315) scores hub-heavy graphs poorly
+    because it must explain degree heterogeneity with block structure;
+    the DC variant factors degrees out, so comparing L across candidate
+    partitions (louvain vs lpa vs planted) ranks COMMUNITY structure
+    only — the model-selection readout for exactly the transcript
+    graphs this engine extracts (tool hubs + long-tail actors).
+
+    All m_rs / κ counts are exact int64 from ONE doubly-labeled edge
+    aggregate (the J1 join shape, k² driver-scale contingency); the log
+    runs per k² cell and the sum is 6 dp-rounded.  Zero cells contribute
+    zero (lim x→0 x·ln x = 0)."""
+    ls = labels.select(F.col("id").alias("src"), F.col("label").alias("lr"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("label").alias("lc"))
+    m = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(ls, "src")
+        .join(ld, "dst")
+        .groupBy("lr", "lc")
+        .agg(F.count("*").cast("long").alias("m_rs"))
+    )
+    kr = m.groupBy("lr").agg(F.sum("m_rs").cast("long").alias("kr"))
+    kc = m.groupBy("lc").agg(F.sum("m_rs").cast("long").alias("kc"))
+    return (
+        m.join(kr, "lr")
+        .join(kc, "lc")
+        .agg(
+            F.sum("m_rs").cast("long").alias("m_tot"),
+            F.round(
+                F.sum(
+                    F.col("m_rs")
+                    * F.log(F.col("m_rs") / (F.col("kr") * F.col("kc")).cast("double"))
+                ),
+                6,
+            ).alias("ll"),
+        )
+    )
+
+
+def dcsbm_loglik_sql(n_labels: int) -> str:
+    """DuckDB twin over the `edges` CTE with derived labels id % n."""
+    return f"""
+dc_m AS (
+    SELECT e.src % {n_labels} AS lr, e.dst % {n_labels} AS lc, COUNT(*)::BIGINT AS m_rs
+    FROM edges e WHERE e.src <> e.dst
+    GROUP BY 1, 2
+),
+dc_kr AS (SELECT lr, SUM(m_rs)::BIGINT AS kr FROM dc_m GROUP BY lr),
+dc_kc AS (SELECT lc, SUM(m_rs)::BIGINT AS kc FROM dc_m GROUP BY lc)
+SELECT SUM(m.m_rs)::BIGINT AS m_tot,
+       ROUND(SUM(m.m_rs * ln(m.m_rs / CAST(r.kr * c.kc AS DOUBLE))), 6) AS ll
+FROM dc_m m
+JOIN dc_kr r ON r.lr = m.lr
+JOIN dc_kc c ON c.lc = m.lc"""

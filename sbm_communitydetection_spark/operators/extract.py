@@ -936,3 +936,41 @@ def conv_prefix_dups(transcripts: DataFrame) -> DataFrame:
             F.max_by("n", "d").alias("n_convs"),
         )
     )
+
+
+def actor_coparticipation(
+    transcripts: DataFrame, max_conv_actors: int = 1000
+) -> DataFrame:
+    """(actor_a, actor_b, n_convs) — the BIPARTITE PROJECTION of the
+    actor×conversation incidence: two actors are linked iff they spoke
+    in the same conversation, weighted by how many conversations they
+    share.  The co-occurrence companion of the reply graph: reply edges
+    capture direct adjacency in the turn order, co-participation
+    captures shared context regardless of turn distance (who ends up
+    in the same rooms), the graph behind "teams" rather than "threads".
+
+    Plan: one distinct on (conv_id, role) — map-side combinable — then
+    a self-join keyed on conv_id (actor_a < actor_b canonicalizes) and
+    one count aggregate.  The self-join is quadratic in PER-CONVERSATION
+    cast size, not corpus size, and ``max_conv_actors`` is the in-op hub
+    guard (the ADVICE directed_triad_census lesson): conversations with
+    a larger cast — the all-hands channel with 10^5 speakers — are
+    dropped from the projection rather than detonating the join; lower
+    it to taste, raise it to 10^9 to disable.
+    """
+    pa = transcripts.select("conv_id", "role").distinct()
+    kept = pa.join(
+        pa.groupBy("conv_id")
+        .agg(F.count("*").alias("_na"))
+        .filter(F.col("_na") <= max_conv_actors)
+        .select("conv_id"),
+        "conv_id",
+    )
+    a = kept.select("conv_id", F.col("role").alias("actor_a"))
+    b = kept.select("conv_id", F.col("role").alias("actor_b"))
+    return (
+        a.join(b, "conv_id")
+        .filter(F.col("actor_a") < F.col("actor_b"))
+        .groupBy("actor_a", "actor_b")
+        .agg(F.count("*").cast("long").alias("n_convs"))
+    )

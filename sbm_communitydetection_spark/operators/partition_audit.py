@@ -111,7 +111,15 @@ def partition_quality_sql(num_parts: int = DEFAULT_PARTS) -> str:
                ((({part_expr}) % {num_parts}) + {num_parts}) % {num_parts} AS part
         FROM verts
     ),
-    e AS (
+{partition_quality_body_sql()}"""
+
+
+def partition_quality_body_sql() -> str:
+    """The audit tail alone — assumes `edges(src, dst, weight)` AND an
+    `assignment(id, part)` CTE already in scope, so any partitioner
+    twin (hash, spectral bisection, community-aligned) composes with
+    the identical audit arithmetic."""
+    return """    e AS (
         SELECT a.part AS src_part, b.part AS dst_part, e.src, e.weight
         FROM edges e
         JOIN assignment a ON e.src = a.id

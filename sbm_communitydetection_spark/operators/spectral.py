@@ -123,6 +123,19 @@ def spectral_bisection(
 def spectral_bisection_sql(iters: int = 6) -> str:
     """DuckDB twin as a CTE tail over a pre-defined symmetrized `edges`
     CTE (src, dst, weight)."""
+    return (
+        ",\n".join(spectral_cte_parts(iters))
+        + f"""
+SELECT id, ROUND(x, 6) AS loading,
+       (CASE WHEN ROUND(x, 6) >= 0 THEN 1 ELSE 0 END)::BIGINT AS side
+FROM spx{iters}"""
+    )
+
+
+def spectral_cte_parts(iters: int = 6) -> list[str]:
+    """The twin as reusable CTE parts (final loading table ``spx{iters}``)
+    so composite readouts (the partition-quality audit) replay the
+    identical trajectory."""
     h = md5_long_sql("concat('spec_', id)")
     parts = [
         "spdeg AS MATERIALIZED (SELECT src AS id, SUM(weight)::DOUBLE AS deg FROM edges GROUP BY src)",
@@ -160,10 +173,4 @@ spx{t} AS MATERIALIZED (
     FROM spd{t}
 )"""
         )
-    return (
-        ",\n".join(parts)
-        + f"""
-SELECT id, ROUND(x, 6) AS loading,
-       (CASE WHEN ROUND(x, 6) >= 0 THEN 1 ELSE 0 END)::BIGINT AS side
-FROM spx{iters}"""
-    )
+    return parts

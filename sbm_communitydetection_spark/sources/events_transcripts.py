@@ -594,3 +594,24 @@ def conv_prefix_dups_oracle_sql() -> str:
     SELECT conv_id, (MAX(d) + 1)::INT AS shared_turns, arg_max(n, d) AS n_convs
     FROM cpd_j GROUP BY conv_id
     """
+
+
+def actor_coparticipation_oracle_sql(max_conv_actors: int = 1000) -> str:
+    """DuckDB twin of extract.actor_coparticipation over the events-derived
+    transcripts."""
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + f""",
+    cp_pa AS (SELECT DISTINCT conv_id, role FROM transcripts),
+    cp_keep AS (
+        SELECT conv_id FROM cp_pa GROUP BY conv_id
+        HAVING COUNT(*) <= {max_conv_actors}
+    )
+    SELECT a.role AS actor_a, b.role AS actor_b, COUNT(*)::BIGINT AS n_convs
+    FROM cp_pa a
+    JOIN cp_pa b ON a.conv_id = b.conv_id AND a.role < b.role
+    JOIN cp_keep k ON k.conv_id = a.conv_id
+    GROUP BY a.role, b.role
+    """
+    )

@@ -6,6 +6,8 @@ hand fixtures where the right answer is known by construction.)"""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sbm_communitydetection_spark.operators import anf as ANF
 from sbm_communitydetection_spark.operators import temporal as TEMP
 from sbm_communitydetection_spark.operators.graph_ops import symmetrize
@@ -198,3 +200,68 @@ def test_spectral_bisection_splits_barbell(spark):
     s_left = {sides[i] for i in range(k)}
     s_right = {sides[i + 10] for i in range(k)}
     assert len(s_left) == 1 and len(s_right) == 1 and s_left != s_right
+
+
+# --- wave 2: co-participation, backbone, DC-SBM, partition audit ----------
+
+
+def test_actor_coparticipation_counts_and_guard(spark):
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    # conv A: x,y,z; conv B: x,y; conv C (big cast): a0..a4
+    for i, r in enumerate(["x", "y", "z"]):
+        rows.append(("A", i, r, "t", None, t0))
+    for i, r in enumerate(["x", "y"]):
+        rows.append(("B", i, r, "t", None, t0))
+    for i in range(5):
+        rows.append(("C", i, f"a{i}", "t", None, t0))
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    from sbm_communitydetection_spark.operators.extract import actor_coparticipation
+
+    out = {(r["actor_a"], r["actor_b"]): r["n_convs"]
+           for r in actor_coparticipation(tr).collect()}
+    assert out[("x", "y")] == 2
+    assert out[("x", "z")] == 1 and out[("y", "z")] == 1
+    assert ("a0", "a1") in out
+    # hub guard: cap below conv C's cast removes all its pairs
+    capped = {(r["actor_a"], r["actor_b"])
+              for r in actor_coparticipation(tr, max_conv_actors=4).collect()}
+    assert ("a0", "a1") not in capped and ("x", "y") in capped
+
+
+def test_disparity_filter_keeps_dominant_spoke(spark):
+    from sbm_communitydetection_spark.operators.backbone import disparity_filter
+
+    # hub 0 with one dominant edge (weight 60) and many weight-1 spokes
+    pairs = [(0, 1, 60)] + [(0, i, 1) for i in range(2, 22)]
+    e = symmetrize(
+        spark.createDataFrame(pairs, "src long, dst long, weight long")
+    )
+    out = {(r["src"], r["dst"]): r["p_min"] for r in disparity_filter(e, alpha=0.05).collect()}
+    assert (0, 1) in out          # dominant edge survives
+    assert out[(0, 1)] < 0.05
+    # weight-1 spokes survive only via the pendant convention
+    # (their leaf endpoint has k=1); with pendants off they vanish
+    out_np = {(r["src"], r["dst"]) for r in disparity_filter(e, alpha=0.05, keep_pendants=False).collect()}
+    assert out_np == {(0, 1)}
+
+
+def test_dcsbm_loglik_prefers_planted_partition(spark):
+    from sbm_communitydetection_spark.functions.metrics import dcsbm_loglik_df
+
+    # two 8-cliques + 2 bridges: planted labels beat a scrambled labeling
+    k = 8
+    left = [(i, j) for i in range(k) for j in range(k) if i < j]
+    right = [(i + 10, j + 10) for (i, j) in left]
+    e = _sym_edges(spark, left + right + [(0, 10), (1, 11)])
+    verts = e.select(F.col("src").alias("id")).distinct()
+    planted = verts.select("id", F.when(F.col("id") < 10, 0).otherwise(1).alias("label"))
+    scrambled = verts.select("id", (F.col("id") % 2).alias("label"))
+    ll_p = dcsbm_loglik_df(e, planted).collect()[0]["ll"]
+    ll_s = dcsbm_loglik_df(e, scrambled).collect()[0]["ll"]
+    assert ll_p > ll_s
