@@ -2228,6 +2228,49 @@ def _q_dcsbm_loglik(spark, sf_dir):
     return dcsbm_loglik_df(e, derived_labels(e))
 
 
+CPC_PERMILLE = 100
+
+
+def _cpc_sparsified_edges(spark, sf_dir):
+    """Canonical-pair hash-sparsified lineitem graph (the greedy_coloring
+    gate convention): one coin per UNDIRECTED pair so the kept subgraph
+    is symmetric, mirrored verbatim in the oracle CTE."""
+    e = lineitem_edges(spark, sf_dir).select("src", "dst")
+    canon = e.filter(F.col("src") < F.col("dst"))
+    kept = canon.filter(
+        F.pmod(
+            _cpc_coin(F.col("src"), F.col("dst")), F.lit(1000)
+        )
+        < CPC_PERMILLE
+    )
+    return kept.unionByName(
+        kept.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).withColumn("weight", F.lit(1).cast("long"))
+
+
+def _cpc_coin(a, b):
+    from sbm_communitydetection_spark.textops.portable import md5_long
+
+    return md5_long(F.concat_ws(":", F.lit("cp"), a.cast("string"), b.cast("string")))
+
+
+def _q_rwr_topk(spark, sf_dir):
+    """Per-seed random-walk-with-restart top-k similarity."""
+    from sbm_communitydetection_spark.operators.pagerank import rwr_multi_seed
+
+    return rwr_multi_seed(spark, lineitem_edges(spark, sf_dir), rounds=3)
+
+
+def _q_clique_percolation(spark, sf_dir):
+    """k=3 clique percolation (overlapping communities) on the
+    hash-sparsified gate subgraph."""
+    from sbm_communitydetection_spark.operators.triangles import (
+        clique_percolation_communities,
+    )
+
+    return clique_percolation_communities(spark, _cpc_sparsified_edges(spark, sf_dir))
+
+
 def _q_spectral_partition_quality(spark, sf_dir):
     """partition_quality audit of the spectral bisection — the measuring
     stick (edge cut / balance / comm volume) applied to the principled
@@ -2271,6 +2314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "actor_coparticipation": _q_actor_coparticipation,  # bipartite projection
         "disparity_backbone": _q_disparity_backbone,  # multiscale edge backbone
         "dcsbm_loglik": _q_dcsbm_loglik,  # degree-corrected SBM model score
+        "clique_percolation": _q_clique_percolation,  # overlapping communities
+        "rwr_topk": _q_rwr_topk,  # per-seed random-walk-with-restart similarity
         "spectral_partition_quality": _q_spectral_partition_quality,  # layout audit
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
@@ -2538,6 +2583,9 @@ def oracle_sql() -> dict[str, str]:
     from sbm_communitydetection_spark.functions.metrics import (
         dcsbm_loglik_sql as _dcsbm_sql,
     )
+    from sbm_communitydetection_spark.operators.triangles import (
+        clique_percolation_sql as _cpc_sql,
+    )
 
     return {
         # session-7 wave
@@ -2555,6 +2603,20 @@ def oracle_sql() -> dict[str, str]:
         "actor_coparticipation": ET.actor_coparticipation_oracle_sql(),
         "disparity_backbone": edges_cte + ",\n" + _disparity_sql(),
         "dcsbm_loglik": edges_cte + ",\n" + _dcsbm_sql(N_LABELS),
+        "clique_percolation": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+cpc_coin_kept AS (
+    SELECT src, dst FROM edges
+    WHERE src < dst
+      AND ({md5_long_sql("concat('cp', ':', src, ':', dst)")}) % 1000 < {CPC_PERMILLE}
+),
+cpc_edges AS (
+    SELECT src, dst FROM cpc_coin_kept
+    UNION ALL SELECT dst, src FROM cpc_coin_kept
+),
+"""
+        + _cpc_sql(edges_table="cpc_edges"),
+        "rwr_topk": edges_cte + ",\n" + O.rwr_multi_seed_sql(rounds=3),
         "spectral_partition_quality": edges_cte
         + ",\n"
         + ",\n".join(_spectral_parts(6))

@@ -1012,3 +1012,54 @@ t{k} AS (
         + "\nUNION ALL\n".join(selects)
         + ")"
     )
+
+
+def rwr_multi_seed_sql(
+    rounds: int = 3,
+    damping: float = 0.85,
+    seed_mod: int = 100,
+    seed_rem: int = 0,
+    eps: float = 1e-6,
+    k: int = 5,
+) -> str:
+    """DuckDB twin of operators/pagerank.rwr_multi_seed over the `edges`
+    CTE — unrolled per-seed RWR with the identical per-round 8 dp
+    rounding and eps support truncation."""
+    parts = [
+        "rwr_outw AS (SELECT src, SUM(weight)::DOUBLE AS out_w FROM edges GROUP BY src)",
+        """rwr_adj AS MATERIALIZED (
+    SELECT e.src, e.dst, e.weight / o.out_w AS frac
+    FROM edges e JOIN rwr_outw o ON e.src = o.src
+)""",
+        f"""rwr_seeds AS (
+    SELECT DISTINCT src AS seed FROM edges WHERE src % {seed_mod} = {seed_rem}
+)""",
+        "rwr_s0 AS (SELECT seed, seed AS id, 1.0 AS rank FROM rwr_seeds)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""rwr_s{i} AS MATERIALIZED (
+    SELECT seed, id, rank FROM (
+        SELECT COALESCE(c.seed, b.seed) AS seed,
+               COALESCE(c.id, b.id) AS id,
+               ROUND(COALESCE(c.c, 0.0) + COALESCE(b.base, 0.0), 8) AS rank
+        FROM (
+            SELECT s.seed, a.dst AS id, {damping} * SUM(a.frac * s.rank) AS c
+            FROM rwr_s{i - 1} s JOIN rwr_adj a ON a.src = s.id
+            GROUP BY s.seed, a.dst
+        ) c
+        FULL OUTER JOIN (
+            SELECT seed, seed AS id, {1.0 - damping} AS base FROM rwr_seeds
+        ) b ON b.seed = c.seed AND b.id = c.id
+    ) WHERE rank >= {eps}
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT seed, id, rank, rnk::BIGINT AS rnk FROM (
+    SELECT seed, id, rank,
+           ROW_NUMBER() OVER (PARTITION BY seed ORDER BY rank DESC, id ASC) AS rnk
+    FROM rwr_s{rounds}
+) WHERE rnk <= {k}"""
+    )

@@ -324,3 +324,74 @@ def ppr_sweep_cut(
         .filter(F.col("rnk") <= F.col("best_k"))
         .select("id", "rnk", F.round("best_phi", 6).alias("phi"))
     )
+
+
+def rwr_multi_seed(
+    spark: SparkSession,
+    edges: DataFrame,
+    seed_mod: int = 100,
+    seed_rem: int = 0,
+    rounds: int = 3,
+    damping: float = 0.85,
+    eps: float = 1e-6,
+    k: int = 5,
+) -> DataFrame:
+    """(seed, id, rank, rnk) — top-k random-walk-with-restart similarity
+    per seed: for EVERY seed vertex simultaneously, its own personalized
+    PageRank vector (restart vector = that one seed), the standard
+    node-similarity / related-items primitive (Tong–Faloutsos–Pan,
+    ICDM'06).  pagerank(reset_ids=...) answers "rank w.r.t. a seed SET";
+    this answers "who is similar to EACH seed" — a different output per
+    seed, the thing a recommender or expansion query actually wants.
+
+    State is (seed, id, rank) — the forward-push sparsity trick makes it
+    frontier-sized instead of seeds×vertices: after every superstep the
+    rank is 8 dp-rounded and entries BELOW ``eps`` ARE DROPPED, so each
+    seed's vector only ever holds vertices its restart mass actually
+    reaches (Andersen–Chung–Lang locality: mass decays by `damping` per
+    hop, so the support is a local neighborhood at any graph size).
+    Each superstep is ONE join of the state against the transition table
+    keyed on src plus a (seed, dst) sum — the PageRank plan with a
+    compound key; seeds add rows, not stages.
+
+    Determinism: per-round rounding before the eps compare and before
+    the next multiply; final top-k ties break on smaller id.  The DuckDB
+    twin (sql_oracles.rwr_multi_seed_sql) unrolls the identical rounds.
+    """
+    outw = edges.groupBy("src").agg(F.sum("weight").cast("double").alias("out_w"))
+    adj = edges.join(outw, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("frac")
+    )
+    seeds = (
+        edges.select(F.col("src").alias("seed"))
+        .distinct()
+        .filter(F.pmod(F.col("seed"), F.lit(seed_mod)) == seed_rem)
+    )
+    base = seeds.select(
+        "seed", F.col("seed").alias("id"), F.lit(1.0 - damping).alias("base")
+    )
+    state = seeds.select("seed", F.col("seed").alias("id"), F.lit(1.0).alias("rank"))
+    for _ in range(rounds):
+        contrib = (
+            state.join(adj, state["id"] == adj["src"])
+            .groupBy("seed", F.col("dst").alias("vid"))
+            .agg((F.lit(damping) * F.sum(F.col("frac") * F.col("rank"))).alias("c"))
+            .withColumnRenamed("vid", "id")
+        )
+        state = (
+            contrib.join(base, ["seed", "id"], "full")
+            .select(
+                "seed",
+                "id",
+                F.round(
+                    F.coalesce("c", F.lit(0.0)) + F.coalesce("base", F.lit(0.0)), 8
+                ).alias("rank"),
+            )
+            .filter(F.col("rank") >= eps)
+        )
+    w = Window.partitionBy("seed").orderBy(F.desc("rank"), F.asc("id"))
+    return (
+        state.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("seed", "id", "rank", "rnk")
+    )

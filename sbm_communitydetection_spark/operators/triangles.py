@@ -437,3 +437,127 @@ def four_clique_count_sql() -> str:
     JOIN und bd ON bd.u = t.b AND bd.v = cd.v  -- (b, d)
     JOIN und ad ON ad.u = t.a AND ad.v = cd.v  -- (a, d)
     """
+
+
+def clique_percolation_communities(spark, edges: DataFrame) -> DataFrame:
+    """(id, community) — k-clique percolation communities for k = 3
+    (Palla, Derényi, Farkas, Vicsek, Nature 435, 2005): two triangles
+    belong to the same community iff they are connected through a chain
+    of triangles sharing an edge; a VERTEX belongs to every community
+    any of its triangles lands in — the engine's only OVERLAPPING
+    community detector (an actor bridging two tightly-knit circles is
+    legitimately a member of both, which every partition-based operator
+    here must deny by construction).
+
+    Composition of two already-gated primitives, no new join shapes:
+
+      1. the degree-ordered triangle list (triangle_list above),
+         canonicalized to a < b < c and hashed to a 60-bit tid;
+      2. per shared EDGE, triangles are star-wired to the minimum tid
+         on that edge — NOT all-pairs: an edge shared by t triangles
+         emits t−1 star rows instead of t·(t−1)/2 pair rows, the same
+         hub-safe contraction the CC operator itself applies (star
+         wiring preserves exactly the connectivity the percolation
+         needs);
+      3. north-star connected_components over the (star) triangle
+         graph; community = min tid, mapped back through the
+         triangle→vertex incidence (3 rows per triangle, distinct).
+
+    Output rows are (vertex, community) pairs; vertices in no triangle
+    do not appear (percolation communities are defined on cliques).
+    At 10^12 edges the triangle list dominates the cost exactly as
+    triangle_count does; everything after it is linear in triangles.
+    """
+    from ..textops.portable import md5_long
+
+    tri = triangle_list(edges).select(
+        F.least("x", "y", "z").alias("a"),
+        (F.col("x") + F.col("y") + F.col("z")
+         - F.least("x", "y", "z") - F.greatest("x", "y", "z")).alias("b"),
+        F.greatest("x", "y", "z").alias("c"),
+    )
+    tri = tri.withColumn(
+        "tid", md5_long(F.concat_ws("_", F.col("a"), F.col("b"), F.col("c")))
+    ).localCheckpoint(eager=True)
+
+    def _ek(u, v):
+        return md5_long(F.concat_ws("_", F.col(u), F.col(v)))
+
+    inc = (
+        tri.select(_ek("a", "b").alias("ekey"), "tid")
+        .unionByName(tri.select(_ek("a", "c").alias("ekey"), "tid"))
+        .unionByName(tri.select(_ek("b", "c").alias("ekey"), "tid"))
+    )
+    anchor = inc.groupBy("ekey").agg(F.min("tid").alias("mintid"))
+    star = (
+        inc.join(anchor, "ekey")
+        .filter(F.col("tid") != F.col("mintid"))
+        .select(F.col("mintid").alias("src"), F.col("tid").alias("dst"))
+        .distinct()
+    )
+    from .components import connected_components
+
+    comp = connected_components(
+        spark, star, vertices=tri.select(F.col("tid").alias("id"))
+    ).select(F.col("id").alias("tid"), F.col("component").alias("community"))
+
+    members = (
+        tri.select(F.col("a").alias("id"), "tid")
+        .unionByName(tri.select(F.col("b").alias("id"), "tid"))
+        .unionByName(tri.select(F.col("c").alias("id"), "tid"))
+    )
+    out = members.join(comp, "tid").select("id", "community").distinct()
+    return out
+
+
+def clique_percolation_sql(edges_table: str = "edges") -> str:
+    """DuckDB twin over a symmetrized `edges` CTE: value-ordered triangle
+    materialization (the four_clique_count_sql `tri` shape — the set of
+    triangles is orientation-independent), identical tid/ekey hashing,
+    star wiring, recursive min-reach closure over the (symmetrized)
+    star graph."""
+    from ..textops.portable import md5_long_sql
+
+    tid = md5_long_sql("concat(a, '_', b, '_', c)")
+    ek_ab = md5_long_sql("concat(a, '_', b)")
+    ek_ac = md5_long_sql("concat(a, '_', c)")
+    ek_bc = md5_long_sql("concat(b, '_', c)")
+    et = edges_table
+    return f"""cpc_und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM {et} WHERE src <> dst
+),
+cpc_tri AS MATERIALIZED (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c, {tid} AS tid
+    FROM cpc_und e1
+    JOIN cpc_und e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN cpc_und bc ON bc.u = e1.v AND bc.v = e2.v
+),
+cpc_inc AS MATERIALIZED (
+    SELECT {ek_ab} AS ekey, tid FROM cpc_tri
+    UNION ALL SELECT {ek_ac}, tid FROM cpc_tri
+    UNION ALL SELECT {ek_bc}, tid FROM cpc_tri
+),
+cpc_anchor AS (SELECT ekey, MIN(tid) AS mintid FROM cpc_inc GROUP BY ekey),
+cpc_star AS MATERIALIZED (
+    SELECT DISTINCT a.mintid AS src, i.tid AS dst
+    FROM cpc_inc i JOIN cpc_anchor a ON a.ekey = i.ekey
+    WHERE i.tid <> a.mintid
+),
+cpc_sym AS (
+    SELECT src, dst FROM cpc_star
+    UNION ALL SELECT dst, src FROM cpc_star
+),
+cpc_reach AS (
+    SELECT tid AS u, tid AS v FROM cpc_tri
+    UNION
+    SELECT r.u, e.dst FROM cpc_reach r JOIN cpc_sym e ON r.v = e.src
+),
+cpc_comp AS (SELECT u AS tid, MIN(v) AS community FROM cpc_reach GROUP BY u),
+cpc_members AS (
+    SELECT a AS id, tid FROM cpc_tri
+    UNION ALL SELECT b, tid FROM cpc_tri
+    UNION ALL SELECT c, tid FROM cpc_tri
+)
+SELECT DISTINCT m.id, c.community
+FROM cpc_members m JOIN cpc_comp c ON c.tid = m.tid"""

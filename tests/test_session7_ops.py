@@ -265,3 +265,56 @@ def test_dcsbm_loglik_prefers_planted_partition(spark):
     ll_p = dcsbm_loglik_df(e, planted).collect()[0]["ll"]
     ll_s = dcsbm_loglik_df(e, scrambled).collect()[0]["ll"]
     assert ll_p > ll_s
+
+
+# --- wave 3: clique percolation, multi-seed RWR ---------------------------
+
+
+def test_clique_percolation_overlap(spark):
+    from sbm_communitydetection_spark.operators.triangles import (
+        clique_percolation_communities,
+    )
+
+    # two triangle-chains sharing the single vertex 2: vertex 2 must be
+    # a member of BOTH communities (overlap a partition cannot express);
+    # the chains themselves are edge-connected internally.
+    left = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3)]       # triangles 012, 013... share edge 01
+    right = [(2, 4), (4, 5), (2, 5), (4, 6), (5, 6)]      # triangles 245, 456 share edge 45
+    e = _sym_edges(spark, left + right)
+    rows = clique_percolation_communities(spark, e).collect()
+    comm_of = {}
+    for r in rows:
+        comm_of.setdefault(r["id"], set()).add(r["community"])
+    # vertex 2 sits in two distinct communities
+    assert len(comm_of[2]) == 2
+    # chain members agree within each side
+    assert comm_of[0] == comm_of[1] == comm_of[3]
+    assert comm_of[4] == comm_of[5] == comm_of[6]
+    assert comm_of[0] != comm_of[4]
+    # bridge-only vertices (no triangle) never appear
+    e2 = _sym_edges(spark, left + [(3, 99)])
+    ids = {r["id"] for r in clique_percolation_communities(spark, e2).collect()}
+    assert 99 not in ids
+
+
+def test_rwr_multi_seed_locality_and_self_rank(spark):
+    from sbm_communitydetection_spark.operators.pagerank import rwr_multi_seed
+
+    # two far-apart stars; seed 0 (mod 100) must rank its OWN star's
+    # vertices, never the other star's
+    star_a = [(0, i) for i in range(1, 6)]
+    star_b = [(100, i + 200) for i in range(1, 6)]
+    e = _sym_edges(spark, star_a + star_b + [(5, 300), (300, 301), (301, 205)])
+    top = rwr_multi_seed(spark, e, seed_mod=100, seed_rem=0, rounds=3, k=4).collect()
+    by_seed = {}
+    for r in top:
+        by_seed.setdefault(r["seed"], []).append(r)
+    assert set(by_seed) == {0, 100, 300}
+    for r in by_seed[0]:
+        assert r["id"] not in {200, 201, 202, 203, 204, 205}
+    # the seed always appears in its own top-k (restart mass keeps it
+    # ranked), and a hub seed tops its own list
+    for s, rows in by_seed.items():
+        assert any(r["id"] == s for r in rows), (s, rows)
+    hub_best = min(by_seed[0], key=lambda r: r["rnk"])
+    assert hub_best["id"] == 0 and hub_best["rnk"] == 1
