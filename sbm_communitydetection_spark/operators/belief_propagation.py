@@ -167,6 +167,7 @@ def belief_propagation(
     tolerance: float = 1e-6,
     driver: IterationDriver | None = None,
     impl: str = "agg",
+    resume: bool = False,
 ) -> DataFrame:
     """beliefs(id, label, belief) after synchronous BP on the SYMMETRIZED
     ``edges(src, dst, weight)`` with ``priors(id, prior: array<double>)``.
@@ -214,7 +215,8 @@ def belief_propagation(
 
     if impl == "agg":
         return _belief_propagation_agg(
-            spark, ew, pr, k, diff, p_out, max_iterations, tolerance, driver, fixed_iters
+            spark, ew, pr, k, diff, p_out, max_iterations, tolerance, driver,
+            fixed_iters, resume,
         )
 
     init = ew.select("src", "dst", F.array(*[F.lit(1.0 / k)] * k).alias("belief"))
@@ -252,6 +254,7 @@ def belief_propagation(
         step,
         max_iterations=max_iterations,
         tolerance=tolerance,
+        resume=resume,  # north_rule: a durable-driver run continues
         metric_name="max_msg_delta",
         log_rows=not fixed_iters,
     )
@@ -277,6 +280,7 @@ def _belief_propagation_agg(
     tolerance: float,
     driver: IterationDriver,
     fixed_iters: bool,
+    resume: bool = False,
 ) -> DataFrame:
     """Pure-Catalyst BP (see belief_propagation impl='agg'). State =
     (src, dst, weight, belief) messages, repartitioned by dst per superstep
@@ -338,6 +342,7 @@ def _belief_propagation_agg(
         step,
         max_iterations=max_iterations,
         tolerance=tolerance,
+        resume=resume,  # north_rule: a durable-driver run continues
         metric_name="max_msg_delta",
         log_rows=not fixed_iters,
     )

@@ -292,3 +292,65 @@ def test_cc_resumes_mid_iteration(spark, tmp_path):
         for r in connected_components(spark, edges, driver=d2, resume=True).collect()
     }
     assert resumed == full
+
+
+def test_bp_resumes_mid_iteration(spark, tmp_path):
+    """Resume parity for the BP message state (agg impl): a run killed
+    after 2 durable snapshots resumes with a NEW driver and lands on the
+    identical belief argmax as the uninterrupted 4-iteration run (the
+    array<double> message state round-trips parquet exactly; only
+    partial-sum order may differ -> 1e-9 on the belief values)."""
+    from sbm_communitydetection_spark.operators.belief_propagation import (
+        belief_propagation,
+    )
+    from sbm_communitydetection_spark.operators.graph_ops import symmetrize
+
+    raw = spark.range(1500).select(
+        (F.xxhash64("id") % 120).alias("src"),
+        (F.xxhash64("id", F.lit(3)) % 120).alias("dst"),
+        F.lit(1).cast("long").alias("weight"),
+    )
+    edges = symmetrize(raw.filter(F.col("src") != F.col("dst"))).localCheckpoint(
+        eager=True
+    )
+    k = 2
+    priors = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.array(F.lit(0.6), F.lit(0.4)).alias("prior")
+    )
+
+    d_full = IterationDriver(
+        spark, run_id="bpfull", checkpoint_dir=str(tmp_path / "full"), mode="parquet"
+    )
+    full = {
+        r.id: (r.label, r.belief)
+        for r in belief_propagation(
+            spark, edges, priors, k, 0.9, 0.1,
+            tolerance=-1.0, max_iterations=4, driver=d_full,
+        ).collect()
+    }
+
+    d1 = IterationDriver(
+        spark, run_id="bp", checkpoint_dir=str(tmp_path / "r"), mode="parquet"
+    )
+    belief_propagation(
+        spark, edges, priors, k, 0.9, 0.1,
+        tolerance=-1.0, max_iterations=2, driver=d1,
+    )
+    assert d1.latest_complete_iteration() == 2
+    d2 = IterationDriver(
+        spark, run_id="bp", checkpoint_dir=str(tmp_path / "r"), mode="parquet"
+    )
+    resumed = {
+        r.id: (r.label, r.belief)
+        for r in belief_propagation(
+            spark, edges, priors, k, 0.9, 0.1,
+            tolerance=-1.0, max_iterations=4, driver=d2, resume=True,
+        ).collect()
+    }
+    assert set(resumed) == set(full)
+    for i in resumed:
+        assert resumed[i][0] == full[i][0]
+        assert all(
+            abs(a - b) < 1e-9 for a, b in zip(resumed[i][1], full[i][1])
+        )
+    assert d2.latest_complete_iteration() == 4
