@@ -2254,6 +2254,25 @@ def _cpc_coin(a, b):
     return md5_long(F.concat_ws(":", F.lit("cp"), a.cast("string"), b.cast("string")))
 
 
+def _q_degree_knn_curve(spark, sf_dir):
+    """Pastor-Satorras average-nearest-neighbor-degree curve."""
+    return G.degree_knn_curve(lineitem_edges(spark, sf_dir))
+
+
+def _q_robustness_profile(spark, sf_dir):
+    """Targeted hub-removal shatter curve (Albert-Jeong-Barabási)."""
+    from sbm_communitydetection_spark.operators.components import robustness_profile
+
+    return robustness_profile(spark, lineitem_edges(spark, sf_dir))
+
+
+def _q_landmark_oracle_eval(spark, sf_dir):
+    """Distance-oracle quality card: landmark sandwich vs exact probes."""
+    from sbm_communitydetection_spark.operators.sssp import landmark_oracle_eval
+
+    return landmark_oracle_eval(spark, lineitem_edges(spark, sf_dir), rounds=4)
+
+
 def _q_rwr_topk(spark, sf_dir):
     """Per-seed random-walk-with-restart top-k similarity."""
     from sbm_communitydetection_spark.operators.pagerank import rwr_multi_seed
@@ -2316,6 +2335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dcsbm_loglik": _q_dcsbm_loglik,  # degree-corrected SBM model score
         "clique_percolation": _q_clique_percolation,  # overlapping communities
         "rwr_topk": _q_rwr_topk,  # per-seed random-walk-with-restart similarity
+        "degree_knn_curve": _q_degree_knn_curve,  # degree-mixing curve
+        "robustness_profile": _q_robustness_profile,  # hub-removal shatter curve
+        "landmark_oracle_eval": _q_landmark_oracle_eval,  # distance-oracle card
         "spectral_partition_quality": _q_spectral_partition_quality,  # layout audit
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
@@ -2586,6 +2608,12 @@ def oracle_sql() -> dict[str, str]:
     from sbm_communitydetection_spark.operators.triangles import (
         clique_percolation_sql as _cpc_sql,
     )
+    from sbm_communitydetection_spark.operators.components import (
+        robustness_profile_sql as _robustness_sql,
+    )
+    from sbm_communitydetection_spark.operators.sssp import (
+        landmark_oracle_eval_sql as _lm_oracle_sql,
+    )
 
     return {
         # session-7 wave
@@ -2617,6 +2645,11 @@ cpc_edges AS (
 """
         + _cpc_sql(edges_table="cpc_edges"),
         "rwr_topk": edges_cte + ",\n" + O.rwr_multi_seed_sql(rounds=3),
+        "degree_knn_curve": edges_cte + ",\n" + G.degree_knn_curve_sql(),
+        "robustness_profile": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\n"
+        + _robustness_sql(),
+        "landmark_oracle_eval": edges_cte + ",\n" + _lm_oracle_sql(rounds=4),
         "spectral_partition_quality": edges_cte
         + ",\n"
         + ",\n".join(_spectral_parts(6))

@@ -13,7 +13,7 @@ planted SBM communities); this is north-star scope (SURVEY.md §2.13).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..plans.iterate import IterationDriver
@@ -617,3 +617,98 @@ def condensation_layers(
         )
     members = scc.groupBy("scc").agg(F.count("*").alias("n_members"))
     return layers.join(members, "scc")
+
+
+ROBUSTNESS_CUTS = (0, 10, 50, 100)
+
+
+def robustness_profile(
+    spark: SparkSession,
+    edges: DataFrame,
+    cuts: tuple[int, ...] = ROBUSTNESS_CUTS,
+) -> DataFrame:
+    """(n_removed, n_vertices, n_components, giant_size) — targeted-attack
+    robustness curve (Albert-Jeong-Barabási, Nature 406, 2000): remove
+    the top-``f`` vertices by distinct-neighbor degree (id tie-break)
+    for each f in ``cuts`` and measure how the graph shatters — the
+    resilience readout for reply/tool graphs where a few hub actors
+    hold the topology together ("what if the coordinator agent / the
+    search tool disappears?"), and the planner's stress test for how
+    partition layouts behave when hot vertices are quarantined.
+
+    One degree ranking is shared by all cuts; each cut is a semi-join
+    filter + the north-star CC operator on the surviving subgraph —
+    linear passes, no new join shapes.  Surviving isolated vertices
+    count as singleton components (vertices= is passed), so
+    n_components + giant_size together describe the shatter.  The
+    ranking window is global (fine at any realistic cut size: you
+    remove the TOP hubs, not a fraction of 10^12 — for fractional cuts
+    switch to approx_quantile on degree and filter by threshold)."""
+    d = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    deg = d.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    w = Window.orderBy(F.desc("deg"), F.asc("id"))
+    ranked = deg.select("id", F.row_number().over(w).cast("long").alias("rnk"))
+    ranked = ranked.localCheckpoint(eager=True)
+
+    rows = []
+    for f in cuts:
+        keep = ranked.filter(F.col("rnk") > f).select("id")
+        sub = (
+            d.join(keep.select(F.col("id").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("id").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+        )
+        comp = connected_components(spark, sub, vertices=keep)
+        stats = comp.groupBy("component").agg(F.count("*").alias("sz")).agg(
+            F.count("*").cast("long").alias("n_components"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("giant_size"),
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_vertices"),
+        ).collect()[0]
+        rows.append(
+            (f, stats["n_vertices"], stats["n_components"], stats["giant_size"])
+        )
+    from ..plans.iterate import unpersist_checkpoint
+
+    unpersist_checkpoint(ranked)
+    return spark.createDataFrame(
+        rows, "n_removed long, n_vertices long, n_components long, giant_size long"
+    )
+
+
+def robustness_profile_sql(cuts: tuple[int, ...] = ROBUSTNESS_CUTS) -> str:
+    """DuckDB twin over the symmetric `edges` CTE (recursive min-reach
+    closure per cut — oracle-scale only; requires WITH RECURSIVE)."""
+    parts = [
+        "rb_d AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        """rb_rank AS MATERIALIZED (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY deg DESC, id ASC)::BIGINT AS rnk
+    FROM (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM rb_d GROUP BY src)
+)""",
+    ]
+    selects = []
+    for f in cuts:
+        parts.append(
+            f"""rb_keep{f} AS MATERIALIZED (SELECT id FROM rb_rank WHERE rnk > {f}),
+rb_e{f} AS MATERIALIZED (
+    SELECT d.src, d.dst FROM rb_d d
+    JOIN rb_keep{f} a ON a.id = d.src
+    JOIN rb_keep{f} b ON b.id = d.dst
+),
+rb_reach{f} AS (
+    SELECT id AS u, id AS v FROM rb_keep{f}
+    UNION
+    SELECT r.u, e.dst FROM rb_reach{f} r JOIN rb_e{f} e ON r.v = e.src
+),
+rb_comp{f} AS (SELECT u AS id, MIN(v) AS component FROM rb_reach{f} GROUP BY u),
+rb_sz{f} AS (SELECT component, COUNT(*)::BIGINT AS sz FROM rb_comp{f} GROUP BY component)"""
+        )
+        selects.append(
+            f"""SELECT {f}::BIGINT AS n_removed,
+       COALESCE(SUM(sz), 0)::BIGINT AS n_vertices,
+       COUNT(*)::BIGINT AS n_components,
+       COALESCE(MAX(sz), 0)::BIGINT AS giant_size
+FROM rb_sz{f}"""
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

@@ -774,3 +774,50 @@ def threshold_cascade_sql(
         ",\n".join(parts)
         + f"\nSELECT id, round_activated::INT AS round_activated FROM tc_a{rounds}"
     )
+
+
+def degree_knn_curve(edges: DataFrame) -> DataFrame:
+    """(k, n_vertices, knn_k) — Pastor-Satorras average-nearest-neighbor-
+    degree curve: for each degree class k, the mean over degree-k
+    vertices of their mean neighbor degree.  THE standard readout for
+    degree mixing structure (a falling curve = disassortative hub-leaf
+    wiring, the reply-graph signature; flat = uncorrelated): where
+    degree_assortativity compresses mixing to one scalar r, this keeps
+    the whole curve, and it is the quantity the skew/salting planners
+    actually care about (do hubs neighbor hubs, i.e. will hot keys
+    co-occur in a shuffle?).
+
+    Exact-int path: distinct-neighbor degrees from one aggregate; each
+    vertex's neighbor-degree SUM from one join + aggregate (map-side
+    combinable); the only floats are the final two divisions, applied
+    in a fixed order and 6dp-rounded — DuckDB twin below."""
+    d = edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    deg = d.groupBy(F.col("src").alias("id")).agg(F.count("*").cast("long").alias("deg"))
+    nbr_deg = (
+        d.join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("nd")), "dst")
+        .groupBy(F.col("src").alias("id"))
+        .agg(F.sum("nd").cast("long").alias("snd"))
+    )
+    per_v = deg.join(nbr_deg, "id").select(
+        "deg", (F.col("snd") / F.col("deg")).alias("mean_nd")
+    )
+    return per_v.groupBy(F.col("deg").alias("k")).agg(
+        F.count("*").cast("long").alias("n_vertices"),
+        F.round(F.avg("mean_nd"), 6).alias("knn_k"),
+    )
+
+
+def degree_knn_curve_sql() -> str:
+    """DuckDB twin over the symmetric `edges` CTE."""
+    return """
+knn_d AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+knn_deg AS (SELECT src AS id, COUNT(*)::BIGINT AS deg FROM knn_d GROUP BY src),
+knn_snd AS (
+    SELECT d.src AS id, SUM(g.deg)::BIGINT AS snd
+    FROM knn_d d JOIN knn_deg g ON g.id = d.dst
+    GROUP BY d.src
+)
+SELECT g.deg::BIGINT AS k, COUNT(*)::BIGINT AS n_vertices,
+       ROUND(AVG(s.snd / CAST(g.deg AS DOUBLE)), 6) AS knn_k
+FROM knn_deg g JOIN knn_snd s ON s.id = g.id
+GROUP BY g.deg"""

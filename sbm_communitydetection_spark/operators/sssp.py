@@ -277,3 +277,123 @@ SELECT dist, n_pairs,
              / CAST(SUM(n_pairs) OVER () AS DOUBLE), 6) AS cum_frac
 FROM hist"""
     )
+
+
+def landmark_oracle_eval(
+    spark: SparkSession,
+    edges: DataFrame,
+    rounds: int = 4,
+    lm_mod: int = 100,
+    probe_mod: int = 97,
+    probe_rem_u: int = 1,
+    probe_rem_v: int = 2,
+) -> DataFrame:
+    """(u, v, d_exact, est_upper, est_lower, stretch) — quality card for
+    the LANDMARK DISTANCE ORACLE (Potamias et al., CIKM'09): at 10^12
+    vertices pairwise distances are answered from |L| precomputed
+    BFS/Bellman-Ford vectors via the triangle inequality,
+
+        max_l |d(l,u) − d(l,v)|  ≤  d(u,v)  ≤  min_l d(l,u) + d(l,v)
+
+    and this op MEASURES how tight that sandwich is on a deterministic
+    probe-pair set, the same way retrieval_metrics audits the ANN
+    ranking: exact probe distances come from one extra landmark_distances
+    run seeded with the (small) probe-u set itself, so the evaluation
+    needs no new operator, just three compositions of the gated one.
+
+    Landmarks are id % lm_mod == 0 (the shortest_paths gate convention);
+    probes are (u, v) with u % probe_mod == probe_rem_u, v % probe_mod ==
+    probe_rem_v — cross-joined, so ~(n/probe_mod)² pairs: bounded and
+    engine-reproducible.  Pairs unreached by any common landmark within
+    `rounds` are dropped (both engines identically); stretch =
+    est_upper / d_exact, 6dp, the oracle's headline quality number.
+    `weight` is used as the edge length (unit weights → hop distance).
+    """
+    verts = edges.select(F.col("src").alias("id")).distinct()
+    lms = verts.filter(F.pmod(F.col("id"), F.lit(lm_mod)) == 0)
+    lmd = landmark_distances(spark, edges, lms, rounds=rounds)
+
+    us = verts.filter(F.pmod(F.col("id"), F.lit(probe_mod)) == probe_rem_u)
+    vs = verts.filter(F.pmod(F.col("id"), F.lit(probe_mod)) == probe_rem_v)
+
+    du = lmd.select(F.col("lm"), F.col("id").alias("u"), F.col("dist").alias("dlu"))
+    dv = lmd.select(F.col("lm"), F.col("id").alias("v"), F.col("dist").alias("dlv"))
+    est = (
+        du.join(us.select(F.col("id").alias("u")), "u", "left_semi")
+        .join(dv.join(vs.select(F.col("id").alias("v")), "v", "left_semi"), "lm")
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.min(F.col("dlu") + F.col("dlv")).alias("est_upper"),
+            F.max(F.abs(F.col("dlu") - F.col("dlv"))).alias("est_lower"),
+        )
+    )
+    exact = landmark_distances(spark, edges, us, rounds=rounds).select(
+        F.col("lm").alias("u"), F.col("id").alias("v"), F.col("dist").alias("d_exact")
+    )
+    return (
+        est.join(exact, ["u", "v"])
+        .select(
+            "u",
+            "v",
+            "d_exact",
+            "est_upper",
+            "est_lower",
+            F.when(F.col("d_exact") > 0, F.round(F.col("est_upper") / F.col("d_exact"), 6))
+            .otherwise(F.lit(1.0))
+            .alias("stretch"),
+        )
+    )
+
+
+def landmark_oracle_eval_sql(
+    rounds: int = 4,
+    lm_mod: int = 100,
+    probe_mod: int = 97,
+    probe_rem_u: int = 1,
+    probe_rem_v: int = 2,
+) -> str:
+    """DuckDB twin over the `edges` CTE — two unrolled multi-source
+    Bellman-Ford chains (landmark set, probe-u set) + the sandwich."""
+
+    def _bf(prefix: str, seed_where: str) -> list[str]:
+        parts = [
+            f"{prefix}0 AS (SELECT id AS lm, id, 0.0 AS dist FROM lo_verts WHERE {seed_where})"
+        ]
+        for i in range(1, rounds + 1):
+            parts.append(
+                f"""{prefix}{i} AS MATERIALIZED (
+    SELECT lm, id, MIN(dist) AS dist FROM (
+        SELECT lm, id, dist FROM {prefix}{i - 1}
+        UNION ALL
+        SELECT s.lm, e.dst AS id, s.dist + e.weight AS dist
+        FROM edges e JOIN {prefix}{i - 1} s ON e.src = s.id
+    ) GROUP BY lm, id
+)"""
+            )
+        return parts
+
+    parts = ["lo_verts AS (SELECT DISTINCT src AS id FROM edges)"]
+    parts += _bf("lo_lm", f"id % {lm_mod} = 0")
+    parts += _bf("lo_ex", f"id % {probe_mod} = {probe_rem_u}")
+    parts.append(
+        f"""lo_est AS (
+    SELECT du.id AS u, dv.id AS v,
+           MIN(du.dist + dv.dist) AS est_upper,
+           MAX(ABS(du.dist - dv.dist)) AS est_lower
+    FROM lo_lm{rounds} du
+    JOIN lo_lm{rounds} dv ON dv.lm = du.lm
+    WHERE du.id % {probe_mod} = {probe_rem_u}
+      AND dv.id % {probe_mod} = {probe_rem_v}
+      AND du.id <> dv.id
+    GROUP BY du.id, dv.id
+)"""
+    )
+    return (
+        ",\n".join(parts)
+        + f"""
+SELECT e.u, e.v, x.dist AS d_exact, e.est_upper, e.est_lower,
+       CASE WHEN x.dist > 0 THEN ROUND(e.est_upper / x.dist, 6) ELSE 1.0 END AS stretch
+FROM lo_est e
+JOIN lo_ex{rounds} x ON x.lm = e.u AND x.id = e.v"""
+    )

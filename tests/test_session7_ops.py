@@ -318,3 +318,48 @@ def test_rwr_multi_seed_locality_and_self_rank(spark):
         assert any(r["id"] == s for r in rows), (s, rows)
     hub_best = min(by_seed[0], key=lambda r: r["rnk"])
     assert hub_best["id"] == 0 and hub_best["rnk"] == 1
+
+
+# --- wave 4: knn curve, robustness, landmark distance oracle --------------
+
+
+def test_degree_knn_curve_star(spark):
+    from sbm_communitydetection_spark.operators.graph_ops import degree_knn_curve
+
+    e = _sym_edges(spark, [(0, i) for i in range(1, 8)])
+    out = {r["k"]: (r["n_vertices"], r["knn_k"]) for r in degree_knn_curve(e).collect()}
+    assert out[1] == (7, 7.0)   # leaves see only the hub (deg 7)
+    assert out[7] == (1, 1.0)   # hub sees only leaves (deg 1)
+
+
+def test_robustness_profile_hub_shatter(spark):
+    from sbm_communitydetection_spark.operators.components import robustness_profile
+
+    # star (hub 0, 10 leaves) + disjoint 5-clique: removing 1 hub
+    # shatters the star into 10 singletons; the clique becomes the giant
+    star = [(0, i) for i in range(1, 11)]
+    cliq = [(i, j) for i in range(20, 25) for j in range(20, 25) if i < j]
+    e = _sym_edges(spark, star + cliq)
+    out = {r["n_removed"]: r for r in robustness_profile(spark, e, cuts=(0, 1)).collect()}
+    assert out[0]["giant_size"] == 11 and out[0]["n_components"] == 2
+    assert out[1]["n_vertices"] == 15
+    assert out[1]["giant_size"] == 5          # the clique
+    assert out[1]["n_components"] == 11       # clique + 10 singleton leaves
+
+
+def test_landmark_oracle_sandwich(spark):
+    from sbm_communitydetection_spark.operators.sssp import landmark_oracle_eval
+
+    # cycle of 12 with landmark at 0 (0 % 12 == 0); probes u=1 (mod 97),
+    # v=2: triangle-inequality sandwich must hold and d(1,2)=1
+    e = _sym_edges(spark, [(i, (i + 1) % 12) for i in range(12)])
+    rows = landmark_oracle_eval(
+        spark, e, rounds=6, lm_mod=12, probe_mod=97, probe_rem_u=1, probe_rem_v=2
+    ).collect()
+    assert rows, "no probe pairs evaluated"
+    for r in rows:
+        assert r["est_lower"] <= r["d_exact"] <= r["est_upper"]
+    d12 = {(r["u"], r["v"]): r for r in rows}[(1, 2)]
+    assert d12["d_exact"] == 1.0
+    # landmark 0 lies beside the 1-2 edge: upper bound = d(0,1)+d(0,2) = 3
+    assert d12["est_upper"] == 3.0 and d12["est_lower"] == 1.0
