@@ -2254,6 +2254,27 @@ def _cpc_coin(a, b):
     return md5_long(F.concat_ws(":", F.lit("cp"), a.cast("string"), b.cast("string")))
 
 
+def _q_matryoshka_recall(spark, sf_dir):
+    """Matryoshka truncation eval card over the embedding store."""
+    return TS.matryoshka_recall(_embs(spark, sf_dir))
+
+
+def _q_burt_constraint(spark, sf_dir):
+    """Burt structural-holes constraint per actor."""
+    return G.burt_constraint(lineitem_edges(spark, sf_dir))
+
+
+def _q_motif_spectral(spark, sf_dir):
+    """Benson triangle-motif spectral bisection on the sparsified gate
+    subgraph (the motif graph needs triangles; reuses the clique-
+    percolation sparsifier so both motif gates see the same subgraph)."""
+    from sbm_communitydetection_spark.operators.spectral import (
+        motif_spectral_bisection,
+    )
+
+    return motif_spectral_bisection(spark, _cpc_sparsified_edges(spark, sf_dir))
+
+
 def _q_degree_knn_curve(spark, sf_dir):
     """Pastor-Satorras average-nearest-neighbor-degree curve."""
     return G.degree_knn_curve(lineitem_edges(spark, sf_dir))
@@ -2338,6 +2359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_knn_curve": _q_degree_knn_curve,  # degree-mixing curve
         "robustness_profile": _q_robustness_profile,  # hub-removal shatter curve
         "landmark_oracle_eval": _q_landmark_oracle_eval,  # distance-oracle card
+        "matryoshka_recall": _q_matryoshka_recall,  # truncation eval card
+        "burt_constraint": _q_burt_constraint,  # structural-holes brokerage
+        "motif_spectral": _q_motif_spectral,  # triangle-motif spectral cut
         "spectral_partition_quality": _q_spectral_partition_quality,  # layout audit
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
@@ -2614,6 +2638,9 @@ def oracle_sql() -> dict[str, str]:
     from sbm_communitydetection_spark.operators.sssp import (
         landmark_oracle_eval_sql as _lm_oracle_sql,
     )
+    from sbm_communitydetection_spark.operators.spectral import (
+        motif_spectral_sql as _motif_spectral_sql,
+    )
 
     return {
         # session-7 wave
@@ -2650,6 +2677,21 @@ cpc_edges AS (
         + ",\n"
         + _robustness_sql(),
         "landmark_oracle_eval": edges_cte + ",\n" + _lm_oracle_sql(rounds=4),
+        "matryoshka_recall": TS.matryoshka_recall_sql(),
+        "burt_constraint": edges_cte + ",\n" + G.burt_constraint_sql(),
+        "motif_spectral": edges_cte
+        + f""",
+cpc_coin_kept AS (
+    SELECT src, dst FROM edges
+    WHERE src < dst
+      AND ({md5_long_sql("concat('cp', ':', src, ':', dst)")}) % 1000 < {CPC_PERMILLE}
+),
+cpc_edges AS (
+    SELECT src, dst, 1::BIGINT AS weight FROM cpc_coin_kept
+    UNION ALL SELECT dst, src, 1::BIGINT FROM cpc_coin_kept
+),
+"""
+        + _motif_spectral_sql().replace("FROM edges WHERE src <> dst", "FROM cpc_edges WHERE src <> dst", 1),
         "spectral_partition_quality": edges_cte
         + ",\n"
         + ",\n".join(_spectral_parts(6))

@@ -821,3 +821,111 @@ SELECT g.deg::BIGINT AS k, COUNT(*)::BIGINT AS n_vertices,
        ROUND(AVG(s.snd / CAST(g.deg AS DOUBLE)), 6) AS knn_k
 FROM knn_deg g JOIN knn_snd s ON s.id = g.id
 GROUP BY g.deg"""
+
+
+def burt_constraint(
+    edges: DataFrame, max_degree: int | None = None
+) -> DataFrame:
+    """(id, n_contacts, constraint) — Burt's network constraint (Burt,
+    "Structural Holes", 1992): for each vertex i with proportional tie
+    strengths p_ij = w_ij / Σ_q w_iq,
+
+        C_i = Σ_{j∈N(i)} ( p_ij + Σ_{q∈N(i)∩N(j)} p_iq · p_qj )²
+
+    Low constraint = the actor brokers between otherwise-disconnected
+    contacts (structural holes — the coordinator/router position in a
+    reply graph); high constraint = the actor's contacts all talk to
+    each other (redundant ego network).  The ego-level complement of
+    the edge-level weak-tie view (edge_embeddedness) and the per-vertex
+    clustering coefficient.
+
+    Shape: p is one strength aggregate + one join; the indirect term is
+    the 2-path join p(i,q)⋈p(q,j) restricted to j∈N(i) by the final
+    join with p_ij — the wedge-center cost profile of the triad census,
+    and the SAME hub guard applies: ``max_degree`` removes vertices
+    above the cap from the computation entirely (their ego networks
+    are statistically uninteresting for brokerage and quadratically
+    expensive; None = exact everywhere).  Floats: p 9 dp-rounded once;
+    each c_ij and the final sum 6 dp-rounded — the DuckDB twin replays
+    the same order."""
+    d = edges.filter(F.col("src") != F.col("dst")).select("src", "dst", "weight")
+    if max_degree is not None:
+        hubs = (
+            d.groupBy("src").agg(F.count("*").alias("k"))
+            .filter(F.col("k") > max_degree)
+            .select(F.col("src").alias("id"))
+        )
+        d = (
+            d.join(hubs.select(F.col("id").alias("src")), "src", "left_anti")
+            .join(hubs.select(F.col("id").alias("dst")), "dst", "left_anti")
+        )
+    s = d.groupBy("src").agg(F.sum("weight").alias("s"))
+    p = (
+        d.join(s, "src")
+        .select(
+            F.col("src").alias("i"),
+            F.col("dst").alias("j"),
+            F.round(F.col("weight") / F.col("s"), 9).alias("p"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    piq = p.select(F.col("i"), F.col("j").alias("q"), F.col("p").alias("piq"))
+    pqj = p.select(F.col("i").alias("q"), F.col("j"), F.col("p").alias("pqj"))
+    ind = (
+        piq.join(pqj, "q")
+        .filter(F.col("i") != F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("piq") * F.col("pqj")).alias("ind"))
+    )
+    cij = p.join(ind, ["i", "j"], "left").select(
+        "i",
+        F.round(
+            (F.col("p") + F.coalesce("ind", F.lit(0.0))) ** 2, 6
+        ).alias("c"),
+    )
+    from ..plans.iterate import unpersist_checkpoint
+
+    out = cij.groupBy(F.col("i").alias("id")).agg(
+        F.count("*").cast("long").alias("n_contacts"),
+        F.round(F.sum("c"), 6).alias("constraint"),
+    )
+    out = out.localCheckpoint(eager=True)
+    unpersist_checkpoint(p)
+    return out
+
+
+def burt_constraint_sql(max_degree: int | None = None) -> str:
+    """DuckDB twin over the symmetric `edges` CTE."""
+    guard = ""
+    if max_degree is not None:
+        guard = f"""bc_hub AS (
+    SELECT src AS id FROM bc_d0 GROUP BY src HAVING COUNT(*) > {max_degree}
+),
+bc_d AS MATERIALIZED (
+    SELECT d.* FROM bc_d0 d
+    WHERE d.src NOT IN (SELECT id FROM bc_hub)
+      AND d.dst NOT IN (SELECT id FROM bc_hub)
+),"""
+    else:
+        guard = "bc_d AS MATERIALIZED (SELECT * FROM bc_d0),"
+    return f"""bc_d0 AS MATERIALIZED (
+    SELECT src, dst, weight FROM edges WHERE src <> dst
+),
+{guard}
+bc_s AS (SELECT src, SUM(weight) AS s FROM bc_d GROUP BY src),
+bc_p AS MATERIALIZED (
+    SELECT d.src AS i, d.dst AS j, ROUND(d.weight / CAST(t.s AS DOUBLE), 9) AS p
+    FROM bc_d d JOIN bc_s t ON t.src = d.src
+),
+bc_ind AS (
+    SELECT a.i, b.j, SUM(a.p * b.p) AS ind
+    FROM bc_p a JOIN bc_p b ON b.i = a.j
+    WHERE a.i <> b.j
+    GROUP BY a.i, b.j
+),
+bc_c AS (
+    SELECT p.i, ROUND(POWER(p.p + COALESCE(x.ind, 0.0), 2), 6) AS c
+    FROM bc_p p LEFT JOIN bc_ind x ON x.i = p.i AND x.j = p.j
+)
+SELECT i AS id, COUNT(*)::BIGINT AS n_contacts, ROUND(SUM(c), 6) AS "constraint"
+FROM bc_c GROUP BY i"""

@@ -132,19 +132,19 @@ FROM spx{iters}"""
     )
 
 
-def spectral_cte_parts(iters: int = 6) -> list[str]:
+def spectral_cte_parts(iters: int = 6, edges_table: str = "edges") -> list[str]:
     """The twin as reusable CTE parts (final loading table ``spx{iters}``)
     so composite readouts (the partition-quality audit) replay the
     identical trajectory."""
     h = md5_long_sql("concat('spec_', id)")
     parts = [
-        "spdeg AS MATERIALIZED (SELECT src AS id, SUM(weight)::DOUBLE AS deg FROM edges GROUP BY src)",
+        f"spdeg AS MATERIALIZED (SELECT src AS id, SUM(weight)::DOUBLE AS deg FROM {edges_table} GROUP BY src)",
         "spvol AS (SELECT SUM(deg) AS vol FROM spdeg)",
         f"spu AS MATERIALIZED (SELECT id, deg, ROUND(sqrt(deg / (SELECT vol FROM spvol)), {SPECTRAL_ROUND}) AS u FROM spdeg)",
         f"""spadj AS MATERIALIZED (
     SELECT e.src, e.dst,
            ROUND(e.weight / sqrt(ds.deg * dd.deg), {SPECTRAL_ROUND}) AS frac
-    FROM edges e
+    FROM {edges_table} e
     JOIN spdeg ds ON ds.id = e.src
     JOIN spdeg dd ON dd.id = e.dst
 )""",
@@ -174,3 +174,67 @@ spx{t} AS MATERIALIZED (
 )"""
         )
     return parts
+
+
+def motif_spectral_bisection(
+    spark: SparkSession, edges: DataFrame, iters: int = 6
+) -> DataFrame:
+    """(id, loading, side) — MOTIF spectral clustering for the triangle
+    motif (Benson, Gleich, Leskovec, Science 353, 2016): run the
+    spectral bisection on the motif-weighted graph W_ij = number of
+    triangles containing edge (i, j), so the cut minimized is the
+    motif conductance (triangles cut) instead of the edge conductance.
+    On reply/actor graphs this ignores incidental one-off links (they
+    carry no triangles) and splits along cohesive-group boundaries.
+
+    Pure composition of two gated operators: edge_embeddedness supplies
+    the triangle-support weights from the degree-oriented triangle list
+    (hub-safe), spectral_bisection supplies the eigensolve.  Vertices
+    with no triangle edge drop out of the motif graph (standard motif-
+    clustering behavior — they belong to no triangle community)."""
+    from .triangles import edge_embeddedness
+
+    emb = edge_embeddedness(edges).filter(F.col("common") > 0)
+    me = emb.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.col("common").cast("long").alias("weight"),
+    )
+    msym = me.unionByName(
+        me.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "weight")
+    )
+    return spectral_bisection(spark, msym, iters=iters)
+
+
+def motif_spectral_sql(iters: int = 6) -> str:
+    """DuckDB twin: value-ordered triangle materialization → per-edge
+    triangle support → symmetrized motif graph → the spectral parts."""
+    return (
+        """msp_und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+    FROM edges WHERE src <> dst
+),
+msp_tri AS MATERIALIZED (
+    SELECT e1.u AS a, e1.v AS b, e2.v AS c
+    FROM msp_und e1
+    JOIN msp_und e2 ON e2.u = e1.u AND e2.v > e1.v
+    JOIN msp_und bc ON bc.u = e1.v AND bc.v = e2.v
+),
+msp_sup AS MATERIALIZED (
+    SELECT u, v, COUNT(*)::BIGINT AS w FROM (
+        SELECT a AS u, b AS v FROM msp_tri
+        UNION ALL SELECT a, c FROM msp_tri
+        UNION ALL SELECT b, c FROM msp_tri
+    ) GROUP BY u, v
+),
+msp_edges AS MATERIALIZED (
+    SELECT u AS src, v AS dst, w AS weight FROM msp_sup
+    UNION ALL
+    SELECT v, u, w FROM msp_sup
+),
+"""
+        + ",\n".join(spectral_cte_parts(iters, edges_table="msp_edges"))
+        + f"""
+SELECT id, ROUND(x, 6) AS loading,
+       (CASE WHEN ROUND(x, 6) >= 0 THEN 1 ELSE 0 END)::BIGINT AS side
+FROM spx{iters}"""
+    )

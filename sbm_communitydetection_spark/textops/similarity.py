@@ -1565,3 +1565,135 @@ def pq_adc_topk_sql(
     ) WHERE rnk <= {k}"""
     )
     return "WITH " + ",\n    ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation evaluation (Kusupati et al., NeurIPS'22)
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = (8, 16, 32, 64)
+
+
+def _topk_at_dim(
+    embs: DataFrame, d: int, k: int, query_mod: int, query_rem: int
+) -> DataFrame:
+    """(qid, neighbor_id, rank) — cosine top-k using only the first `d`
+    embedding dimensions (prefix truncation, renormalized)."""
+    v = F.transform(F.slice("embedding", 1, d), lambda x: x.cast("double"))
+    w = embs.select("vec_id", v.alias("v")).withColumn(
+        "nrm", F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    )
+    qa = w.filter(F.pmod(F.col("vec_id"), F.lit(query_mod)) == query_rem).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    lb = w.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x
+    )
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        F.round(dot / (F.col("na") * F.col("nb")), 6),
+    ).otherwise(F.lit(0.0))
+    pairs = qa.join(lb, F.col("qid") != F.col("neighbor_id")).select(
+        "qid", "neighbor_id", cos.alias("cos")
+    )
+    rank = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    )
+    return pairs.select("qid", "neighbor_id", rank.alias("rank")).filter(
+        F.col("rank") <= k
+    )
+
+
+def matryoshka_recall(
+    embs: DataFrame,
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+    k: int = 10,
+    query_mod: int = 97,
+    query_rem: int = 3,
+    full_dim: int = COV_DIM,
+) -> DataFrame:
+    """(d, n_queries, mean_recall) — Matryoshka evaluation card (Kusupati
+    et al., NeurIPS'22): how much of the FULL-dimension cosine top-k
+    survives when vectors are truncated to their first d dimensions and
+    renormalized.  The decision input for the standard 100 TB embedding-
+    store play — keep a d≪D prefix in the hot ANN tier and re-rank the
+    short-list at full D — made measurable per corpus instead of assumed:
+    flat recall down to small d means the cheap tier is safe; a cliff
+    says this embedding model was not matryoshka-trained.
+
+    The scoring joins are the documented brute-force anchor over the
+    deterministic query subset (cosine_topk conventions: 6 dp-rounded
+    cosines, neighbor-id tie-break); at 10^12 rows swap each ranking for
+    ivf_topk over the truncated vectors — the recall arithmetic (one
+    semi-join intersection count per dim) is unchanged."""
+    full = _topk_at_dim(embs, full_dim, k, query_mod, query_rem)
+    out = None
+    for d in dims:
+        td = _topk_at_dim(embs, d, k, query_mod, query_rem)
+        hits = td.join(full, ["qid", "neighbor_id"], "left_semi")
+        per_q = (
+            full.select("qid").distinct()
+            .join(hits.groupBy("qid").agg(F.count("*").alias("h")), "qid", "left")
+            .select("qid", (F.coalesce("h", F.lit(0)) / F.lit(k)).alias("recall"))
+        )
+        row = per_q.agg(
+            F.lit(d).cast("long").alias("d"),
+            F.count("*").cast("long").alias("n_queries"),
+            F.round(F.avg("recall"), 6).alias("mean_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def matryoshka_recall_sql(
+    table: str = "embeddings",
+    dims: tuple[int, ...] = MATRYOSHKA_DIMS,
+    k: int = 10,
+    query_mod: int = 97,
+    query_rem: int = 3,
+    full_dim: int = COV_DIM,
+) -> str:
+    def _rank_cte(name: str, d: int) -> str:
+        return f"""mt_w_{name} AS MATERIALIZED (
+    SELECT vec_id, CAST(embedding[1:{d}] AS DOUBLE[]) AS v,
+           sqrt(list_dot_product(CAST(embedding[1:{d}] AS DOUBLE[]),
+                                 CAST(embedding[1:{d}] AS DOUBLE[]))) AS nrm
+    FROM {table}
+),
+mt_{name} AS MATERIALIZED (
+    SELECT qid, neighbor_id FROM (
+        SELECT l.vec_id AS qid, r.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l.vec_id
+                   ORDER BY (CASE WHEN l.nrm > 0 AND r.nrm > 0
+                             THEN ROUND(list_dot_product(l.v, r.v) / (l.nrm * r.nrm), 6)
+                             ELSE 0.0 END) DESC, r.vec_id ASC) AS rank
+        FROM mt_w_{name} l JOIN mt_w_{name} r ON l.vec_id <> r.vec_id
+        WHERE l.vec_id % {query_mod} = {query_rem}
+    ) WHERE rank <= {k}
+)"""
+
+    parts = [_rank_cte("full", full_dim)]
+    selects = []
+    for d in dims:
+        parts.append(_rank_cte(f"d{d}", d))
+        selects.append(
+            f"""SELECT {d}::BIGINT AS d, COUNT(*)::BIGINT AS n_queries,
+       ROUND(AVG(hits / {k}.0), 6) AS mean_recall
+FROM (
+    SELECT q.qid, COUNT(t.neighbor_id)::BIGINT AS hits
+    FROM (SELECT DISTINCT qid FROM mt_full) q
+    LEFT JOIN (
+        SELECT td.qid, td.neighbor_id
+        FROM mt_d{d} td JOIN mt_full f
+          ON f.qid = td.qid AND f.neighbor_id = td.neighbor_id
+    ) t ON t.qid = q.qid
+    GROUP BY q.qid
+)"""
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

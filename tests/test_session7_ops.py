@@ -363,3 +363,57 @@ def test_landmark_oracle_sandwich(spark):
     assert d12["d_exact"] == 1.0
     # landmark 0 lies beside the 1-2 edge: upper bound = d(0,1)+d(0,2) = 3
     assert d12["est_upper"] == 3.0 and d12["est_lower"] == 1.0
+
+
+# --- wave 5: matryoshka, Burt constraint, motif spectral ------------------
+
+
+def test_matryoshka_recall_prefix_vs_suffix_signal(spark):
+    # class signal lives ONLY in the last 8 dims; the first 8 dims are a
+    # shared constant -> truncating to d=8 destroys the ranking, full
+    # width recovers it
+    rows = []
+    for i in range(12):
+        a = [1.0] * 8 + [5.0 + 0.01 * i] * 8
+        b = [1.0] * 8 + [-5.0 - 0.01 * i] * 8
+        rows.append((i, a, 0))
+        rows.append((100 + i, b, 1))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["d"]: r["mean_recall"] for r in TS.matryoshka_recall(
+        embs, dims=(8, 16), k=5, query_mod=4, query_rem=1, full_dim=16
+    ).collect()}
+    assert out[16] == 1.0            # identity check: full dim vs itself
+    assert out[8] < 1.0              # prefix-only truncation loses the signal
+
+
+def test_burt_constraint_broker_vs_clique(spark):
+    from sbm_communitydetection_spark.operators.graph_ops import burt_constraint
+
+    # vertex 0 brokers two otherwise-disconnected contacts (star);
+    # vertices 10-12 sit in a closed triangle (redundant ego nets)
+    e = _sym_edges(spark, [(0, 1), (0, 2), (10, 11), (11, 12), (10, 12)])
+    out = {r["id"]: r["constraint"] for r in burt_constraint(e).collect()}
+    # broker: two independent contacts, C = 2*(1/2)^2 = 0.5
+    assert abs(out[0] - 0.5) < 1e-6
+    # triangle member: C = 2*(1/2 + 1/4)^2 = 1.125 > leaf C = 1.0 > broker
+    assert abs(out[10] - 1.125) < 1e-6
+    assert abs(out[1] - 1.0) < 1e-6   # leaf: single contact, p=1
+    assert out[0] < out[1] < out[10]
+
+
+def test_motif_spectral_splits_triangle_blocks(spark):
+    from sbm_communitydetection_spark.operators.spectral import (
+        motif_spectral_bisection,
+    )
+
+    # two triangle-rich blocks joined by a triangle-free bridge: the
+    # bridge edge carries no triangles, so the motif graph splits clean
+    k = 5
+    left = [(i, j) for i in range(k) for j in range(k) if i < j]
+    right = [(i + 10, j + 10) for (i, j) in left]
+    e = _sym_edges(spark, left + right + [(0, 10)])
+    sides = {r["id"]: r["side"] for r in motif_spectral_bisection(spark, e, iters=25).collect()}
+    assert len(sides) == 2 * k  # bridge endpoints are IN blocks; all present
+    s_left = {sides[i] for i in range(k)}
+    s_right = {sides[i + 10] for i in range(k)}
+    assert len(s_left) == 1 and len(s_right) == 1 and s_left != s_right
