@@ -2254,6 +2254,14 @@ def _cpc_coin(a, b):
     return md5_long(F.concat_ws(":", F.lit("cp"), a.cast("string"), b.cast("string")))
 
 
+def _q_conv_wl_kernel(spark, sf_dir):
+    """WL subtree-kernel structural conversation similarity (rounds=1 at
+    gate scale: radius-2 colors over a 5-role domain are already
+    near-isomorphism classes — all-or-nothing sims — while radius-1
+    keeps a graded similarity worth hashing)."""
+    return WL.conv_wl_kernel(spark, ET.events_transcripts(spark, sf_dir), rounds=1)
+
+
 def _q_matryoshka_recall(spark, sf_dir):
     """Matryoshka truncation eval card over the embedding store."""
     return TS.matryoshka_recall(_embs(spark, sf_dir))
@@ -2362,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matryoshka_recall": _q_matryoshka_recall,  # truncation eval card
         "burt_constraint": _q_burt_constraint,  # structural-holes brokerage
         "motif_spectral": _q_motif_spectral,  # triangle-motif spectral cut
+        "conv_wl_kernel": _q_conv_wl_kernel,  # structural conversation retrieval
         "spectral_partition_quality": _q_spectral_partition_quality,  # layout audit
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
@@ -2678,6 +2687,7 @@ cpc_edges AS (
         + _robustness_sql(),
         "landmark_oracle_eval": edges_cte + ",\n" + _lm_oracle_sql(rounds=4),
         "matryoshka_recall": TS.matryoshka_recall_sql(),
+        "conv_wl_kernel": WL.conv_wl_kernel_sql(rounds=1),
         "burt_constraint": edges_cte + ",\n" + G.burt_constraint_sql(),
         "motif_spectral": edges_cte
         + f""",

@@ -417,3 +417,33 @@ def test_motif_spectral_splits_triangle_blocks(spark):
     s_left = {sides[i] for i in range(k)}
     s_right = {sides[i + 10] for i in range(k)}
     assert len(s_left) == 1 and len(s_right) == 1 and s_left != s_right
+
+
+# --- wave 6: WL conversation kernel ---------------------------------------
+
+
+def test_conv_wl_kernel_finds_isomorphic_conversations(spark):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.wl import conv_wl_kernel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # c1 and c2: identical SHAPE (a->b->a->b ping-pong), different role
+    # names in c2 — WL is structure-only, so they must score 1.0
+    for i, r in enumerate(["a", "b", "a", "b", "a"]):
+        rows.append(("c1", i, r, "t", None, t0))
+    for i, r in enumerate(["x", "y", "x", "y", "x"]):
+        rows.append(("c2", i, r, "t", None, t0))
+    # c3: a 4-role chain — different shape entirely
+    for i, r in enumerate(["p", "q", "r", "s", "p"]):
+        rows.append(("c3", i, r, "t", None, t0))
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out = {(r["conv_a"], r["conv_b"]): r["sim"]
+           for r in conv_wl_kernel(spark, tr, rounds=2, min_sim=0.0).collect()}
+    assert out[("c1", "c2")] == 1.0
+    assert out.get(("c1", "c3"), 0.0) < 1.0
+    assert out.get(("c2", "c3"), 0.0) < 1.0
