@@ -84,7 +84,7 @@ def main() -> None:
     which = set(
         os.environ.get(
             "SPARK_GRAFT_BENCH_QUERIES",
-            "transcript_extract,pagerank,lpa,connected_components,triangle_count,degree_topk,near_dup_clusters",
+            "transcript_extract,pagerank,lpa,connected_components,triangle_count,degree_topk,near_dup_clusters,anf",
         ).split(",")
     )
     # broadcast=0 forces the pure shuffle join path — the configuration a
@@ -221,6 +221,16 @@ def main() -> None:
             near_dup_clusters(spark, docs).count()
 
         timed("near_dup_clusters", run_near_dup)
+    if "anf" in which:
+        # session-7 family headline entry: ANF neighborhood function,
+        # 3 bit_or supersteps + per-round scalar readout over the full
+        # bench graph — the distance-statistics throughput number
+        def run_anf():
+            from sbm_communitydetection_spark.operators.anf import anf_profile
+
+            anf_profile(spark, edges, rounds=3).collect()
+
+        timed("anf", run_anf)
     if "triangle_count" in which:
         timed("triangle_count", lambda: triangle_count(edges).collect())
     if "degree_topk" in which:
