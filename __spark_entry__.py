@@ -2339,16 +2339,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     ORDERING CONTRACT (VERDICT r2 #1): the round driver records oracle
     rows for only the FIRST 50 entries, so entries are ordered by
-    evidence need — (a) VERDICT r2's explicit "Done =" re-check set
-    (composite-driver oracles, the coarsen/removal family, the metric
-    card, the full dedup/LSH/decontamination family, the
-    SCC/conv_influence/CC rewrites), (b) this round's new ops
-    (session-1 wave in full; of the session-3 wave the four most
-    substantive — coloring, stream_triangles, Lloyd, MSF — the rest
-    sit at positions 51+ with in-session driver_sim evidence, first
-    in line for the round-4 rotation), then (c) the long-green
-    remainder. Rotate per round as coverage shifts."""
-    return {
+    evidence need — (a) the session-7 wave (never driver-checked),
+    (b) VERDICT r2's explicit "Done =" re-check set: the three
+    formerly-no_oracle composite drivers, the coarsen/removal family,
+    the metric card, and the dedup/LSH/decontamination/multimodal
+    family, (c) the strongest remaining round-3 ops; everything past
+    position 50 keeps in-session driver_sim evidence and is first in
+    line for the round-4 rotation.  The _WINDOW_FIRST list below IS
+    the window — edit it, not the literal's order."""
+    d = {
         # (a0) session-7 wave — never driver-checked, first in the window
         "anf_profile": _q_anf_profile,  # FM-sketch neighborhood function
         "effective_diameter": _q_effective_diameter,  # ANF 0.9-coverage readout
@@ -2621,6 +2620,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dup_pairs": _q_cos_dup_pairs,
         "multimodal_decode": _q_multimodal_decode,
     }
+    head = [k for k in _WINDOW_FIRST if k in d]
+    return {k: d[k] for k in head} | {k: v for k, v in d.items() if k not in head}
+
+
+# the driver's 50-entry CORRECTNESS window, by evidence priority
+_WINDOW_FIRST = [
+    # (a) session-7 wave — never driver-checked
+    "anf_profile", "effective_diameter", "hyperball_closeness",
+    "temporal_reachability", "gopher_rule_flags", "pq_codes", "pq_adc_topk",
+    "ppr_sweep_cut", "spectral_bisection", "actor_coparticipation",
+    "disparity_backbone", "dcsbm_loglik", "clique_percolation", "rwr_topk",
+    "degree_knn_curve", "robustness_profile", "landmark_oracle_eval",
+    "matryoshka_recall", "burt_constraint", "motif_spectral",
+    "conv_wl_kernel", "spectral_partition_quality",
+    # (b) VERDICT r2 "Done =" re-check set
+    "louvain_communities", "fm_refine_pair", "stream_lpa",
+    "coarsen", "sync_communities", "canonical_relabel",
+    "edge_removal", "node_removal", "edge_weight_lookup",
+    "nmi", "modularity_density",
+    "minhash_lsh_dup_pairs", "near_dup_clusters", "curation_keep_list",
+    "simhash_banded_dup_pairs", "decontamination_flags",
+    "cosine_bucketed_dup_pairs", "embedding_quantize",
+    "multimodal_features", "multimodal_resize_meta", "multimodal_frame_sample",
+    # (c) strongest remaining round-3 ops
+    "greedy_coloring", "stream_triangles", "kmeans_lloyd",
+    "minimum_spanning_forest", "stream_sessionize", "cc_incremental",
+    "stream_cc",
+]
 
 
 def oracle_sql() -> dict[str, str]:
