@@ -2254,6 +2254,17 @@ def _cpc_coin(a, b):
     return md5_long(F.concat_ws(":", F.lit("cp"), a.cast("string"), b.cast("string")))
 
 
+def _q_semantic_decontamination(spark, sf_dir):
+    """Embedding-space benchmark-overlap flags (the paraphrase rung of
+    the decontamination family)."""
+    return TS.semantic_decontamination(_embs(spark, sf_dir))
+
+
+def _q_tool_latency_attribution(spark, sf_dir):
+    """Reply latency bucketed by previous-turn tool invocation."""
+    return ET.tool_latency_attribution(ET.events_transcripts(spark, sf_dir))
+
+
 def _q_conv_wl_kernel(spark, sf_dir):
     """WL subtree-kernel structural conversation similarity (rounds=1 at
     gate scale: radius-2 colors over a 5-role domain are already
@@ -2370,6 +2381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "burt_constraint": _q_burt_constraint,  # structural-holes brokerage
         "motif_spectral": _q_motif_spectral,  # triangle-motif spectral cut
         "conv_wl_kernel": _q_conv_wl_kernel,  # structural conversation retrieval
+        "semantic_decontamination": _q_semantic_decontamination,  # paraphrase leaks
+        "tool_latency_attribution": _q_tool_latency_attribution,  # tool stall audit
         "spectral_partition_quality": _q_spectral_partition_quality,  # layout audit
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
@@ -2633,7 +2646,8 @@ _WINDOW_FIRST = [
     "disparity_backbone", "dcsbm_loglik", "clique_percolation", "rwr_topk",
     "degree_knn_curve", "robustness_profile", "landmark_oracle_eval",
     "matryoshka_recall", "burt_constraint", "motif_spectral",
-    "conv_wl_kernel", "spectral_partition_quality",
+    "conv_wl_kernel", "semantic_decontamination", "tool_latency_attribution",
+    "spectral_partition_quality",
     # (b) VERDICT r2 "Done =" re-check set
     "louvain_communities", "fm_refine_pair", "stream_lpa",
     "coarsen", "sync_communities", "canonical_relabel",
@@ -2643,10 +2657,9 @@ _WINDOW_FIRST = [
     "simhash_banded_dup_pairs", "decontamination_flags",
     "cosine_bucketed_dup_pairs", "embedding_quantize",
     "multimodal_features", "multimodal_resize_meta", "multimodal_frame_sample",
-    # (c) strongest remaining round-3 ops
+    # (c) strongest remaining round-3 ops (window is exactly 50 deep)
     "greedy_coloring", "stream_triangles", "kmeans_lloyd",
-    "minimum_spanning_forest", "stream_sessionize", "cc_incremental",
-    "stream_cc",
+    "minimum_spanning_forest", "stream_sessionize",
 ]
 
 
@@ -2715,6 +2728,8 @@ cpc_edges AS (
         "landmark_oracle_eval": edges_cte + ",\n" + _lm_oracle_sql(rounds=4),
         "matryoshka_recall": TS.matryoshka_recall_sql(),
         "conv_wl_kernel": WL.conv_wl_kernel_sql(rounds=1),
+        "semantic_decontamination": TS.semantic_decontamination_sql(),
+        "tool_latency_attribution": ET.tool_latency_attribution_sql(),
         "burt_constraint": edges_cte + ",\n" + G.burt_constraint_sql(),
         "motif_spectral": edges_cte
         + f""",

@@ -615,3 +615,49 @@ def actor_coparticipation_oracle_sql(max_conv_actors: int = 1000) -> str:
     GROUP BY a.role, b.role
     """
     )
+
+
+def tool_latency_attribution(transcripts: DataFrame) -> DataFrame:
+    """(after_tool, n_replies, mean_latency_ms, max_latency_ms) — does a
+    tool invocation slow the NEXT reply?  Replies are bucketed by
+    whether the PREVIOUS turn carried a tool call, under stable turn
+    ordering; the operational attribution query behind "which tools
+    stall conversations" (pair with tool_cooccurrence for which tools
+    co-fire, reply_latency_stats for the unconditional distribution).
+
+    One conv-keyed window (reused for both lags), one 2-row aggregate;
+    exact epoch-ms int arithmetic until the final mean."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    lagged = transcripts.select(
+        (ms - F.lag(ms).over(w)).alias("latency_ms"),
+        F.lag("tool").over(w).isNotNull().alias("after_tool"),
+    ).filter(F.col("latency_ms").isNotNull())
+    return lagged.groupBy("after_tool").agg(
+        F.count("*").cast("long").alias("n_replies"),
+        F.round(F.avg("latency_ms"), 6).alias("mean_latency_ms"),
+        F.max("latency_ms").cast("long").alias("max_latency_ms"),
+    )
+
+
+def tool_latency_attribution_sql() -> str:
+    return (
+        "WITH "
+        + transcripts_cte_sql()
+        + """
+    , tla AS (
+        SELECT epoch_ms(ts) - LAG(epoch_ms(ts))
+                   OVER (PARTITION BY conv_id ORDER BY turn_idx) AS latency_ms,
+               LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   IS NOT NULL AS after_tool
+        FROM transcripts
+    )
+    SELECT after_tool, COUNT(*)::BIGINT AS n_replies,
+           ROUND(AVG(latency_ms), 6) AS mean_latency_ms,
+           MAX(latency_ms)::BIGINT AS max_latency_ms
+    FROM tla WHERE latency_ms IS NOT NULL
+    GROUP BY after_tool
+    """
+    )

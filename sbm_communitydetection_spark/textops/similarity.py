@@ -1697,3 +1697,76 @@ FROM (
 )"""
         )
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# semantic decontamination (embedding-space benchmark overlap)
+# ---------------------------------------------------------------------------
+
+
+def semantic_decontamination(
+    embs: DataFrame,
+    bench_mod: int = 20,
+    bench_rem: int = 7,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """(vec_id, max_cos, flagged) — EMBEDDING-SPACE eval decontamination,
+    completing the family's third rung: exact n-gram flags
+    (decontamination_flags) catch verbatim leaks, the Bloom bitset
+    (bloom_decontamination) scales the same test, and this catches the
+    PARAPHRASED leak neither can see — a training item is flagged when
+    its embedding's max cosine against ANY benchmark item reaches
+    ``threshold`` (the contamination analysis run for modern LLM evals,
+    e.g. the embedding-similarity audits in the GPT-3/PaLM apdx).
+
+    The benchmark side here is the deterministic vec_id % bench_mod ==
+    bench_rem subset (the gate convention standing in for a real eval
+    suite); corpus = the rest.  Brute-force corpus×bench scoring is the
+    documented correctness anchor — the bench side is eval-suite-sized
+    (thousands), so at 10^12 corpus rows this is a broadcast join of
+    the benchmark matrix, or compose ivf_topk restricted to benchmark
+    cells.  Cosines 6 dp-rounded before the max and the threshold
+    compare (engine-deterministic flag)."""
+    w = _norm_vec(embs)
+    bench = w.filter(F.pmod(F.col("vec_id"), F.lit(bench_mod)) == bench_rem).select(
+        F.col("vec_id").alias("bid"), F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    corpus = w.filter(F.pmod(F.col("vec_id"), F.lit(bench_mod)) != bench_rem).select(
+        "vec_id", F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        corpus.crossJoin(F.broadcast(bench))
+        .select("vec_id", cos.alias("cos"))
+        .groupBy("vec_id")
+        .agg(F.max("cos").alias("max_cos"))
+        .select(
+            "vec_id",
+            "max_cos",
+            (F.col("max_cos") >= threshold).alias("flagged"),
+        )
+    )
+
+
+def semantic_decontamination_sql(
+    table: str = "embeddings",
+    bench_mod: int = 20,
+    bench_rem: int = 7,
+    threshold: float = 0.8,
+) -> str:
+    return f"""
+    WITH sd_w AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM {table}
+    )
+    SELECT c.vec_id,
+           MAX(ROUND(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 6)) AS max_cos,
+           MAX(ROUND(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 6)) >= {threshold}
+               AS flagged
+    FROM sd_w c, sd_w b
+    WHERE c.vec_id % {bench_mod} <> {bench_rem}
+      AND b.vec_id % {bench_mod} = {bench_rem}
+    GROUP BY c.vec_id
+    """

@@ -447,3 +447,50 @@ def test_conv_wl_kernel_finds_isomorphic_conversations(spark):
     assert out[("c1", "c2")] == 1.0
     assert out.get(("c1", "c3"), 0.0) < 1.0
     assert out.get(("c2", "c3"), 0.0) < 1.0
+
+
+# --- wave 7: semantic decontamination, tool latency attribution -----------
+
+
+def test_semantic_decontamination_flags_paraphrase_neighbors(spark):
+    # benchmark item = vec 7 (7 % 20 == 7); vec 1 is a near-copy of it,
+    # vec 2 is orthogonal-ish
+    rows = [
+        (7, [1.0] * 8, 0),           # benchmark
+        (1, [1.0] * 7 + [0.9], 0),   # paraphrase-close -> flagged
+        (2, [1.0, -1.0] * 4, 1),     # unrelated -> clean
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: (r["max_cos"], r["flagged"])
+           for r in TS.semantic_decontamination(embs, bench_mod=20, bench_rem=7,
+                                                threshold=0.9).collect()}
+    assert set(out) == {1, 2}        # benchmark rows never appear
+    assert out[1][1] is True and out[1][0] > 0.99
+    assert out[2][1] is False
+
+
+def test_tool_latency_attribution_buckets(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        # conv: turn0 (tool) -> turn1 after 10s; turn1 (no tool) -> turn2 after 2s
+        ("c1", 0, "a", "t", "tool_1", ts(0)),
+        ("c1", 1, "b", "t", None, ts(10)),
+        ("c1", 2, "a", "t", None, ts(12)),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    from sbm_communitydetection_spark.sources.events_transcripts import (
+        tool_latency_attribution,
+    )
+
+    out = {r["after_tool"]: r for r in tool_latency_attribution(tr).collect()}
+    assert out[True]["n_replies"] == 1 and out[True]["mean_latency_ms"] == 10000.0
+    assert out[False]["n_replies"] == 1 and out[False]["mean_latency_ms"] == 2000.0
