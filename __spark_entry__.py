@@ -2254,6 +2254,20 @@ def _cpc_coin(a, b):
     return md5_long(F.concat_ws(":", F.lit("cp"), a.cast("string"), b.cast("string")))
 
 
+def _q_temporal_triangles(spark, sf_dir):
+    """δ-temporal triangle motifs (cyclic vs feed-forward) over contacts."""
+    from sbm_communitydetection_spark.operators import temporal as TEMP
+
+    return TEMP.temporal_triangles(ET.events_transcripts(spark, sf_dir))
+
+
+def _q_spectral_sweep_cut(spark, sf_dir):
+    """Cheeger sweep over the Fiedler ordering of the gate graph."""
+    from sbm_communitydetection_spark.operators.spectral import spectral_sweep_cut
+
+    return spectral_sweep_cut(spark, lineitem_edges(spark, sf_dir), iters=6)
+
+
 def _q_semantic_decontamination(spark, sf_dir):
     """Embedding-space benchmark-overlap flags (the paraphrase rung of
     the decontamination family)."""
@@ -2383,6 +2397,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "conv_wl_kernel": _q_conv_wl_kernel,  # structural conversation retrieval
         "semantic_decontamination": _q_semantic_decontamination,  # paraphrase leaks
         "tool_latency_attribution": _q_tool_latency_attribution,  # tool stall audit
+        "temporal_triangles": _q_temporal_triangles,  # δ-temporal motif census
+        "spectral_sweep_cut": _q_spectral_sweep_cut,  # Cheeger sweep readout
         "spectral_partition_quality": _q_spectral_partition_quality,  # layout audit
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
@@ -2689,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
     )
     from sbm_communitydetection_spark.operators.spectral import (
         motif_spectral_sql as _motif_spectral_sql,
+        spectral_sweep_cut_sql as _spectral_sweep_sql,
     )
 
     return {
@@ -2730,6 +2747,8 @@ cpc_edges AS (
         "conv_wl_kernel": WL.conv_wl_kernel_sql(rounds=1),
         "semantic_decontamination": TS.semantic_decontamination_sql(),
         "tool_latency_attribution": ET.tool_latency_attribution_sql(),
+        "temporal_triangles": TEMP.temporal_triangles_sql(),
+        "spectral_sweep_cut": edges_cte + ",\n" + _spectral_sweep_sql(6),
         "burt_constraint": edges_cte + ",\n" + G.burt_constraint_sql(),
         "motif_spectral": edges_cte
         + f""",

@@ -238,3 +238,111 @@ SELECT id, ROUND(x, 6) AS loading,
        (CASE WHEN ROUND(x, 6) >= 0 THEN 1 ELSE 0 END)::BIGINT AS side
 FROM spx{iters}"""
     )
+
+
+def spectral_sweep_cut(
+    spark: SparkSession, edges: DataFrame, iters: int = 6
+) -> DataFrame:
+    """(id, rnk, phi) — the CHEEGER SWEEP over the spectral ordering:
+    vertices sorted by their second-eigenvector loading (ascending, id
+    tie-break), the minimum-conductance prefix returned one row per
+    member.  This is the theorem-backed readout of the Fiedler vector
+    (Cheeger inequality: the best sweep prefix has conductance ≤
+    √(2·λ₂)) — where the sign split (spectral_bisection) fixes the cut
+    at loading 0, the sweep searches ALL n−1 prefixes of the same
+    ordering and often finds a strictly better cut.  Same exact-int
+    cut/volume running sums as ppr_sweep_cut (an edge enters the prefix
+    when its LATER endpoint does); the ACL sweep localizes around a
+    seed, this one is global.
+    """
+    from pyspark.sql import Window
+
+    loadings = spectral_bisection(spark, edges, iters=iters)
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.sum("weight").cast("long").alias("deg")
+    )
+    w_rank = Window.orderBy(F.asc("loading"), F.asc("id"))
+    rnk = loadings.join(deg, "id").select(
+        "id", "deg", F.row_number().over(w_rank).cast("long").alias("rnk")
+    )
+    rs = rnk.select(F.col("id").alias("src"), F.col("rnk").alias("rnk_s"))
+    rd = rnk.select(F.col("id").alias("dst"), F.col("rnk").alias("rnk_d"))
+    internal_at = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .join(rs, "src")
+        .join(rd, "dst")
+        .groupBy(F.greatest("rnk_s", "rnk_d").alias("mr"))
+        .agg(F.sum("weight").cast("long").alias("w_at"))
+    )
+    w_pfx = Window.orderBy("rnk")
+    pfx = rnk.join(internal_at, rnk["rnk"] == internal_at["mr"], "left").select(
+        "rnk",
+        F.sum("deg").over(w_pfx).alias("vol"),
+        F.coalesce(F.sum("w_at").over(w_pfx), F.lit(0)).alias("internal"),
+    )
+    tot = rnk.agg(
+        F.sum("deg").cast("long").alias("vol_tot"), F.count("*").cast("long").alias("n")
+    )
+    phi = (
+        pfx.crossJoin(tot)
+        .filter(F.col("rnk") < F.col("n"))
+        .select(
+            "rnk",
+            (
+                (F.col("vol") - F.col("internal")).cast("double")
+                / F.least(F.col("vol"), F.col("vol_tot") - F.col("vol"))
+            ).alias("phi"),
+        )
+    )
+    best = phi.orderBy(F.asc("phi"), F.asc("rnk")).limit(1).select(
+        F.col("rnk").alias("best_k"), F.col("phi").alias("best_phi")
+    )
+    return (
+        rnk.crossJoin(best)
+        .filter(F.col("rnk") <= F.col("best_k"))
+        .select("id", "rnk", F.round("best_phi", 6).alias("phi"))
+    )
+
+
+def spectral_sweep_cut_sql(iters: int = 6) -> str:
+    """DuckDB twin over the `edges` CTE — the spectral parts + the sweep
+    arithmetic (mirrors sql_oracles.ppr_sweep_cut_sql's tail with the
+    loading ordering)."""
+    parts = spectral_cte_parts(iters)
+    parts.append(
+        f"""ssdeg AS (SELECT src AS id, SUM(weight)::BIGINT AS deg FROM edges GROUP BY src),
+ssrank AS MATERIALIZED (
+    SELECT d.id, d.deg,
+           ROW_NUMBER() OVER (ORDER BY ROUND(x.x, 6) ASC, d.id ASC)::BIGINT AS rnk
+    FROM ssdeg d JOIN spx{iters} x ON x.id = d.id
+),
+ssedge AS (
+    SELECT GREATEST(rs.rnk, rd.rnk) AS mr, e.weight
+    FROM edges e
+    JOIN ssrank rs ON rs.id = e.src
+    JOIN ssrank rd ON rd.id = e.dst
+    WHERE e.src <> e.dst
+),
+ssin AS (SELECT mr, SUM(weight)::BIGINT AS w_at FROM ssedge GROUP BY mr),
+sstot AS (SELECT SUM(deg)::BIGINT AS vol_tot, COUNT(*)::BIGINT AS n FROM ssrank),
+sspfx AS (
+    SELECT r.rnk,
+           SUM(r.deg) OVER (ORDER BY r.rnk) AS vol,
+           COALESCE(SUM(i.w_at) OVER (ORDER BY r.rnk), 0) AS internal
+    FROM ssrank r LEFT JOIN ssin i ON i.mr = r.rnk
+),
+ssphi AS (
+    SELECT p.rnk,
+           (p.vol - p.internal)::DOUBLE / LEAST(p.vol, t.vol_tot - p.vol) AS phi
+    FROM sspfx p, sstot t
+    WHERE p.rnk < t.n
+),
+ssbest AS (SELECT rnk AS best_k, phi FROM ssphi ORDER BY phi ASC, rnk ASC LIMIT 1)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT r.id, r.rnk, ROUND(b.phi, 6) AS phi
+FROM ssrank r, ssbest b
+WHERE r.rnk <= b.best_k"""
+    )

@@ -126,3 +126,96 @@ def temporal_reachability_sql(
     )"""
         )
     return ",\n".join(parts) + f"\nSELECT actor, arrival_ms FROM r{rounds}"
+
+
+def temporal_triangles(
+    transcripts: DataFrame, delta_ms: int = 3_600_000
+) -> DataFrame:
+    """One row (n_cyclic, n_ffl) — δ-TEMPORAL triangle motifs over the
+    transcript contact sequence (Paranjape, Benson, Leskovec, WSDM'17):
+    a static triangle only says three actors are mutually linked; the
+    temporal motif says the interaction CYCLED (u→v, then v→w, then
+    w→u, all within ``delta_ms`` and in that order) or CASCADED
+    (feed-forward u→v, u→w, v→w) — the information-flow signatures the
+    static census (directed_triad_census) cannot distinguish from stale
+    links.  Counts are over CONTACT EVENTS, not distinct edges: the
+    same actor triple counts once per qualifying (t1 < t2 < t3 ≤ t1+δ)
+    contact triple, per the paper's definition.
+
+    Shape: two self-joins of the timestamped contact table with the
+    time-window predicate INSIDE the join condition — the δ bound is
+    the cost guard (each contact only joins contacts in its δ-window;
+    at 10^12 turns pre-bucket contacts by ⌊t/δ⌋ and join adjacent
+    buckets, the standard temporal-join partitioning).  Exact int64
+    epoch-ms arithmetic; counts are exact."""
+    c = temporal_contacts(transcripts)
+    c1 = c.select(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("t_ms").alias("t1"))
+    c2 = c.select(F.col("src").alias("v"), F.col("dst").alias("w"), F.col("t_ms").alias("t2"))
+    c3cyc = c.select(F.col("src").alias("w"), F.col("dst").alias("u"), F.col("t_ms").alias("t3"))
+    wedges = (
+        c1.join(c2, "v")
+        .filter(
+            (F.col("t2") > F.col("t1"))
+            & (F.col("t2") <= F.col("t1") + delta_ms)
+            & (F.col("w") != F.col("u"))
+        )
+    )
+    cyc = (
+        wedges.join(c3cyc, ["w", "u"])
+        .filter(
+            (F.col("t3") > F.col("t2"))
+            & (F.col("t3") <= F.col("t1") + delta_ms)
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    c3ffl = c.select(F.col("src").alias("u"), F.col("dst").alias("w"), F.col("t_ms").alias("t3"))
+    # feed-forward: u→v (t1), v→w (t2), u→w (t3) with t1 < t2 < t3 ≤ t1+δ
+    ffl = (
+        wedges.join(c3ffl, ["u", "w"])
+        .filter(
+            (F.col("t3") > F.col("t2"))
+            & (F.col("t3") <= F.col("t1") + delta_ms)
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    return cyc.select(F.col("n").alias("n_cyclic")).crossJoin(
+        ffl.select(F.col("n").alias("n_ffl"))
+    )
+
+
+def temporal_triangles_sql(
+    delta_ms: int = 3_600_000, events_filter: str = ""
+) -> str:
+    """Full DuckDB twin over the raw `events` table."""
+    return (
+        "WITH "
+        + transcripts_cte_sql(events_filter)
+        + f""",
+tt_c AS MATERIALIZED (
+    SELECT prev_role AS src, role AS dst, epoch_ms(ts)::BIGINT AS t_ms
+    FROM (
+        SELECT role, ts,
+               LAG(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+        FROM transcripts
+    )
+    WHERE prev_role IS NOT NULL AND prev_role <> role
+),
+tt_wedge AS MATERIALIZED (
+    SELECT a.src AS u, a.dst AS v, b.dst AS w, a.t_ms AS t1, b.t_ms AS t2
+    FROM tt_c a JOIN tt_c b
+      ON b.src = a.dst
+     AND b.t_ms > a.t_ms AND b.t_ms <= a.t_ms + {delta_ms}
+     AND b.dst <> a.src
+),
+tt_cyc AS (
+    SELECT COUNT(*)::BIGINT AS n FROM tt_wedge x
+    JOIN tt_c d ON d.src = x.w AND d.dst = x.u
+    WHERE d.t_ms > x.t2 AND d.t_ms <= x.t1 + {delta_ms}
+),
+tt_ffl AS (
+    SELECT COUNT(*)::BIGINT AS n FROM tt_wedge x
+    JOIN tt_c d ON d.src = x.u AND d.dst = x.w
+    WHERE d.t_ms > x.t2 AND d.t_ms <= x.t1 + {delta_ms}
+)
+SELECT (SELECT n FROM tt_cyc) AS n_cyclic, (SELECT n FROM tt_ffl) AS n_ffl"""
+    )

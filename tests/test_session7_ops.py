@@ -494,3 +494,53 @@ def test_tool_latency_attribution_buckets(spark):
     out = {r["after_tool"]: r for r in tool_latency_attribution(tr).collect()}
     assert out[True]["n_replies"] == 1 and out[True]["mean_latency_ms"] == 10000.0
     assert out[False]["n_replies"] == 1 and out[False]["mean_latency_ms"] == 2000.0
+
+
+# --- wave 8: temporal motifs, Cheeger sweep -------------------------------
+
+
+def test_temporal_triangles_respect_order_and_window(spark):
+    import datetime as dt
+
+    from sbm_communitydetection_spark.operators.temporal import temporal_triangles
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    # contacts are consecutive-turn pairs: build convs that realize them
+    rows = [
+        # c1: a->b at 10s (turn1 replies)
+        ("c1", 0, "a", "t", None, ts(0)), ("c1", 1, "b", "t", None, ts(10)),
+        # c2: b->c at 20s
+        ("c2", 0, "b", "t", None, ts(15)), ("c2", 1, "c", "t", None, ts(20)),
+        # c3: c->a at 30s  -> cyclic triangle within delta
+        ("c3", 0, "c", "t", None, ts(25)), ("c3", 1, "a", "t", None, ts(30)),
+        # c4: a->c at 40s  -> feed-forward (a->b, b->c, a->c ordered)
+        ("c4", 0, "a", "t", None, ts(35)), ("c4", 1, "c", "t", None, ts(40)),
+    ]
+    tr = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    row = temporal_triangles(tr, delta_ms=60_000).collect()[0]
+    assert row["n_cyclic"] == 1 and row["n_ffl"] == 1
+    # a 15-second window excludes the later closures
+    row2 = temporal_triangles(tr, delta_ms=15_000).collect()[0]
+    assert row2["n_cyclic"] == 0 and row2["n_ffl"] == 0
+
+
+def test_spectral_sweep_cut_beats_or_matches_sign_split_on_barbell(spark):
+    from sbm_communitydetection_spark.operators.spectral import spectral_sweep_cut
+
+    k = 6
+    left = [(i, j) for i in range(k) for j in range(k) if i < j]
+    right = [(i + 10, j + 10) for (i, j) in left]
+    e = _sym_edges(spark, left + right + [(0, 10)])
+    cut = spectral_sweep_cut(spark, e, iters=30).collect()
+    members = {r["id"] for r in cut}
+    phi = cut[0]["phi"]
+    # the sweep finds one clique exactly; its conductance is 1/(2*15+1)
+    assert members == set(range(k)) or members == {i + 10 for i in range(k)}
+    assert abs(phi - 1.0 / 31.0) < 1e-6
