@@ -25,6 +25,12 @@ with k·8 bytes of state per vertex however large the graph.  That is
 the whole scale story: distance profiles, effective diameter, and
 per-vertex closeness for EVERY vertex in `rounds` linear passes.
 
+Reference scope: the reference engine has no distance-statistics
+surface at all (its only neighborhood op is the r-hop BFS collect,
+src/graph.cpp collectRNeighborhood — ported exactly in
+operators/frontier.py); ANF/HyperBall is a north-star extension
+(SURVEY.md §2.13 family).
+
 Portability: the register init uses the portable 60-bit md5 hash and
 ``pow(2, rho)`` (exact in ieee754 for rho <= 62), the union is integer
 ``bit_or``, and the per-vertex estimate is a float expression over

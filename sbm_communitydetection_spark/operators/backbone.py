@@ -19,6 +19,11 @@ at a fraction of the edges — the principled input thinning before the
 quadratic operators (triad census, clique counting) and a better
 sample_edges than a uniform coin when weights matter.
 
+Reference scope: the reference keeps accumulated integer edge weights
+(src/graph.cpp:24-26 addEdge weight-accumulate) but never filters by
+them; the disparity filter is a north-star extension over exactly that
+weight bookkeeping (SURVEY.md §2.13 family).
+
 Spark-first shape: degree/strength is one groupBy on the symmetric
 table, the p-value is a per-edge closed-form expression after two
 co-keyed joins, and the either-endpoint min is a canonical-pair
