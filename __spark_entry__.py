@@ -2254,6 +2254,13 @@ def _cpc_coin(a, b):
     return md5_long(F.concat_ws(":", F.lit("cp"), a.cast("string"), b.cast("string")))
 
 
+def _q_percolation_curve(spark, sf_dir):
+    """Bond-percolation giant-component curve (coupled thresholds)."""
+    from sbm_communitydetection_spark.operators.components import percolation_curve
+
+    return percolation_curve(spark, lineitem_edges(spark, sf_dir), permilles=(100, 300))
+
+
 def _q_temporal_triangles(spark, sf_dir):
     """δ-temporal triangle motifs (cyclic vs feed-forward) over contacts."""
     from sbm_communitydetection_spark.operators import temporal as TEMP
@@ -2399,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tool_latency_attribution": _q_tool_latency_attribution,  # tool stall audit
         "temporal_triangles": _q_temporal_triangles,  # δ-temporal motif census
         "spectral_sweep_cut": _q_spectral_sweep_cut,  # Cheeger sweep readout
+        "percolation_curve": _q_percolation_curve,  # bond-percolation phases
         "spectral_partition_quality": _q_spectral_partition_quality,  # layout audit
         # (a) new-this-round oracles: planted exact-recovery gates replace
         # the rows-only checks for the composite drivers
@@ -2698,6 +2706,7 @@ def oracle_sql() -> dict[str, str]:
         clique_percolation_sql as _cpc_sql,
     )
     from sbm_communitydetection_spark.operators.components import (
+        percolation_curve_sql as _percolation_sql,
         robustness_profile_sql as _robustness_sql,
     )
     from sbm_communitydetection_spark.operators.sssp import (
@@ -2749,6 +2758,9 @@ cpc_edges AS (
         "tool_latency_attribution": ET.tool_latency_attribution_sql(),
         "temporal_triangles": TEMP.temporal_triangles_sql(),
         "spectral_sweep_cut": edges_cte + ",\n" + _spectral_sweep_sql(6),
+        "percolation_curve": edges_cte.replace("WITH ", "WITH RECURSIVE ", 1)
+        + ",\n"
+        + _percolation_sql(permilles=(100, 300)),
         "burt_constraint": edges_cte + ",\n" + G.burt_constraint_sql(),
         "motif_spectral": edges_cte
         + f""",

@@ -712,3 +712,121 @@ rb_sz{f} AS (SELECT component, COUNT(*)::BIGINT AS sz FROM rb_comp{f} GROUP BY c
 FROM rb_sz{f}"""
         )
     return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+PERCOLATION_PERMILLES = (250, 500, 750, 1000)
+
+
+def percolation_curve(
+    spark: SparkSession,
+    edges: DataFrame,
+    permilles: tuple[int, ...] = PERCOLATION_PERMILLES,
+    seed: int = 0,
+) -> DataFrame:
+    """(permille, n_edges_kept, n_components, giant_size) — bond-
+    percolation curve: keep each undirected edge independently with
+    probability p (the portable canonical-pair coin, so both engines
+    keep the IDENTICAL subgraph) and measure how the graph connects as
+    p rises — the phase-transition readout complementing
+    robustness_profile's targeted-attack curve (random failure vs
+    attack, the Albert-Jeong-Barabási pairing).  Operationally: "how
+    much of the reply traffic can we sample/lose before the actor graph
+    fragments?" — the principled sizing input for edge-sampled motif
+    estimation (sample_edges / triangle_estimate_sampled).
+
+    The vertex set is held fixed across thresholds (isolated survivors
+    are singleton components), so the giant-size series is comparable
+    point to point.  One coin column serves every threshold: the kept
+    set at a lower permille is a SUBSET of every higher one (coupled
+    percolation, the standard construction), so the curve is monotone
+    by construction, not by luck."""
+    d = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b"))
+        .distinct()
+    )
+    from ..textops.portable import md5_long
+
+    coin = F.pmod(
+        md5_long(
+            F.concat_ws(":", F.lit(f"perc{seed}"), F.col("a"), F.col("b"))
+        ),
+        F.lit(1000),
+    )
+    d = d.select("a", "b", coin.alias("coin")).localCheckpoint(eager=True)
+    verts = (
+        d.select(F.col("a").alias("id"))
+        .unionByName(d.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    rows = []
+    for p in permilles:
+        kept = d.filter(F.col("coin") < p)
+        sub = kept.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            kept.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        n_kept = kept.count()
+        comp = connected_components(spark, sub, vertices=verts)
+        stats = (
+            comp.groupBy("component")
+            .agg(F.count("*").alias("sz"))
+            .agg(
+                F.count("*").cast("long").alias("n_components"),
+                F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("giant_size"),
+            )
+            .collect()[0]
+        )
+        rows.append((p, n_kept, stats["n_components"], stats["giant_size"]))
+    from ..plans.iterate import unpersist_checkpoint
+
+    unpersist_checkpoint(d)
+    unpersist_checkpoint(verts)
+    return spark.createDataFrame(
+        rows, "permille long, n_edges_kept long, n_components long, giant_size long"
+    )
+
+
+def percolation_curve_sql(
+    permilles: tuple[int, ...] = PERCOLATION_PERMILLES, seed: int = 0
+) -> str:
+    """DuckDB twin over the symmetric `edges` CTE (recursive closure per
+    threshold; requires WITH RECURSIVE)."""
+    from ..textops.portable import md5_long_sql
+
+    coin = md5_long_sql(f"concat('perc{seed}', ':', a, ':', b)") + " % 1000"
+    parts = [
+        f"""pc_d AS MATERIALIZED (
+    SELECT a, b, ({coin}) AS coin FROM (
+        SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst
+    )
+)""",
+        """pc_verts AS MATERIALIZED (
+    SELECT a AS id FROM pc_d UNION SELECT b FROM pc_d
+)""",
+    ]
+    selects = []
+    for p in permilles:
+        parts.append(
+            f"""pc_e{p} AS MATERIALIZED (
+    SELECT a AS src, b AS dst FROM pc_d WHERE coin < {p}
+    UNION ALL
+    SELECT b, a FROM pc_d WHERE coin < {p}
+),
+pc_reach{p} AS (
+    SELECT id AS u, id AS v FROM pc_verts
+    UNION
+    SELECT r.u, e.dst FROM pc_reach{p} r JOIN pc_e{p} e ON r.v = e.src
+),
+pc_comp{p} AS (SELECT u, MIN(v) AS component FROM pc_reach{p} GROUP BY u),
+pc_sz{p} AS (SELECT component, COUNT(*)::BIGINT AS sz FROM pc_comp{p} GROUP BY component)"""
+        )
+        selects.append(
+            f"""SELECT {p}::BIGINT AS permille,
+       (SELECT COUNT(*) FROM pc_d WHERE coin < {p})::BIGINT AS n_edges_kept,
+       COUNT(*)::BIGINT AS n_components,
+       COALESCE(MAX(sz), 0)::BIGINT AS giant_size
+FROM pc_sz{p}"""
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

@@ -544,3 +544,22 @@ def test_spectral_sweep_cut_beats_or_matches_sign_split_on_barbell(spark):
     # the sweep finds one clique exactly; its conductance is 1/(2*15+1)
     assert members == set(range(k)) or members == {i + 10 for i in range(k)}
     assert abs(phi - 1.0 / 31.0) < 1e-6
+
+
+def test_percolation_curve_monotone_and_coupled(spark):
+    from sbm_communitydetection_spark.operators.components import percolation_curve
+
+    # a 40-cycle: full retention (permille 1000) must give one giant
+    # component of 40; the coupled-coin construction makes the series
+    # monotone in kept edges and giant size
+    e = _sym_edges(spark, [(i, (i + 1) % 40) for i in range(40)])
+    out = {r["permille"]: r for r in percolation_curve(
+        spark, e, permilles=(200, 600, 1000)
+    ).collect()}
+    assert out[1000]["n_edges_kept"] == 40
+    assert out[1000]["giant_size"] == 40 and out[1000]["n_components"] == 1
+    assert out[200]["n_edges_kept"] <= out[600]["n_edges_kept"] <= 40
+    assert out[200]["giant_size"] <= out[600]["giant_size"] <= 40
+    # vertex set is fixed: components + non-singletons account for all 40
+    for p in (200, 600):
+        assert out[p]["n_components"] >= 1
