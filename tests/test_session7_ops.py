@@ -469,6 +469,56 @@ def test_semantic_decontamination_flags_paraphrase_neighbors(spark):
     assert out[2][1] is False
 
 
+def test_semantic_decontamination_zero_norm_is_guarded(spark):
+    # ADVICE r3: a zero-norm embedding must contribute cosine 0.0 (not
+    # NaN) on both engines; here both a zero-norm corpus row and a
+    # zero-norm benchmark row exist.
+    rows = [
+        (7, [0.0] * 8, 0),           # zero-norm BENCHMARK item
+        (27, [1.0] * 8, 0),          # nonzero benchmark item
+        (1, [0.0] * 8, 0),           # zero-norm corpus row
+        (2, [1.0] * 8, 1),           # exact copy of bench 27
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r["vec_id"]: (r["max_cos"], r["flagged"])
+           for r in TS.semantic_decontamination(embs, bench_mod=20, bench_rem=7,
+                                                threshold=0.9).collect()}
+    assert set(out) == {1, 2}
+    assert out[1] == (0.0, False)        # zero-norm corpus: guarded to 0.0
+    assert out[2][0] == 1.0 and out[2][1] is True
+
+    # DuckDB twin agrees on the same data (CASE WHEN mirror)
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("embeddings", pd.DataFrame(
+        {"vec_id": [r[0] for r in rows],
+         "embedding": [r[1] for r in rows],
+         "label": [r[2] for r in rows]}))
+    got = {int(r[0]): (float(r[1]), bool(r[2]))
+           for r in con.execute(TS.semantic_decontamination_sql(threshold=0.9)).fetchall()}
+    assert got == {k: (v[0], v[1]) for k, v in out.items()}
+
+
+def test_semantic_decontamination_ivf_fallback_matches_on_separable_data(spark):
+    # Force the guarded broadcast to reject (max_broadcast_rows=0) so the
+    # IVF-cell-restricted path runs.  With two well-separated label
+    # clusters and per-label centroids, the 1-probe restriction loses
+    # nothing: every corpus row must still appear (left-join back) and
+    # the near-copy must be flagged.
+    rows = [(7, [1.0] * 8, 0), (1, [1.0] * 7 + [0.9], 0), (2, [1.0, -1.0] * 4, 1)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    cents = TS.label_centroids(embs, dim=8)
+    out = {r["vec_id"]: (r["max_cos"], r["flagged"])
+           for r in TS.semantic_decontamination(
+               embs, bench_mod=20, bench_rem=7, threshold=0.9,
+               max_broadcast_rows=0, centroids=cents).collect()}
+    assert set(out) == {1, 2}            # vec 2's cell has no bench -> 0.0 row kept
+    assert out[1][1] is True and out[1][0] > 0.99
+    assert out[2] == (0.0, False)
+
+
 def test_tool_latency_attribution_buckets(spark):
     import datetime as dt
 
