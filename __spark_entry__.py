@@ -162,6 +162,11 @@ QUALITY_MIN = 0.3
 # the gate result non-empty (LSH-band collisions verified by exact Jaccard)
 STRUCT_DUP_THRESHOLD = 0.12
 STRUCT_DUP_ROWS_PER_BAND = 2
+# scale-safe default for the gate-exposed triad census (VERDICT r3 #5):
+# wedge cost is O(out_deg · in_deg) per hub, so the shipped example caps
+# out-degree; a no-op on the role digraph's handful of roles (values are
+# identical with or without the cap at gate scale)
+TRIAD_MAX_OUT_DEGREE = 10_000
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -994,7 +999,11 @@ def _q_condensation_layers(spark, sf_dir):
 def _q_triad_census(spark, sf_dir):
     """Directed triad motifs of the role-transition digraph: cyclic
     (conversational loop) vs transitive (broadcast hierarchy) closed
-    triples."""
+    triples.  The shipped example passes the scale-safe hub cap
+    (VERDICT r3 #5): wedge cost is quadratic in a hub's out-degree, so
+    the gate-exposed query caps it at TRIAD_MAX_OUT_DEGREE on BOTH
+    engines (a no-op on the role digraph's small degrees — values are
+    unchanged — but callers copying this example inherit the guard)."""
     from sbm_communitydetection_spark.operators.extract import role_transitions
     from sbm_communitydetection_spark.operators.triangles import directed_triad_census
     from sbm_communitydetection_spark.sources.events_transcripts import events_transcripts
@@ -1002,7 +1011,7 @@ def _q_triad_census(spark, sf_dir):
     d = role_transitions(events_transcripts(spark, sf_dir)).select(
         F.col("role_from").alias("src"), F.col("role_to").alias("dst")
     )
-    return directed_triad_census(d)
+    return directed_triad_census(d, max_out_degree=TRIAD_MAX_OUT_DEGREE)
 
 
 def _q_reply_latency_stats(spark, sf_dir):
@@ -2369,18 +2378,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 / §2.13 plus
     the training-data pipeline ops (textops/).
 
-    ORDERING CONTRACT (VERDICT r2 #1): the round driver records oracle
-    rows for only the FIRST 50 entries, so entries are ordered by
-    evidence need — (a) the session-7 wave (never driver-checked),
-    (b) VERDICT r2's explicit "Done =" re-check set: the three
-    formerly-no_oracle composite drivers, the coarsen/removal family,
-    the metric card, and the dedup/LSH/decontamination/multimodal
-    family, (c) the strongest remaining round-3 ops; everything past
-    position 50 keeps in-session driver_sim evidence and is first in
-    line for the round-4 rotation.  The _WINDOW_FIRST list below IS
-    the window — edit it, not the literal's order."""
+    ORDERING CONTRACT (VERDICT r2 #1, mechanized r4 per VERDICT r3 #6):
+    the round driver records oracle rows for only the FIRST 50 entries.
+    The _WINDOW_FIRST list below IS the window — edit it, not the
+    literal's order.  Window priority (VERDICT r3 #1): (a) every op in
+    _CHANGED_SINCE_VERIFIED — code or oracle changed since its last
+    driver row (module-level assert enforces these are windowed);
+    (b) never-driver-or-judge-checked entries (_LAST_VERIFIED is None),
+    newest waves first.  _LAST_VERIFIED records each entry's most
+    recent driver CORRECTNESS row (r1/r2/r3) or judge driver_sim
+    re-run (judge-r2/judge-r3); tests/test_window.py audits the
+    allocation mechanically."""
     d = {
-        # (a0) session-7 wave — never driver-checked, first in the window
+        # NOTE: the literal's order below is historical (round-3 layout);
+        # the served order is _WINDOW_FIRST + remainder.  Wave comments
+        # describe when each entry landed, not current window membership.
+        # (a0) session-7 wave — driver-checked r3 (CORRECTNESS_r03 50/50)
         "anf_profile": _q_anf_profile,  # FM-sketch neighborhood function
         "effective_diameter": _q_effective_diameter,  # ANF 0.9-coverage readout
         "hyperball_closeness": _q_hyperball_closeness,  # all-vertex harmonic est
@@ -2661,30 +2674,167 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {k: d[k] for k in head} | {k: v for k, v in d.items() if k not in head}
 
 
-# the driver's 50-entry CORRECTNESS window, by evidence priority
+# the driver's 50-entry CORRECTNESS window, by evidence priority.
+# Round-4 rotation (VERDICT r3 #1): (a) changed-since-verified first,
+# then (b) the never-checked backlog, newest waves first.  The backlog
+# REMAINING after this window — first in line for the round-5 window —
+# is exactly: agent_loops, sbm_block_matrix, ngram_coverage,
+# butterfly_count, event_funnel, retention_cohorts, rich_club,
+# repetition_stats, prompt_response_pairs, context_windows,
+# stream_novelty, stratum_topk_sample, node2vec_walks, bipartite_check,
+# priority_sample (never checked by anyone), plus the four judge-r2-only
+# rows tfidf_topk, top_ngrams, stratum_counts, pii_scrub.
 _WINDOW_FIRST = [
-    # (a) session-7 wave — never driver-checked
-    "anf_profile", "effective_diameter", "hyperball_closeness",
-    "temporal_reachability", "gopher_rule_flags", "pq_codes", "pq_adc_topk",
-    "ppr_sweep_cut", "spectral_bisection", "actor_coparticipation",
-    "disparity_backbone", "dcsbm_loglik", "clique_percolation", "rwr_topk",
-    "degree_knn_curve", "robustness_profile", "landmark_oracle_eval",
-    "matryoshka_recall", "burt_constraint", "motif_spectral",
-    "conv_wl_kernel", "semantic_decontamination", "tool_latency_attribution",
-    "spectral_partition_quality",
-    # (b) VERDICT r2 "Done =" re-check set
-    "louvain_communities", "fm_refine_pair", "stream_lpa",
-    "coarsen", "sync_communities", "canonical_relabel",
-    "edge_removal", "node_removal", "edge_weight_lookup",
-    "nmi", "modularity_density",
-    "minhash_lsh_dup_pairs", "near_dup_clusters", "curation_keep_list",
-    "simhash_banded_dup_pairs", "decontamination_flags",
-    "cosine_bucketed_dup_pairs", "embedding_quantize",
-    "multimodal_features", "multimodal_resize_meta", "multimodal_frame_sample",
-    # (c) strongest remaining round-3 ops (window is exactly 50 deep)
-    "greedy_coloring", "stream_triangles", "kmeans_lloyd",
-    "minimum_spanning_forest", "stream_sessionize",
+    # (a) code or oracle changed since the entry's last driver row
+    "semantic_decontamination",  # r4: guarded broadcast + zero-norm guard
+    "triad_census",              # r4: hub cap now applied in gate + oracle
+    "conv_influence",            # r3 left-join fix landed after its r2 row
+    "conv_keep_topk",            # downstream of the conv_influence fix
+    "connected_components",      # r3 union-find contraction after its r2 row
+    "actor_scc",                 # r3 frontier-delta rewrite after its r2 row
+    # (b) never driver-or-judge-checked, newest waves first
+    # -- round-3 session-6 wave
+    "winnowing_fingerprints", "conv_prefix_dups", "cluster_silhouette",
+    "label_assortativity", "influence_seeds", "threshold_cascade",
+    "containment_pairs", "knn_graph_clusters", "actor_rank_drift",
+    # -- round-3 session-4 wave
+    "turn_segments", "partition_quality", "split_leakage",
+    "hard_negative_pairs", "rrf_fused_topk", "event_anomalies",
+    "knn_label_disagreement", "readability_scores",
+    # -- round-3 late additions
+    "token_pmi", "boilerplate_strip", "condensation_layers", "corpus_stats",
+    "quality_lr_fit", "cross_source_dup_matrix", "conv_entropy",
+    "label_centroids", "latency_quantiles",
+    # -- round-3 session-3 extras
+    "embedding_outliers", "pca_top_component", "walk_cooccurrence",
+    "coverage_select_topk", "edge_embeddedness", "chunk_windows",
+    "span_corruption_spans", "triangle_estimate_sampled",
+    "community_evolution", "source_log_odds", "event_transitions",
+    "source_health_report", "props_field_stats", "quality_lr_score",
+    "embedding_covariance",
+    # -- remaining never-checked picks (window is exactly 50 deep):
+    # cc_decremental exercises the r3-changed CC contraction path;
+    # seeded_lpa landed r3 and was never windowed; tool_chains is the
+    # newest session-2 straggler with a plan-shape test already
+    "cc_decremental", "seeded_lpa", "tool_chains",
 ]
+
+# Most recent value-level verification per entry (VERDICT r3 #6):
+# "rN" = all-green driver CORRECTNESS row in that round; "judge-rN" =
+# judge driver_sim re-run green that round; None = never checked by
+# anyone (self-reported builder driver_sim greens only).  Updated each
+# round from CORRECTNESS_r{N}.json + the VERDICT's judge re-run list.
+_LAST_VERIFIED: dict[str, str | None] = {
+    "anf_profile": "r3", "effective_diameter": "r3", "hyperball_closeness": "r3",
+    "temporal_reachability": "r3", "gopher_rule_flags": "r3", "pq_codes": "r3",
+    "pq_adc_topk": "r3", "ppr_sweep_cut": "r3", "spectral_bisection": "r3",
+    "actor_coparticipation": "r3", "disparity_backbone": "r3", "dcsbm_loglik": "r3",
+    "clique_percolation": "r3", "rwr_topk": "r3", "degree_knn_curve": "r3",
+    "robustness_profile": "r3", "landmark_oracle_eval": "r3", "matryoshka_recall": "r3",
+    "burt_constraint": "r3", "motif_spectral": "r3", "conv_wl_kernel": "r3",
+    "semantic_decontamination": "r3", "tool_latency_attribution": "r3",
+    "temporal_triangles": "judge-r3",
+    "spectral_sweep_cut": "judge-r3", "percolation_curve": "judge-r3",
+    "spectral_partition_quality": "r3",
+    "greedy_coloring": "r3", "stream_triangles": "r3", "kmeans_lloyd": "r3",
+    "minimum_spanning_forest": "r3", "louvain_communities": "r3", "fm_refine_pair": "r3",
+    "stream_lpa": "r3", "stream_sessionize": "r3", "repetition_stats": None,
+    "pack_conversations": "judge-r3", "holdout_split": "judge-r3",
+    "cc_incremental": "judge-r3",
+    "cc_decremental": None, "stream_cc": "judge-r3", "mixture_weights": "judge-r3",
+    "temperature_sample": "judge-r3", "ngram_lm_score": "judge-r3",
+    "bloom_decontamination": "judge-r3",
+    "prompt_response_pairs": None, "dpo_pairs": "judge-r3", "context_windows": None,
+    "conv_novelty": "judge-r3", "stream_novelty": None, "stratum_topk_sample": None,
+    "dsir_importance": "judge-r3", "node2vec_walks": None,
+    "maximal_independent_set": "judge-r3",
+    "densest_subgraph": "judge-r3", "maximal_matching": "judge-r3",
+    "bipartite_check": None,
+    "substring_dup_flags": "judge-r3", "hll_distinct": "judge-r3",
+    "cms_heavy_hitters": "judge-r3",
+    "priority_sample": None, "conv_influence": "r2", "actor_scc": "r2",
+    "seeded_lpa": None, "connected_components": "r2", "coarsen": "r3",
+    "sync_communities": "r3", "edge_removal": "r3", "node_removal": "r3",
+    "edge_weight_lookup": "r3", "nmi": "r3", "modularity_density": "r3",
+    "minhash_lsh_dup_pairs": "r3", "near_dup_clusters": "r3", "curation_keep_list": "r3",
+    "simhash_banded_dup_pairs": "r3", "decontamination_flags": "r3",
+    "embedding_outliers": None,
+    "pca_top_component": None, "walk_cooccurrence": None, "coverage_select_topk": None,
+    "edge_embeddedness": None, "chunk_windows": None, "span_corruption_spans": None,
+    "triangle_estimate_sampled": None, "community_evolution": None, "source_log_odds": None,
+    "event_transitions": None, "source_health_report": None, "props_field_stats": None,
+    "quality_lr_score": None, "embedding_covariance": None, "canonical_relabel": "r3",
+    "ann_ivf_topk": "r1", "multimodal_features": "r3", "conv_keep_topk": "r2",
+    "token_pmi": None, "boilerplate_strip": None, "condensation_layers": None,
+    "corpus_stats": None, "quality_lr_fit": None, "cross_source_dup_matrix": None,
+    "conv_entropy": None, "katz_centrality": "judge-r3", "label_centroids": None,
+    "latency_quantiles": None, "wl_refinement": "judge-r3", "bm25_topk": "judge-r3",
+    "coreness": "judge-r3", "textrank_keywords": "judge-r3", "turn_segments": None,
+    "partition_quality": None, "split_leakage": None, "hard_negative_pairs": None,
+    "four_clique_count": "judge-r3", "rrf_fused_topk": None, "event_anomalies": None,
+    "knn_label_disagreement": None, "readability_scores": None,
+    "winnowing_fingerprints": None,
+    "fastrp_embeddings": "judge-r3", "conv_prefix_dups": None,
+    "retrieval_metrics": "judge-r3",
+    "bpe_train": "judge-r3", "bpe_fertility": "judge-r3", "cluster_silhouette": None,
+    "label_assortativity": None, "trussness": "judge-r3", "influence_seeds": None,
+    "threshold_cascade": None, "containment_pairs": None, "knn_graph_clusters": None,
+    "actor_rank_drift": None, "linkpred_eval": "judge-r3", "tool_chains": None,
+    "agent_loops": None, "sbm_block_matrix": None, "eigenvector_centrality": "judge-r3",
+    "ngram_coverage": None, "semdedup": "judge-r3", "butterfly_count": None,
+    "node_overlap_accuracy": "judge-r3", "symmetric_difference": "judge-r3",
+    "max_jaccard_sum": "judge-r3",
+    "maximal_matching_accuracy": "judge-r3", "stream_pagerank": "judge-r3",
+    "event_funnel": None,
+    "retention_cohorts": None, "rich_club": None, "conductance": "judge-r3",
+    "pagerank_fixed_iters": "r2", "modularity": "r1", "pairwise_f1": "r1",
+    "ngram_jaccard_pairs": "r1", "triad_census": "r2", "graph_summary": "judge-r3",
+    "stream_dedup_pairs": "judge-r3", "tfidf_topk": "judge-r2", "top_ngrams": "judge-r2",
+    "stratum_counts": "judge-r2", "main_community": "judge-r3", "pii_scrub": "judge-r2",
+    "cosine_bucketed_dup_pairs": "r3", "embedding_quantize": "r3",
+    "multimodal_resize_meta": "r3",
+    "multimodal_frame_sample": "r3", "edge_extract_symmetrize": "r2",
+    "weighted_degree": "r2",
+    "degree_histogram": "r2", "total_edges": "r2", "personalized_pagerank": "r2",
+    "hits_fixed_iters": "r2", "local_clustering": "r2", "adamic_adar": "r2",
+    "jaccard_linkpred": "r2", "sssp_multi_source": "r2", "harmonic_centrality": "r2",
+    "betweenness_approx": "r2", "random_walks": "r2", "neighbor_sample": "r2",
+    "distance_profile": "r2", "degree_assortativity": "r2",
+    "label_propagation_fixed_iters": "r2",
+    "belief_propagation_fixed_iters": "r2", "k_core": "r2", "k_truss": "r2",
+    "triangle_count": "r2", "triangles_per_vertex": "r2", "r_hop_neighborhood": "r2",
+    "transcript_reply_edges": "r2", "transcript_turn_text": "r2", "conv_stats": "r2",
+    "decayed_reply_edges": "r2", "role_transitions": "r2", "user_influence": "r2",
+    "session_stats": "r2", "transcript_structural_dups": "r2", "reply_reciprocity": "r2",
+    "transcript_token_stats": "r2", "reply_latency_stats": "r2", "tool_cooccurrence": "r2",
+    "actor_lpa": "r2", "actor_communities": "r2", "salted_neighbor_weights": "r2",
+    "community_stats": "r2", "community_representatives": "r2", "edge_sample": "r2",
+    "contingency": "r1", "exact_dedup": "r1", "token_stats": "r1",
+    "lang_id": "r1", "doc_fingerprint": "r1", "text_quality": "r1",
+    "ann_cosine_topk": "r1", "embeddedness": "r1", "edge_classification_accuracy": "r1",
+    "log_likelihood": "r1", "minhash_signatures": "r1", "simhash": "r1",
+    "simhash_dup_pairs": "r1", "embedding_cosine_dup_pairs": "r1",
+    "multimodal_decode": "r1",
+}
+
+# Ops whose IMPLEMENTATION OR ORACLE changed after the round recorded in
+# _LAST_VERIFIED (the stale-evidence set).  The assert below is the
+# mechanism VERDICT r3 #6 asked for: a changed op can never silently sit
+# outside the driver window — add it here when you touch it, and it must
+# be windowed (or re-verified) before the round ships.
+_CHANGED_SINCE_VERIFIED = [
+    "semantic_decontamination",  # r4 broadcast guard + zero-norm guard
+    "triad_census",              # r4 gate+oracle hub cap
+    "conv_influence",            # r3 left-join fix (last row r2)
+    "conv_keep_topk",            # consumes conv_influence (last row r2)
+    "connected_components",      # r3 partition-local contraction (last row r2)
+    "actor_scc",                 # r3 frontier-delta rewrite (last row r2)
+]
+
+assert set(_CHANGED_SINCE_VERIFIED) <= set(_WINDOW_FIRST[:50]), (
+    "changed-since-verified ops outside the driver CORRECTNESS window: "
+    f"{sorted(set(_CHANGED_SINCE_VERIFIED) - set(_WINDOW_FIRST[:50]))}"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2934,9 +3084,21 @@ FROM s""",
                role AS dst
         FROM transcripts
     ),
-    dedges AS (
+    dedges0 AS (
         SELECT DISTINCT src, dst FROM lagged
         WHERE src IS NOT NULL AND src <> dst
+    ),
+    -- hub cap mirror (TRIAD_MAX_OUT_DEGREE): drop vertices whose
+    -- out-degree exceeds the cap from every triad role, same as the
+    -- engine's max_out_degree anti-joins
+    hubs AS (
+        SELECT src AS id FROM dedges0 GROUP BY src
+        HAVING COUNT(*) > """ + str(TRIAD_MAX_OUT_DEGREE) + """
+    ),
+    dedges AS (
+        SELECT src, dst FROM dedges0
+        WHERE src NOT IN (SELECT id FROM hubs)
+          AND dst NOT IN (SELECT id FROM hubs)
     ),
     wedges AS (
         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c

@@ -120,6 +120,9 @@ def run_bench(cores: int, sf_dir: str) -> dict:
         SPARK_GRAFT_BENCH_ITER_TIMING="1",
         SPARK_GRAFT_BENCH_PARTS=str(PINNED_PARTS),
         SPARK_GRAFT_BENCH_AMPLIFY=os.environ.get("SPARK_GRAFT_BENCH_AMPLIFY", "16"),
+        # this harness interleaves its own repeats ACROSS levels (below);
+        # bench.py's internal sweep-repeat (r4) must not triple each run
+        SPARK_GRAFT_BENCH_REPEATS="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
