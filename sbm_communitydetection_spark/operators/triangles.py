@@ -38,9 +38,19 @@ def _oriented(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_list(edges: DataFrame) -> DataFrame:
-    """(x, y, z) — each triangle exactly once (as ids along the orientation)."""
-    o = _oriented(edges)
+def triangle_list(edges: DataFrame, oriented: DataFrame | None = None) -> DataFrame:
+    """(x, y, z) — each triangle exactly once (as ids along the orientation).
+
+    ``oriented``: optional precomputed (lo, hi) degree-oriented edge
+    table — pass `read_bucketed_adjacency` over a table written by
+    `sources.bucketed.write_oriented_adjacency` (VERDICT r3 #4): the
+    orientation's distinct + two degree joins (and their exchanges)
+    disappear from every run, and a `bucketBy(N, "lo")` layout feeds the
+    wedge join's e2 side (keyed on lo) exchange-free straight off disk —
+    the same across-jobs/restarts co-location trick the PR/LPA
+    transition table uses.  When provided it must hold each undirected
+    edge exactly once as (lo, hi) under the (degree, id) order."""
+    o = oriented.select("lo", "hi") if oriented is not None else _oriented(edges)
     e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
     wedges = e1.join(e2, "y")
@@ -48,9 +58,11 @@ def triangle_list(edges: DataFrame) -> DataFrame:
     return wedges.join(e3, ["x", "z"]).select("x", "y", "z")
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, oriented: DataFrame | None = None) -> DataFrame:
     """Single-row DataFrame: total triangle count."""
-    return triangle_list(edges).agg(F.count("*").cast("long").alias("triangles"))
+    return triangle_list(edges, oriented=oriented).agg(
+        F.count("*").cast("long").alias("triangles")
+    )
 
 
 def local_clustering_coefficient(edges: DataFrame) -> DataFrame:

@@ -61,6 +61,32 @@ def scan_is_bucketed(df: DataFrame) -> bool:
     return "Bucketed: true" in plan
 
 
+def write_oriented_adjacency(
+    edges: DataFrame, table: str, buckets: int = 32
+) -> None:
+    """Precompute and persist the degree-ORIENTED edge table (lo, hi)
+    for triangle counting (VERDICT r3 #4), bucketed+sorted by lo.
+
+    Pass `read_bucketed_adjacency(spark, table)` as
+    `triangle_count(..., oriented=...)`: the per-run orientation build
+    (distinct + two degree joins, several exchanges) disappears, and
+    the wedge join's lo-keyed side scans pre-partitioned — the
+    triangle analogue of write_transition_table.  Orientation is
+    low(degree, id) → high(degree, id), so hub vertices keep low
+    out-degree in the stored layout (the skew guarantee survives the
+    write)."""
+    from sbm_communitydetection_spark.operators.triangles import _oriented
+
+    (
+        _oriented(edges)
+        .write.mode("overwrite")
+        .bucketBy(buckets, "lo")
+        .sortBy("lo", "hi")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
 def write_transition_table(
     edges: DataFrame, table: str, buckets: int = 32
 ) -> None:
