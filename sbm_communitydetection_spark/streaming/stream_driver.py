@@ -101,6 +101,63 @@ class StreamCheckpointer:
         )
 
 
+class FoldCheckpointer:
+    """Durable per-batch snapshots of a fold's NAMED state tables under
+    ``<checkpoint_dir>/<run_id>/batch=<b>/<table>`` — the generic form
+    of StreamCheckpointer for the other streaming folds (PR / CC /
+    dedup, VERDICT r3 #9).  A batch is complete when EVERY table
+    carries a _SUCCESS marker; resume loads the highest complete batch.
+    Same Iceberg-snapshot-per-batch stand-in layout as
+    StreamCheckpointer."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        checkpoint_dir: str,
+        run_id: str,
+        tables: tuple[str, ...],
+    ):
+        self.spark = spark
+        self.dir = os.path.join(checkpoint_dir, run_id)
+        self.tables = tables
+
+    def _path(self, b: int, table: str) -> str:
+        return os.path.join(self.dir, f"batch={b}", table)
+
+    def persist(self, b: int, **dfs: DataFrame) -> dict[str, DataFrame]:
+        assert set(dfs) == set(self.tables), (sorted(dfs), self.tables)
+        out = {}
+        for t, df in dfs.items():
+            df.write.mode("overwrite").parquet(self._path(b, t))
+            out[t] = self.spark.read.parquet(self._path(b, t))
+        return out
+
+    def latest_complete_batch(self) -> int | None:
+        if not os.path.isdir(self.dir):
+            return None
+        best = None
+        for name in os.listdir(self.dir):
+            if not name.startswith("batch="):
+                continue
+            b = int(name.split("=", 1)[1])
+            if all(
+                os.path.exists(os.path.join(self._path(b, t), "_SUCCESS"))
+                for t in self.tables
+            ):
+                best = b if best is None else max(best, b)
+        return best
+
+    def resume_state(self) -> tuple[dict[str, DataFrame], int] | None:
+        """({table: df}, next_batch) from the latest durable snapshot."""
+        b = self.latest_complete_batch()
+        if b is None:
+            return None
+        return (
+            {t: self.spark.read.parquet(self._path(b, t)) for t in self.tables},
+            b + 1,
+        )
+
+
 @dataclass
 class StreamResult:
     labels: DataFrame  # (id, label) after the last batch
@@ -279,6 +336,9 @@ def stream_connected_components(
     spark: SparkSession,
     edge_stream: DataFrame,
     n_batches: int = 5,
+    checkpoint_dir: str | None = None,
+    run_id: str = "stream_cc",
+    resume: bool = False,
 ) -> DataFrame:
     """Streaming connected components: consume ``edge_stream(src, dst,
     weight, edge_seq)`` in ordered micro-batches, folding each batch into
@@ -294,7 +354,13 @@ def stream_connected_components(
     edges.  The final labeling is EXACTLY ``connected_components`` of
     everything consumed (min-id labels); the gate proves it against the
     full-recompute oracle.
-    """
+
+    ``checkpoint_dir`` + ``resume=True`` (VERDICT r3 #9): the labeling
+    is snapshotted durably per batch (FoldCheckpointer), and a killed
+    run restarts from the latest complete batch — batch spans are
+    deterministic from the observed edge_seq range, so the resumed run
+    replays exactly the missing batches and ends bit-identical to an
+    uninterrupted one (test_streaming kill/restart parity)."""
     from ..operators.components import connected_components, incremental_components
 
     bounds = edge_stream.agg(
@@ -304,8 +370,19 @@ def stream_connected_components(
         raise ValueError("empty edge stream")
     span = (bounds.hi - bounds.lo + 1) / n_batches
 
+    ckpt = (
+        FoldCheckpointer(spark, checkpoint_dir, run_id, ("labels",))
+        if checkpoint_dir
+        else None
+    )
     labels: DataFrame | None = None
-    for b in range(n_batches):
+    start_batch = 0
+    if resume and ckpt is not None:
+        resumed = ckpt.resume_state()
+        if resumed is not None:
+            labels, start_batch = resumed[0]["labels"], resumed[1]
+
+    for b in range(start_batch, n_batches):
         lo = bounds.lo + int(b * span)
         hi = bounds.hi + 1 if b == n_batches - 1 else bounds.lo + int((b + 1) * span)
         batch = edge_stream.filter((F.col("edge_seq") >= lo) & (F.col("edge_seq") < hi)).select(
@@ -315,8 +392,11 @@ def stream_connected_components(
             labels = connected_components(spark, batch)
         else:
             labels = incremental_components(spark, labels, batch)
-        # labels are vertex-scale; sever the per-batch star-round lineage
-        labels = labels.localCheckpoint(eager=True)
+        if ckpt is not None:
+            labels = ckpt.persist(b, labels=labels)["labels"]
+        else:
+            # labels are vertex-scale; sever the per-batch star-round lineage
+            labels = labels.localCheckpoint(eager=True)
     return labels
 
 
@@ -327,6 +407,9 @@ def stream_pagerank(
     n_batches: int = 3,
     iters_per_batch: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
+    run_id: str = "stream_pr",
+    resume: bool = False,
 ) -> DataFrame:
     """Warm-start batched PageRank over an ordered edge stream — the
     dynamic counterpart of operators/pagerank for the flagship
@@ -353,7 +436,12 @@ def stream_pagerank(
     Scale shape per batch: identical to pagerank's superstep (cached
     src-partitioned cumulative adjacency, only the O(n) vector moves);
     the carry-forward join is id-keyed and co-partitioned with the
-    state. Each batch's adjacency cache is released before the next."""
+    state. Each batch's adjacency cache is released before the next.
+
+    ``checkpoint_dir`` + ``resume=True`` (VERDICT r3 #9): the rank
+    vector is snapshotted durably per batch; a killed run restarts from
+    the latest complete batch (boundaries are deterministic from the
+    edge_seq range) and ends bit-identical to an uninterrupted run."""
     from ..plans.iterate import cache_partitioned
 
     if boundaries is None:
@@ -368,9 +456,22 @@ def stream_pagerank(
             for b in range(n_batches)
         ]
 
+    ckpt = (
+        FoldCheckpointer(spark, checkpoint_dir, run_id, ("state",))
+        if checkpoint_dir
+        else None
+    )
     state: DataFrame | None = None
+    start_batch = 0
+    if resume and ckpt is not None:
+        resumed = ckpt.resume_state()
+        if resumed is not None:
+            state, start_batch = resumed[0]["state"], resumed[1]
+
     prev_adj = None
-    for bound in boundaries:
+    for b, bound in enumerate(boundaries):
+        if b < start_batch:
+            continue
         cum = edge_stream.filter(F.col("edge_seq") < bound)
         verts = (
             cum.select(F.col("src").alias("id"))
@@ -419,6 +520,9 @@ def stream_pagerank(
             prev_adj.unpersist()
         prev_adj = adj
         state = cur
+        if ckpt is not None:
+            state = ckpt.persist(b, state=cur)["state"]
+            unpersist_checkpoint(cur)  # durable copy supersedes the blocks
     if prev_adj is not None:
         prev_adj.unpersist()
     return state.select("id", F.round("rank", 8).alias("rank"))

@@ -150,17 +150,60 @@ def stream_minhash_dedup(
     num_hashes: int = MINHASH_NUM,
     rows_per_band: int = MINHASH_ROWS_PER_BAND,
     n: int = NGRAM_N,
+    checkpoint_dir: str | None = None,
+    run_id: str = "stream_dedup",
+    resume: bool = False,
 ) -> DataFrame:
     """Union of per-batch emissions — equals the one-shot batch
-    `minhash_lsh_dup_pairs` over the concatenated corpus."""
+    `minhash_lsh_dup_pairs` over the concatenated corpus.
+
+    ``checkpoint_dir`` + ``resume=True`` (VERDICT r3 #9): the LSH store
+    (bands / shingles / sizes) AND the cumulative emitted pairs are
+    snapshotted durably per batch via the streaming FoldCheckpointer; a
+    killed run restarts from the latest complete batch and its final
+    emission set is identical to an uninterrupted run's (each pair is
+    emitted exactly once, in its later doc's batch — replaying only the
+    missing batches regenerates exactly the missing pairs)."""
+    from ..streaming.stream_driver import FoldCheckpointer
+
+    tables = ("bands", "shingles", "sizes", "pairs_cum")
+    ckpt = (
+        FoldCheckpointer(spark, checkpoint_dir, run_id, tables)
+        if checkpoint_dir
+        else None
+    )
     state: DedupState | None = None
     out: DataFrame | None = None
-    for batch in batches:
+    start_batch = 0
+    if resume and ckpt is not None:
+        resumed = ckpt.resume_state()
+        if resumed is not None:
+            snap, start_batch = resumed
+            state = DedupState(
+                bands=snap["bands"], shingles=snap["shingles"], sizes=snap["sizes"]
+            )
+            out = snap["pairs_cum"]
+
+    for b, batch in enumerate(batches):
+        if b < start_batch:
+            continue
         state, pairs = process_batch(
             spark, state, batch, threshold, num_hashes, rows_per_band, n
         )
         pairs = pairs.localCheckpoint(eager=True)
         out = pairs if out is None else out.unionByName(pairs)
+        if ckpt is not None:
+            snap = ckpt.persist(
+                b,
+                bands=state.bands,
+                shingles=state.shingles,
+                sizes=state.sizes,
+                pairs_cum=out,
+            )
+            state = DedupState(
+                bands=snap["bands"], shingles=snap["shingles"], sizes=snap["sizes"]
+            )
+            out = snap["pairs_cum"]
     if out is None:
         return spark.createDataFrame([], "a long, b long, jaccard double")
     return out

@@ -318,3 +318,106 @@ def test_stream_novelty_fold_equals_batch(spark):
     }
     assert got == exp
     assert got["b"] == (2, 0, 0.0) and got["f"][1] == 0  # cross-batch losses
+
+
+def test_stream_pagerank_kill_restart_parity(spark, tmp_path):
+    """VERDICT r3 #9: a killed stream_pagerank resumes from its latest
+    durable rank snapshot and ends bit-identical to an uninterrupted
+    run."""
+    import shutil
+
+    from sbm_communitydetection_spark.streaming.stream_driver import stream_pagerank
+
+    rows = [(i % 50, (i * 7 + 1) % 50, 1, i) for i in range(400) if i % 50 != (i * 7 + 1) % 50]
+    stream = spark.createDataFrame(rows, "src long, dst long, weight long, edge_seq long")
+
+    want = sorted(
+        map(tuple, stream_pagerank(spark, stream, n_batches=3,
+                                   checkpoint_dir=str(tmp_path), run_id="full").collect())
+    )
+    stream_pagerank(spark, stream, n_batches=3,
+                    checkpoint_dir=str(tmp_path), run_id="crash")
+    shutil.rmtree(tmp_path / "crash" / "batch=2")  # simulate a mid-run kill
+    got = sorted(
+        map(tuple, stream_pagerank(spark, stream, n_batches=3,
+                                   checkpoint_dir=str(tmp_path), run_id="crash",
+                                   resume=True).collect())
+    )
+    assert got == want
+
+
+def test_stream_cc_kill_restart_parity(spark, tmp_path):
+    """A killed stream_connected_components resumes from the latest
+    complete labels snapshot; final labeling equals the uninterrupted
+    run AND the one-shot batch CC."""
+    import shutil
+
+    from sbm_communitydetection_spark.operators.components import connected_components
+    from sbm_communitydetection_spark.streaming.stream_driver import (
+        stream_connected_components,
+    )
+
+    n = 60
+    rows = [(i, i + 1, 1, n - 2 - i) for i in range(n - 1)]  # reverse arrival
+    stream = spark.createDataFrame(rows, "src long, dst long, weight long, edge_seq long")
+
+    want = sorted(
+        map(tuple, stream_connected_components(
+            spark, stream, n_batches=4,
+            checkpoint_dir=str(tmp_path), run_id="full").collect())
+    )
+    stream_connected_components(spark, stream, n_batches=4,
+                                checkpoint_dir=str(tmp_path), run_id="crash")
+    for b in (2, 3):
+        shutil.rmtree(tmp_path / "crash" / f"batch={b}")
+    got = sorted(
+        map(tuple, stream_connected_components(
+            spark, stream, n_batches=4,
+            checkpoint_dir=str(tmp_path), run_id="crash", resume=True).collect())
+    )
+    assert got == want
+    assert got == sorted(
+        map(tuple, connected_components(
+            spark, stream.select("src", "dst", "weight")).collect())
+    )
+
+
+def test_stream_dedup_kill_restart_parity(spark, tmp_path):
+    """A killed stream_minhash_dedup resumes from the latest durable LSH
+    store + cumulative-pairs snapshot; the final emission set equals the
+    uninterrupted run's (exactly-once across the kill)."""
+    import shutil
+
+    from sbm_communitydetection_spark.textops.stream_dedup import stream_minhash_dedup
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog every single day",
+        "the quick brown fox jumps over the lazy dog every single night",
+        "completely unrelated text about distributed systems and parquet",
+        "the quick brown fox jumps over the lazy dog every single day",  # dup of 0
+        "another completely unrelated passage mentioning spark and joins",
+        "completely unrelated text about distributed systems and parquet",  # dup of 2
+    ]
+    batches = [
+        spark.createDataFrame(
+            [(i + 2 * b, texts[i + 2 * b]) for i in range(2)], "doc_id long, text string"
+        )
+        for b in range(3)
+    ]
+
+    want = sorted(
+        map(tuple, stream_minhash_dedup(spark, batches, threshold=0.4,
+                                        checkpoint_dir=str(tmp_path),
+                                        run_id="full").collect())
+    )
+    assert want  # the planted dups were found at all
+    stream_minhash_dedup(spark, batches, threshold=0.4,
+                         checkpoint_dir=str(tmp_path), run_id="crash")
+    shutil.rmtree(tmp_path / "crash" / "batch=2")
+    shutil.rmtree(tmp_path / "crash" / "batch=1")
+    got = sorted(
+        map(tuple, stream_minhash_dedup(spark, batches, threshold=0.4,
+                                        checkpoint_dir=str(tmp_path),
+                                        run_id="crash", resume=True).collect())
+    )
+    assert got == want
