@@ -532,6 +532,9 @@ def stream_triangles(
     spark: SparkSession,
     edge_stream: DataFrame,
     boundaries: list[int],
+    checkpoint_dir: str | None = None,
+    run_id: str = "stream_tri",
+    resume: bool = False,
 ) -> DataFrame:
     """(batch_id, triangles) — incremental triangle maintenance over an
     ordered edge stream, completing the dynamic family (stream LPA / BP
@@ -551,7 +554,12 @@ def stream_triangles(
     their new edges.  Per-batch cost is delta-proportional, never
     re-counting the accumulated graph — the property that matters at
     10^12 edges.  Counts are scalar per-batch collects (house rule:
-    scalars only)."""
+    scalars only).
+
+    ``checkpoint_dir`` + ``resume=True`` (VERDICT r3 #9 family): the
+    cumulative pair table and the per-batch count history snapshot
+    durably per batch; a killed run resumes from the latest complete
+    batch and emits the identical count series."""
     canon = (
         edge_stream.filter(F.col("src") != F.col("dst"))
         .select(
@@ -562,11 +570,29 @@ def stream_triangles(
         .groupBy("a", "b")
         .agg(F.min("edge_seq").alias("edge_seq"))
     )
+    ckpt = (
+        FoldCheckpointer(spark, checkpoint_dir, run_id, ("cum", "counts"))
+        if checkpoint_dir
+        else None
+    )
     cum = None  # canonical pairs seen so far
     total = 0
     out = []
     prev_bound = None
+    start_batch = 0
+    if resume and ckpt is not None:
+        resumed = ckpt.resume_state()
+        if resumed is not None:
+            snap, start_batch = resumed
+            cum = snap["cum"]
+            out = sorted(
+                (int(r.batch_id), int(r.triangles)) for r in snap["counts"].collect()
+            )
+            total = out[-1][1] if out else 0
+            prev_bound = boundaries[start_batch - 1]
     for batch_id, bound in enumerate(boundaries):
+        if batch_id < start_batch:
+            continue
         cond = F.col("edge_seq") < bound
         if prev_bound is not None:
             cond = cond & (F.col("edge_seq") >= prev_bound)
@@ -610,6 +636,14 @@ def stream_triangles(
         unpersist_checkpoint(new)
         cum = nxt_cum
         prev_bound = bound
+        if ckpt is not None:
+            snap = ckpt.persist(
+                batch_id,
+                cum=cum,
+                counts=spark.createDataFrame(out, "batch_id int, triangles long"),
+            )
+            unpersist_checkpoint(cum)
+            cum = snap["cum"]
     if cum is not None:
         unpersist_checkpoint(cum)
     return spark.createDataFrame(out, "batch_id int, triangles long")

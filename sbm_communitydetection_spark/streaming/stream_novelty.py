@@ -30,10 +30,22 @@ def stream_conv_novelty(
     spark: SparkSession,
     transcripts: DataFrame,
     n_batches: int = 5,
+    checkpoint_dir: str | None = None,
+    run_id: str = "stream_novelty",
+    resume: bool = False,
 ) -> DataFrame:
     """(conv_id, n_bigrams, n_novel, novelty) — identical to
     operators/extract.conv_novelty, produced by folding ``n_batches``
-    conversation-start-ordered micro-batches through the owner store."""
+    conversation-start-ordered micro-batches through the owner store.
+
+    ``checkpoint_dir`` + ``resume=True`` (VERDICT r3 #9 family): the
+    owner store and the cumulative emissions are snapshotted durably
+    per batch (FoldCheckpointer); a killed run resumes from the latest
+    complete batch — batching is deterministic (ntile over start order)
+    — and ends bit-identical to an uninterrupted run."""
+    from ..plans.iterate import unpersist_checkpoint
+    from .stream_driver import FoldCheckpointer
+
     start = transcripts.groupBy("conv_id").agg(
         F.unix_millis(F.min("ts").cast("timestamp")).alias("start_ms")
     )
@@ -50,10 +62,22 @@ def stream_conv_novelty(
         .join(batched, "conv_id")
     ).localCheckpoint(eager=True)
 
+    ckpt = (
+        FoldCheckpointer(spark, checkpoint_dir, run_id, ("store", "out"))
+        if checkpoint_dir
+        else None
+    )
     store = spark.createDataFrame([], "g string, start_ms long, owner_conv string")
-    outputs = []
+    out_cum: DataFrame | None = None
+    start_b = 1
+    if resume and ckpt is not None:
+        resumed = ckpt.resume_state()
+        if resumed is not None:
+            snap, start_b = resumed
+            store, out_cum = snap["store"], snap["out"]
+
     owned = [batched, all_grams, store]
-    for b in range(1, n_batches + 1):
+    for b in range(start_b, n_batches + 1):
         grams_b = all_grams.filter(F.col("batch") == b)
         # owners among THIS batch's claims, for grams the store hasn't seen
         new_owner = (
@@ -68,7 +92,7 @@ def stream_conv_novelty(
         )
         store = store.unionByName(new_owner).localCheckpoint(eager=True)
         owned.append(store)
-        outputs.append(
+        emit = (
             grams_b.join(store.select("g", "owner_conv"), "g")
             .groupBy("conv_id")
             .agg(
@@ -84,14 +108,13 @@ def stream_conv_novelty(
             )
             .localCheckpoint(eager=True)
         )
-        owned.append(outputs[-1])
+        owned.append(emit)
+        out_cum = emit if out_cum is None else out_cum.unionByName(emit)
+        if ckpt is not None:
+            snap = ckpt.persist(b, store=store, out=out_cum)
+            store, out_cum = snap["store"], snap["out"]
 
-    out = outputs[0]
-    for o in outputs[1:]:
-        out = out.unionByName(o)
-    result = out.localCheckpoint(eager=True)
-    from ..plans.iterate import unpersist_checkpoint
-
+    result = out_cum.localCheckpoint(eager=True)
     for df in owned:
         unpersist_checkpoint(df)
     return result

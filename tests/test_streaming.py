@@ -421,3 +421,67 @@ def test_stream_dedup_kill_restart_parity(spark, tmp_path):
                                         run_id="crash", resume=True).collect())
     )
     assert got == want
+
+
+def test_stream_triangles_kill_restart_parity(spark, tmp_path):
+    """A killed stream_triangles resumes from its durable pair table +
+    count history and emits the identical per-batch count series."""
+    import shutil
+
+    from sbm_communitydetection_spark.streaming.stream_driver import stream_triangles
+
+    pairs = [(a, b) for a in range(12) for b in range(a + 1, 12)]
+    rows = [(a, b, i) for i, (a, b) in enumerate(pairs)]  # 66 edges, C(12,3) tris
+    stream = spark.createDataFrame(rows, "src long, dst long, edge_seq long")
+    bounds = [22, 44, 66]
+
+    want = sorted(map(tuple, stream_triangles(
+        spark, stream, bounds,
+        checkpoint_dir=str(tmp_path), run_id="full").collect()))
+    stream_triangles(spark, stream, bounds,
+                     checkpoint_dir=str(tmp_path), run_id="crash")
+    shutil.rmtree(tmp_path / "crash" / "batch=2")
+    got = sorted(map(tuple, stream_triangles(
+        spark, stream, bounds,
+        checkpoint_dir=str(tmp_path), run_id="crash", resume=True).collect()))
+    assert got == want
+    assert len(got) == 3 and got[-1][1] > 0
+
+
+def test_stream_novelty_kill_restart_parity(spark, tmp_path):
+    """A killed stream_conv_novelty resumes from the durable owner store
+    + cumulative emissions and equals both the uninterrupted run and the
+    one-shot batch conv_novelty."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from sbm_communitydetection_spark.operators.extract import conv_novelty
+    from sbm_communitydetection_spark.streaming.stream_novelty import stream_conv_novelty
+
+    rows = [
+        ("a", 0, "user", "red green blue", None, 1000),
+        ("c", 0, "user", "totally fresh words", None, 1500),
+        ("b", 0, "user", "red green blue", None, 2000),
+        ("d", 0, "user", "red green yellow", None, 3000),
+        ("e", 0, "user", "late but unique text", None, 4000),
+        ("f", 0, "user", "red green yellow", None, 5000),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ms long",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool", F.timestamp_millis("ms").alias("ts")
+    )
+
+    want = sorted(map(tuple, stream_conv_novelty(
+        spark, t, n_batches=3,
+        checkpoint_dir=str(tmp_path), run_id="full").collect()))
+    stream_conv_novelty(spark, t, n_batches=3,
+                        checkpoint_dir=str(tmp_path), run_id="crash")
+    for b in (2, 3):
+        shutil.rmtree(tmp_path / "crash" / f"batch={b}")
+    got = sorted(map(tuple, stream_conv_novelty(
+        spark, t, n_batches=3,
+        checkpoint_dir=str(tmp_path), run_id="crash", resume=True).collect()))
+    assert got == want
+    assert got == sorted(map(tuple, conv_novelty(t).collect()))
