@@ -299,9 +299,26 @@ def main() -> None:
 
     # INTERLEAVED sweeps: whole headline set per sweep, so a host phase
     # flip mid-invocation degrades every query equally instead of making
-    # one query look regressed
+    # one query look regressed.  A total-time budget guards the repeat
+    # loop: a sweep is skipped when the time already spent plus one more
+    # sweep (estimated at the last sweep's cost) would exceed it, so a
+    # slow-phase host can shorten the triple but never hang the harness
+    # past the budget (every completed sweep is still recorded).
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "1500"))
     all_times: dict[str, list[float]] = {n: [] for n, _ in runners}
-    for _ in range(repeats):
+    bench_t0 = time.perf_counter()
+    sweeps_done = 0
+    last_sweep = 0.0
+    for r in range(repeats):
+        elapsed = time.perf_counter() - bench_t0
+        if r > 0 and elapsed + last_sweep > budget:
+            print(
+                f"bench: stopping after {sweeps_done}/{repeats} sweeps "
+                f"({elapsed:.0f}s elapsed, budget {budget:.0f}s)",
+                file=sys.stderr,
+            )
+            break
+        s0 = time.perf_counter()
         for name, fn in runners:
             t0 = time.perf_counter()
             override = fn()
@@ -309,6 +326,9 @@ def main() -> None:
             if not isinstance(override, float):  # runners return floats only
                 override = None                   # to override wall time
             all_times[name].append(round(dt if override is None else override, 3))
+        last_sweep = time.perf_counter() - s0
+        sweeps_done += 1
+    all_times = {n: ts for n, ts in all_times.items() if ts}
 
     def _median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -331,7 +351,7 @@ def main() -> None:
         "queries": timings,  # per-query BEST of the interleaved sweeps
         "queries_median": timings_median,
         "total_median": round(sum(timings_median.values()), 3),
-        "repeats": repeats,
+        "repeats": sweeps_done,
         "all_times": all_times,  # full per-sweep record, self-contained
         "sf": sf,
         "cores": cores,
