@@ -96,7 +96,7 @@ def main() -> None:
     which = set(
         os.environ.get(
             "SPARK_GRAFT_BENCH_QUERIES",
-            "transcript_extract,pagerank,lpa,connected_components,triangle_count,triangle_count_bucketed,degree_topk,near_dup_clusters,anf,bm25_topk",
+            "transcript_extract,pagerank,pagerank_bucketed,lpa,lpa_bucketed,connected_components,triangle_count,triangle_count_bucketed,degree_topk,near_dup_clusters,anf,bm25_topk",
         ).split(",")
     )
     # broadcast=0 forces the pure shuffle join path — the configuration a
@@ -237,18 +237,33 @@ def main() -> None:
         )
         bm25_topk(docs, qs, k=10).count()
 
-    # bucketed-adjacency triangle count (VERDICT r3 #4): the oriented
-    # edge table is SERVED OFF DISK pre-bucketed on lo — the production
-    # layout where orientation is computed once at ingest, so the timed
-    # region is the wedge+close joins only (new r4; the plain
-    # triangle_count entry stays for r03 comparability)
+    # bucketed deployment paths (VERDICT r3 #4 and the PR/LPA trick it
+    # reuses): the big table is SERVED OFF DISK pre-bucketed on the
+    # superstep key — the production layout where the layout cost is
+    # paid once at ingest, so the timed region is the iteration /
+    # wedge+close joins only (new r4; the inline entries stay for r03
+    # comparability).  Tables build outside the timed sweeps.
     tri_table = "bench_oriented_adj"
+    pr_table = "bench_pr_transition"
+    lpa_table = "bench_lpa_adj_dst"
     if "triangle_count_bucketed" in which:
         from sbm_communitydetection_spark.sources.bucketed import (
             write_oriented_adjacency,
         )
 
         write_oriented_adjacency(edges, tri_table, buckets=parts)
+    if "pagerank_bucketed" in which:
+        from sbm_communitydetection_spark.sources.bucketed import (
+            write_transition_table,
+        )
+
+        write_transition_table(edges, pr_table, buckets=parts)
+    if "lpa_bucketed" in which:
+        from sbm_communitydetection_spark.sources.bucketed import (
+            write_bucketed_adjacency,
+        )
+
+        write_bucketed_adjacency(edges, lpa_table, buckets=parts, key="dst")
 
     def run_tri_bucketed():
         from sbm_communitydetection_spark.sources.bucketed import (
@@ -258,6 +273,45 @@ def main() -> None:
         triangle_count(
             edges, oriented=read_bucketed_adjacency(spark, tri_table)
         ).collect()
+
+    def run_pr_bucketed():
+        from sbm_communitydetection_spark.sources.bucketed import (
+            read_bucketed_adjacency,
+        )
+
+        pr_metrics: list = []
+        pagerank(
+            spark,
+            None,
+            damping=0.85,
+            tolerance=-1.0,
+            max_iterations=PR_ITERS,
+            broadcast_rows_threshold=broadcast_thr,
+            transition=read_bucketed_adjacency(spark, pr_table),
+            collect_metrics=pr_metrics,
+        ).count()
+        if iter_timing and pr_metrics:
+            return sum(m["wall_sec"] for m in pr_metrics)
+        return None
+
+    def run_lpa_bucketed():
+        from sbm_communitydetection_spark.sources.bucketed import (
+            read_bucketed_adjacency,
+        )
+
+        res = label_propagation(
+            spark,
+            read_bucketed_adjacency(spark, lpa_table),
+            max_iterations=LPA_ITERS,
+            variant="plain",
+            tolerance=-1.0,
+            broadcast_rows_threshold=broadcast_thr,
+            edges_partitioned_by_dst=True,
+        )
+        res.state.count()
+        if iter_timing and res.metrics:
+            return sum(m["wall_sec"] for m in res.metrics)
+        return None
 
     def run_scc():
         # optional (VERDICT r3 #8): SCC on the DIRECTED bench edge table —
@@ -275,7 +329,9 @@ def main() -> None:
         for n, f in [
             ("transcript_extract", run_extract),
             ("pagerank", run_pr),
+            ("pagerank_bucketed", run_pr_bucketed),
             ("lpa", run_lpa),
+            ("lpa_bucketed", run_lpa_bucketed),
             ("hits", run_hits),
             ("sssp", run_sssp),
             ("connected_components", lambda: connected_components(spark, edges).count()),

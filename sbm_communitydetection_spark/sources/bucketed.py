@@ -22,6 +22,22 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _drop_stale(spark: SparkSession, table: str) -> None:
+    """Drop `table` and any orphaned warehouse directory left by a
+    previous session: saveAsTable(mode=overwrite) refuses a location
+    that exists on disk but is not in the current catalog
+    (LOCATION_ALREADY_EXISTS), which is exactly the state a fresh JVM
+    sees after an earlier bench/test run wrote the same managed table."""
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    path = os.path.join(re.sub(r"^file:/*", "/", wh), table.lower())
+    if os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def write_bucketed_adjacency(
     edges: DataFrame, table: str, buckets: int = 32, key: str = "src"
 ) -> None:
@@ -34,6 +50,7 @@ def write_bucketed_adjacency(
     SAME number (Spark only elides the exchange when partition counts
     line up)."""
     other = "dst" if key == "src" else "src"
+    _drop_stale(edges.sparkSession, table)
     (
         edges.write.mode("overwrite")
         .bucketBy(buckets, key)
@@ -77,6 +94,7 @@ def write_oriented_adjacency(
     write)."""
     from sbm_communitydetection_spark.operators.triangles import _oriented
 
+    _drop_stale(edges.sparkSession, table)
     (
         _oriented(edges)
         .write.mode("overwrite")
@@ -98,6 +116,7 @@ def write_transition_table(
     shuffle disappear — across restarts the 100 TB side never moves."""
     from pyspark.sql import functions as F
 
+    _drop_stale(edges.sparkSession, table)
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     tr = edges.join(out_w, "src").select(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("frac")
