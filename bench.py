@@ -76,6 +76,7 @@ def _jvm_rss_bytes() -> int:
 
 
 def main() -> None:
+    proc_t0 = time.perf_counter()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
@@ -360,9 +361,11 @@ def main() -> None:
     # sweep (estimated at the last sweep's cost) would exceed it, so a
     # slow-phase host can shorten the triple but never hang the harness
     # past the budget (every completed sweep is still recorded).
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "1500"))
+    # budget counts from PROCESS start (setup + table builds included),
+    # so one bench invocation is hard-bounded regardless of host phase
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_TIME_BUDGET", "900"))
     all_times: dict[str, list[float]] = {n: [] for n, _ in runners}
-    bench_t0 = time.perf_counter()
+    bench_t0 = proc_t0
     sweeps_done = 0
     last_sweep = 0.0
     for r in range(repeats):
