@@ -2384,11 +2384,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     literal's order.  Window priority (VERDICT r3 #1): (a) every op in
     _CHANGED_SINCE_VERIFIED — code or oracle changed since its last
     driver row (module-level assert enforces these are windowed);
-    (b) never-driver-or-judge-checked entries (_LAST_VERIFIED is None),
-    newest waves first.  _LAST_VERIFIED records each entry's most
-    recent driver CORRECTNESS row (r1/r2/r3) or judge driver_sim
-    re-run (judge-r2/judge-r3); tests/test_window.py audits the
-    allocation mechanically."""
+    (b) entries with no driver CORRECTNESS row yet (judge-green only),
+    weakest/newest evidence first.  _LAST_VERIFIED records each
+    entry's most recent driver CORRECTNESS row (r1..r4) or judge
+    driver_sim re-run (judge-r2..judge-r4 — the r4 VERDICT's
+    full-suite 222/222 run upgraded every non-driver-rowed entry to
+    judge-r4); tests/test_window.py audits the allocation
+    mechanically."""
     d = {
         # NOTE: the literal's order below is historical (round-3 layout);
         # the served order is _WINDOW_FIRST + remainder.  Wave comments
@@ -2675,48 +2677,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # the driver's 50-entry CORRECTNESS window, by evidence priority.
-# Round-4 rotation (VERDICT r3 #1): (a) changed-since-verified first,
-# then (b) the never-checked backlog, newest waves first.  The backlog
-# REMAINING after this window — first in line for the round-5 window —
-# is exactly: agent_loops, sbm_block_matrix, ngram_coverage,
-# butterfly_count, event_funnel, retention_cohorts, rich_club,
-# repetition_stats, prompt_response_pairs, context_windows,
-# stream_novelty, stratum_topk_sample, node2vec_walks, bipartite_check,
-# priority_sample (never checked by anyone), plus the four judge-r2-only
-# rows tfidf_topk, top_ngrams, stratum_counts, pii_scrub.
+# ROUND-5 ROTATION (VERDICT r4 #1, final round): (a) the four ops whose
+# operator functions change this round (nprobe multi-probe IVF, fallback
+# warning, delta-append fold snapshots) — windowed per the r4 #4
+# discipline even though their GATE paths are value-identical; (b) the
+# 15 formerly-no-evidence entries (first judge-verified only in the r4
+# full-suite run); (c) the four judge-r2-only stragglers; (d) judge-r3
+# entries newest-wave-first until the window is 50 deep.  The 14
+# entries left WITHOUT a driver CORRECTNESS row at project end
+# (maximal_matching, substring_dup_flags, hll_distinct,
+# cms_heavy_hitters, eigenvector_centrality, semdedup,
+# node_overlap_accuracy, symmetric_difference, max_jaccard_sum,
+# maximal_matching_accuracy, stream_pagerank, conductance,
+# graph_summary, main_community) each carry a judge-r4 full-suite
+# driver_sim green (VERDICT r4: 222/222 OK at sf0.01); two window slots
+# went to re-checking changed driver-rowed ops instead
+# (semantic_decontamination r4, ann_ivf_topk r1), which is what the
+# change-window rule demands.
 _WINDOW_FIRST = [
-    # (a) code or oracle changed since the entry's last driver row
-    "semantic_decontamination",  # r4: guarded broadcast + zero-norm guard
-    "triad_census",              # r4: hub cap now applied in gate + oracle
-    "conv_influence",            # r3 left-join fix landed after its r2 row
-    "conv_keep_topk",            # downstream of the conv_influence fix
-    "connected_components",      # r3 union-find contraction after its r2 row
-    "actor_scc",                 # r3 frontier-delta rewrite after its r2 row
-    # (b) never driver-or-judge-checked, newest waves first
-    # -- round-3 session-6 wave
-    "winnowing_fingerprints", "conv_prefix_dups", "cluster_silhouette",
-    "label_assortativity", "influence_seeds", "threshold_cascade",
-    "containment_pairs", "knn_graph_clusters", "actor_rank_drift",
-    # -- round-3 session-4 wave
-    "turn_segments", "partition_quality", "split_leakage",
-    "hard_negative_pairs", "rrf_fused_topk", "event_anomalies",
-    "knn_label_disagreement", "readability_scores",
-    # -- round-3 late additions
-    "token_pmi", "boilerplate_strip", "condensation_layers", "corpus_stats",
-    "quality_lr_fit", "cross_source_dup_matrix", "conv_entropy",
-    "label_centroids", "latency_quantiles",
-    # -- round-3 session-3 extras
-    "embedding_outliers", "pca_top_component", "walk_cooccurrence",
-    "coverage_select_topk", "edge_embeddedness", "chunk_windows",
-    "span_corruption_spans", "triangle_estimate_sampled",
-    "community_evolution", "source_log_odds", "event_transitions",
-    "source_health_report", "props_field_stats", "quality_lr_score",
-    "embedding_covariance",
-    # -- remaining never-checked picks (window is exactly 50 deep):
-    # cc_decremental exercises the r3-changed CC contraction path;
-    # seeded_lpa landed r3 and was never windowed; tool_chains is the
-    # newest session-2 straggler with a plan-shape test already
-    "cc_decremental", "seeded_lpa", "tool_chains",
+    "semantic_decontamination",
+    "ann_ivf_topk",
+    "stream_dedup_pairs",
+    "stream_novelty",
+    "repetition_stats",
+    "prompt_response_pairs",
+    "context_windows",
+    "stratum_topk_sample",
+    "node2vec_walks",
+    "bipartite_check",
+    "priority_sample",
+    "agent_loops",
+    "sbm_block_matrix",
+    "ngram_coverage",
+    "butterfly_count",
+    "event_funnel",
+    "retention_cohorts",
+    "rich_club",
+    "tfidf_topk",
+    "top_ngrams",
+    "stratum_counts",
+    "pii_scrub",
+    "temporal_triangles",
+    "spectral_sweep_cut",
+    "percolation_curve",
+    "fastrp_embeddings",
+    "retrieval_metrics",
+    "bpe_train",
+    "bpe_fertility",
+    "trussness",
+    "linkpred_eval",
+    "wl_refinement",
+    "bm25_topk",
+    "coreness",
+    "textrank_keywords",
+    "four_clique_count",
+    "katz_centrality",
+    "pack_conversations",
+    "holdout_split",
+    "cc_incremental",
+    "stream_cc",
+    "mixture_weights",
+    "temperature_sample",
+    "ngram_lm_score",
+    "bloom_decontamination",
+    "dpo_pairs",
+    "conv_novelty",
+    "dsir_importance",
+    "maximal_independent_set",
+    "densest_subgraph",
 ]
 
 # Most recent value-level verification per entry (VERDICT r3 #6):
@@ -2730,91 +2758,88 @@ _LAST_VERIFIED: dict[str, str | None] = {
     "pq_adc_topk": "r3", "ppr_sweep_cut": "r3", "spectral_bisection": "r3",
     "actor_coparticipation": "r3", "disparity_backbone": "r3", "dcsbm_loglik": "r3",
     "clique_percolation": "r3", "rwr_topk": "r3", "degree_knn_curve": "r3",
-    "robustness_profile": "r3", "landmark_oracle_eval": "r3", "matryoshka_recall": "r3",
-    "burt_constraint": "r3", "motif_spectral": "r3", "conv_wl_kernel": "r3",
-    "semantic_decontamination": "r3", "tool_latency_attribution": "r3",
-    "temporal_triangles": "judge-r3",
-    "spectral_sweep_cut": "judge-r3", "percolation_curve": "judge-r3",
-    "spectral_partition_quality": "r3",
-    "greedy_coloring": "r3", "stream_triangles": "r3", "kmeans_lloyd": "r3",
-    "minimum_spanning_forest": "r3", "louvain_communities": "r3", "fm_refine_pair": "r3",
-    "stream_lpa": "r3", "stream_sessionize": "r3", "repetition_stats": None,
-    "pack_conversations": "judge-r3", "holdout_split": "judge-r3",
-    "cc_incremental": "judge-r3",
-    "cc_decremental": None, "stream_cc": "judge-r3", "mixture_weights": "judge-r3",
-    "temperature_sample": "judge-r3", "ngram_lm_score": "judge-r3",
-    "bloom_decontamination": "judge-r3",
-    "prompt_response_pairs": None, "dpo_pairs": "judge-r3", "context_windows": None,
-    "conv_novelty": "judge-r3", "stream_novelty": None, "stratum_topk_sample": None,
-    "dsir_importance": "judge-r3", "node2vec_walks": None,
-    "maximal_independent_set": "judge-r3",
-    "densest_subgraph": "judge-r3", "maximal_matching": "judge-r3",
-    "bipartite_check": None,
-    "substring_dup_flags": "judge-r3", "hll_distinct": "judge-r3",
-    "cms_heavy_hitters": "judge-r3",
-    "priority_sample": None, "conv_influence": "r2", "actor_scc": "r2",
-    "seeded_lpa": None, "connected_components": "r2", "coarsen": "r3",
-    "sync_communities": "r3", "edge_removal": "r3", "node_removal": "r3",
-    "edge_weight_lookup": "r3", "nmi": "r3", "modularity_density": "r3",
-    "minhash_lsh_dup_pairs": "r3", "near_dup_clusters": "r3", "curation_keep_list": "r3",
+    "robustness_profile": "r3", "landmark_oracle_eval": "r3",
+    "matryoshka_recall": "r3", "burt_constraint": "r3", "motif_spectral": "r3",
+    "conv_wl_kernel": "r3", "semantic_decontamination": "r4",
+    "tool_latency_attribution": "r3", "temporal_triangles": "judge-r4",
+    "spectral_sweep_cut": "judge-r4", "percolation_curve": "judge-r4",
+    "spectral_partition_quality": "r3", "greedy_coloring": "r3",
+    "stream_triangles": "r3", "kmeans_lloyd": "r3", "minimum_spanning_forest": "r3",
+    "louvain_communities": "r3", "fm_refine_pair": "r3", "stream_lpa": "r3",
+    "stream_sessionize": "r3", "repetition_stats": "judge-r4",
+    "pack_conversations": "judge-r4", "holdout_split": "judge-r4",
+    "cc_incremental": "judge-r4", "cc_decremental": "r4", "stream_cc": "judge-r4",
+    "mixture_weights": "judge-r4", "temperature_sample": "judge-r4",
+    "ngram_lm_score": "judge-r4", "bloom_decontamination": "judge-r4",
+    "prompt_response_pairs": "judge-r4", "dpo_pairs": "judge-r4",
+    "context_windows": "judge-r4", "conv_novelty": "judge-r4",
+    "stream_novelty": "judge-r4", "stratum_topk_sample": "judge-r4",
+    "dsir_importance": "judge-r4", "node2vec_walks": "judge-r4",
+    "maximal_independent_set": "judge-r4", "densest_subgraph": "judge-r4",
+    "maximal_matching": "judge-r4", "bipartite_check": "judge-r4",
+    "substring_dup_flags": "judge-r4", "hll_distinct": "judge-r4",
+    "cms_heavy_hitters": "judge-r4", "priority_sample": "judge-r4",
+    "conv_influence": "r4", "actor_scc": "r4", "seeded_lpa": "r4",
+    "connected_components": "r4", "coarsen": "r3", "sync_communities": "r3",
+    "edge_removal": "r3", "node_removal": "r3", "edge_weight_lookup": "r3",
+    "nmi": "r3", "modularity_density": "r3", "minhash_lsh_dup_pairs": "r3",
+    "near_dup_clusters": "r3", "curation_keep_list": "r3",
     "simhash_banded_dup_pairs": "r3", "decontamination_flags": "r3",
-    "embedding_outliers": None,
-    "pca_top_component": None, "walk_cooccurrence": None, "coverage_select_topk": None,
-    "edge_embeddedness": None, "chunk_windows": None, "span_corruption_spans": None,
-    "triangle_estimate_sampled": None, "community_evolution": None, "source_log_odds": None,
-    "event_transitions": None, "source_health_report": None, "props_field_stats": None,
-    "quality_lr_score": None, "embedding_covariance": None, "canonical_relabel": "r3",
-    "ann_ivf_topk": "r1", "multimodal_features": "r3", "conv_keep_topk": "r2",
-    "token_pmi": None, "boilerplate_strip": None, "condensation_layers": None,
-    "corpus_stats": None, "quality_lr_fit": None, "cross_source_dup_matrix": None,
-    "conv_entropy": None, "katz_centrality": "judge-r3", "label_centroids": None,
-    "latency_quantiles": None, "wl_refinement": "judge-r3", "bm25_topk": "judge-r3",
-    "coreness": "judge-r3", "textrank_keywords": "judge-r3", "turn_segments": None,
-    "partition_quality": None, "split_leakage": None, "hard_negative_pairs": None,
-    "four_clique_count": "judge-r3", "rrf_fused_topk": None, "event_anomalies": None,
-    "knn_label_disagreement": None, "readability_scores": None,
-    "winnowing_fingerprints": None,
-    "fastrp_embeddings": "judge-r3", "conv_prefix_dups": None,
-    "retrieval_metrics": "judge-r3",
-    "bpe_train": "judge-r3", "bpe_fertility": "judge-r3", "cluster_silhouette": None,
-    "label_assortativity": None, "trussness": "judge-r3", "influence_seeds": None,
-    "threshold_cascade": None, "containment_pairs": None, "knn_graph_clusters": None,
-    "actor_rank_drift": None, "linkpred_eval": "judge-r3", "tool_chains": None,
-    "agent_loops": None, "sbm_block_matrix": None, "eigenvector_centrality": "judge-r3",
-    "ngram_coverage": None, "semdedup": "judge-r3", "butterfly_count": None,
-    "node_overlap_accuracy": "judge-r3", "symmetric_difference": "judge-r3",
-    "max_jaccard_sum": "judge-r3",
-    "maximal_matching_accuracy": "judge-r3", "stream_pagerank": "judge-r3",
-    "event_funnel": None,
-    "retention_cohorts": None, "rich_club": None, "conductance": "judge-r3",
-    "pagerank_fixed_iters": "r2", "modularity": "r1", "pairwise_f1": "r1",
-    "ngram_jaccard_pairs": "r1", "triad_census": "r2", "graph_summary": "judge-r3",
-    "stream_dedup_pairs": "judge-r3", "tfidf_topk": "judge-r2", "top_ngrams": "judge-r2",
-    "stratum_counts": "judge-r2", "main_community": "judge-r3", "pii_scrub": "judge-r2",
+    "embedding_outliers": "r4", "pca_top_component": "r4", "walk_cooccurrence": "r4",
+    "coverage_select_topk": "r4", "edge_embeddedness": "r4", "chunk_windows": "r4",
+    "span_corruption_spans": "r4", "triangle_estimate_sampled": "r4",
+    "community_evolution": "r4", "source_log_odds": "r4", "event_transitions": "r4",
+    "source_health_report": "r4", "props_field_stats": "r4", "quality_lr_score": "r4",
+    "embedding_covariance": "r4", "canonical_relabel": "r3", "ann_ivf_topk": "r1",
+    "multimodal_features": "r3", "conv_keep_topk": "r4", "token_pmi": "r4",
+    "boilerplate_strip": "r4", "condensation_layers": "r4", "corpus_stats": "r4",
+    "quality_lr_fit": "r4", "cross_source_dup_matrix": "r4", "conv_entropy": "r4",
+    "katz_centrality": "judge-r4", "label_centroids": "r4", "latency_quantiles": "r4",
+    "wl_refinement": "judge-r4", "bm25_topk": "judge-r4", "coreness": "judge-r4",
+    "textrank_keywords": "judge-r4", "turn_segments": "r4", "partition_quality": "r4",
+    "split_leakage": "r4", "hard_negative_pairs": "r4",
+    "four_clique_count": "judge-r4", "rrf_fused_topk": "r4", "event_anomalies": "r4",
+    "knn_label_disagreement": "r4", "readability_scores": "r4",
+    "winnowing_fingerprints": "r4", "fastrp_embeddings": "judge-r4",
+    "conv_prefix_dups": "r4", "retrieval_metrics": "judge-r4", "bpe_train": "judge-r4",
+    "bpe_fertility": "judge-r4", "cluster_silhouette": "r4",
+    "label_assortativity": "r4", "trussness": "judge-r4", "influence_seeds": "r4",
+    "threshold_cascade": "r4", "containment_pairs": "r4", "knn_graph_clusters": "r4",
+    "actor_rank_drift": "r4", "linkpred_eval": "judge-r4", "tool_chains": "r4",
+    "agent_loops": "judge-r4", "sbm_block_matrix": "judge-r4",
+    "eigenvector_centrality": "judge-r4", "ngram_coverage": "judge-r4",
+    "semdedup": "judge-r4", "butterfly_count": "judge-r4",
+    "node_overlap_accuracy": "judge-r4", "symmetric_difference": "judge-r4",
+    "max_jaccard_sum": "judge-r4", "maximal_matching_accuracy": "judge-r4",
+    "stream_pagerank": "judge-r4", "event_funnel": "judge-r4",
+    "retention_cohorts": "judge-r4", "rich_club": "judge-r4",
+    "conductance": "judge-r4", "pagerank_fixed_iters": "r2", "modularity": "r1",
+    "pairwise_f1": "r1", "ngram_jaccard_pairs": "r1", "triad_census": "r4",
+    "graph_summary": "judge-r4", "stream_dedup_pairs": "judge-r4",
+    "tfidf_topk": "judge-r4", "top_ngrams": "judge-r4", "stratum_counts": "judge-r4",
+    "main_community": "judge-r4", "pii_scrub": "judge-r4",
     "cosine_bucketed_dup_pairs": "r3", "embedding_quantize": "r3",
-    "multimodal_resize_meta": "r3",
-    "multimodal_frame_sample": "r3", "edge_extract_symmetrize": "r2",
-    "weighted_degree": "r2",
-    "degree_histogram": "r2", "total_edges": "r2", "personalized_pagerank": "r2",
-    "hits_fixed_iters": "r2", "local_clustering": "r2", "adamic_adar": "r2",
-    "jaccard_linkpred": "r2", "sssp_multi_source": "r2", "harmonic_centrality": "r2",
-    "betweenness_approx": "r2", "random_walks": "r2", "neighbor_sample": "r2",
-    "distance_profile": "r2", "degree_assortativity": "r2",
-    "label_propagation_fixed_iters": "r2",
+    "multimodal_resize_meta": "r3", "multimodal_frame_sample": "r3",
+    "edge_extract_symmetrize": "r2", "weighted_degree": "r2", "degree_histogram": "r2",
+    "total_edges": "r2", "personalized_pagerank": "r2", "hits_fixed_iters": "r2",
+    "local_clustering": "r2", "adamic_adar": "r2", "jaccard_linkpred": "r2",
+    "sssp_multi_source": "r2", "harmonic_centrality": "r2", "betweenness_approx": "r2",
+    "random_walks": "r2", "neighbor_sample": "r2", "distance_profile": "r2",
+    "degree_assortativity": "r2", "label_propagation_fixed_iters": "r2",
     "belief_propagation_fixed_iters": "r2", "k_core": "r2", "k_truss": "r2",
     "triangle_count": "r2", "triangles_per_vertex": "r2", "r_hop_neighborhood": "r2",
     "transcript_reply_edges": "r2", "transcript_turn_text": "r2", "conv_stats": "r2",
     "decayed_reply_edges": "r2", "role_transitions": "r2", "user_influence": "r2",
-    "session_stats": "r2", "transcript_structural_dups": "r2", "reply_reciprocity": "r2",
-    "transcript_token_stats": "r2", "reply_latency_stats": "r2", "tool_cooccurrence": "r2",
-    "actor_lpa": "r2", "actor_communities": "r2", "salted_neighbor_weights": "r2",
+    "session_stats": "r2", "transcript_structural_dups": "r2",
+    "reply_reciprocity": "r2", "transcript_token_stats": "r2",
+    "reply_latency_stats": "r2", "tool_cooccurrence": "r2", "actor_lpa": "r2",
+    "actor_communities": "r2", "salted_neighbor_weights": "r2",
     "community_stats": "r2", "community_representatives": "r2", "edge_sample": "r2",
-    "contingency": "r1", "exact_dedup": "r1", "token_stats": "r1",
-    "lang_id": "r1", "doc_fingerprint": "r1", "text_quality": "r1",
-    "ann_cosine_topk": "r1", "embeddedness": "r1", "edge_classification_accuracy": "r1",
-    "log_likelihood": "r1", "minhash_signatures": "r1", "simhash": "r1",
-    "simhash_dup_pairs": "r1", "embedding_cosine_dup_pairs": "r1",
-    "multimodal_decode": "r1",
+    "contingency": "r1", "exact_dedup": "r1", "token_stats": "r1", "lang_id": "r1",
+    "doc_fingerprint": "r1", "text_quality": "r1", "ann_cosine_topk": "r1",
+    "embeddedness": "r1", "edge_classification_accuracy": "r1", "log_likelihood": "r1",
+    "minhash_signatures": "r1", "simhash": "r1", "simhash_dup_pairs": "r1",
+    "embedding_cosine_dup_pairs": "r1", "multimodal_decode": "r1",
 }
 
 # Ops whose IMPLEMENTATION OR ORACLE changed after the round recorded in
@@ -2823,12 +2848,10 @@ _LAST_VERIFIED: dict[str, str | None] = {
 # outside the driver window — add it here when you touch it, and it must
 # be windowed (or re-verified) before the round ships.
 _CHANGED_SINCE_VERIFIED = [
-    "semantic_decontamination",  # r4 broadcast guard + zero-norm guard
-    "triad_census",              # r4 gate+oracle hub cap
-    "conv_influence",            # r3 left-join fix (last row r2)
-    "conv_keep_topk",            # consumes conv_influence (last row r2)
-    "connected_components",      # r3 partition-local contraction (last row r2)
-    "actor_scc",                 # r3 frontier-delta rewrite (last row r2)
+    "semantic_decontamination",  # r5 nprobe fallback + ADVICE fallback warning
+    "ann_ivf_topk",              # r5 nprobe multi-probe parameter
+    "stream_dedup_pairs",        # r5 delta-append pairs_cum fold snapshots
+    "stream_novelty",            # r5 delta-append out_cum fold snapshots
 ]
 
 assert set(_CHANGED_SINCE_VERIFIED) <= set(_WINDOW_FIRST[:50]), (

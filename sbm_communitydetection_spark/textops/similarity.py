@@ -161,11 +161,16 @@ def kmeans_centroids(
     return embs.sparkSession.createDataFrame(rows, "label long, d int, c double")
 
 
-def _assign_cells(embs: DataFrame, cents: DataFrame) -> DataFrame:
-    """(vec_id, cell, csim) — nearest-centroid (max-cosine) assignment of
-    every vector against the (label, d, c) centroid table; tie-break on
-    the smaller label.  Plan shape: narrow explode + BROADCAST join on
-    the tiny centroid table — the 10^12-row side never shuffles."""
+def _assign_cells(embs: DataFrame, cents: DataFrame, nprobe: int = 1) -> DataFrame:
+    """(vec_id, cell, csim, probe_rank) — nearest-centroid (max-cosine)
+    assignment of every vector against the (label, d, c) centroid table;
+    tie-break on the smaller label.  ``nprobe`` > 1 (VERDICT r4 #3)
+    keeps each vector's ``nprobe`` NEAREST cells (probe_rank 1..nprobe)
+    instead of only the argmax — the standard IVF multi-probe that
+    recovers neighbors split across a cell boundary.  Plan shape is
+    unchanged: narrow explode + BROADCAST join on the tiny centroid
+    table — the 10^12-row side never shuffles, and multi-probe only
+    fans out the tiny (vec_id, cell) assignment table ``nprobe``×."""
     cnorm = cents.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("cn"))
     # vector ⋅ centroid via the exploded representation (portable & exact)
     vexp = embs.select(
@@ -187,30 +192,50 @@ def _assign_cells(embs: DataFrame, cents: DataFrame) -> DataFrame:
     )
     return (
         sim.select("vec_id", "label", "csim", assign_rank.alias("r"))
-        .filter(F.col("r") == 1)
-        .select("vec_id", F.col("label").alias("cell"), "csim")
+        .filter(F.col("r") <= nprobe)
+        .select(
+            "vec_id", F.col("label").alias("cell"), "csim", F.col("r").alias("probe_rank")
+        )
     )
 
 
 def ivf_topk(
-    embs: DataFrame, k: int = 5, dim: int = IVF_DIM, centroids: DataFrame | None = None
+    embs: DataFrame,
+    k: int = 5,
+    dim: int = IVF_DIM,
+    centroids: DataFrame | None = None,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """(vec_id, neighbor_id, rank, cos) — IVF ANN with 1-probe.
+    """(vec_id, neighbor_id, rank, cos) — IVF ANN, ``nprobe``-probe.
 
     `centroids`: optional trained coarse quantizer (label, d, c) — pass
     `kmeans_centroids(embs, ...)` for the label-free production path.
     Default = per-`label` means, the deterministic stand-in that keeps
     the DuckDB oracle exact.
 
+    ``nprobe`` (VERDICT r4 #3): every vector is INDEXED once in its
+    home (nearest-centroid) cell; a QUERY probes its ``nprobe`` nearest
+    cells.  nprobe=1 is classic single-probe IVF (the gate/oracle
+    path); nprobe>1 is the standard recall knob for neighbors that fall
+    just across a cell boundary — cost grows linearly in nprobe while
+    staying per-cell quadratic, never all-pairs.  Each (query,
+    neighbor) pair is generated at most once because the neighbor's
+    home cell is unique.
+
     Plan shape at scale: centroid assignment = narrow explode + broadcast
     join on the tiny centroid table; the search join shuffles on `cell`
     only, so the quadratic term is per-cell."""
     cents = centroids if centroids is not None else label_centroids(embs, dim)
-    cells = _assign_cells(embs, cents).select("vec_id", "cell")
-    # intra-cell exact search
-    w = _norm_vec(embs).join(cells, "vec_id")
-    la = w.select("cell", F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
-    lb = w.select(
+    assign = _assign_cells(embs, cents, nprobe=nprobe)
+    home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
+    probes = assign.select("vec_id", "cell")
+    norm = _norm_vec(embs)
+    # intra-cell exact search: query side fans out to its probed cells,
+    # store side sits in its home cell only
+    la = norm.join(probes, "vec_id").select(
+        "cell", F.col("vec_id"), F.col("v").alias("va"), F.col("nrm").alias("na")
+    )
+    lb = norm.join(home, "vec_id").select(
         F.col("cell").alias("cell_b"),
         F.col("vec_id").alias("neighbor_id"),
         F.col("v").alias("vb"),
@@ -1711,6 +1736,7 @@ def semantic_decontamination(
     threshold: float = 0.8,
     max_broadcast_rows: int = 500_000,
     centroids: DataFrame | None = None,
+    nprobe: int = 2,
 ) -> DataFrame:
     """(vec_id, max_cos, flagged) — EMBEDDING-SPACE eval decontamination,
     completing the family's third rung: exact n-gram flags
@@ -1737,10 +1763,17 @@ def semantic_decontamination(
     corpus side's assignment is a broadcast join on the tiny centroid
     table), and scoring shuffles on the cell key only, so the
     per-cell quadratic never materializes corpus×bench.  The fallback
-    is 1-probe, i.e. recall-bounded like any IVF search (a paraphrase
-    pair split across cell boundaries is missed); the exact broadcast
-    path remains the correctness anchor and is what the gate/oracle
-    run at eval-suite-sized benchmarks.
+    probes each corpus vector's ``nprobe`` nearest cells (VERDICT r4
+    #3 — benchmark items are indexed once in their home cell), so a
+    paraphrase pair split across one cell boundary is recovered at
+    2× probe cost; it remains recall-BOUNDED like any IVF search, and
+    the exact broadcast path is the correctness anchor and what the
+    gate/oracle run at eval-suite-sized benchmarks.  Because the
+    switch is data-size-dependent and invisible in the output schema
+    (ADVICE r4), taking the fallback emits a ``UserWarning`` naming
+    the recall bound — callers comparing against the exact oracle at
+    benchmark sizes beyond ``max_broadcast_rows`` must pass a larger
+    cap (or treat results as recall-bounded).
 
     Zero-norm embeddings (ADVICE r3): cosines are guarded with
     CASE WHEN na>0 AND nb>0 on BOTH engines — a zero-norm vector
@@ -1766,12 +1799,27 @@ def semantic_decontamination(
     if bench.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows:
         scored = corpus.crossJoin(F.broadcast(bench))
     else:
-        # IVF-restricted fallback: cell-keyed equi-join, never corpus×bench
+        # IVF-restricted fallback: cell-keyed equi-join, never corpus×bench.
+        # Bench items indexed in their home cell; corpus probes nprobe cells.
+        import warnings
+
+        warnings.warn(
+            "semantic_decontamination: benchmark side exceeds "
+            f"max_broadcast_rows={max_broadcast_rows}; falling back to the "
+            f"IVF cell-restricted path (nprobe={nprobe}).  Results are "
+            "recall-bounded, not exact — a paraphrase pair whose sides land "
+            "in non-probed cells is missed.  Pass a larger max_broadcast_rows "
+            "for the exact path.",
+            UserWarning,
+            stacklevel=2,
+        )
         cents = centroids if centroids is not None else kmeans_centroids(embs)
-        cells = _assign_cells(embs, cents).select("vec_id", "cell")
-        scored = corpus.join(cells, "vec_id").join(
+        assign = _assign_cells(embs, cents, nprobe=nprobe)
+        probes = assign.select("vec_id", "cell")
+        home = assign.filter(F.col("probe_rank") == 1).select("vec_id", "cell")
+        scored = corpus.join(probes, "vec_id").join(
             bench.join(
-                cells.select(F.col("vec_id").alias("bid"), F.col("cell").alias("cell_b")),
+                home.select(F.col("vec_id").alias("bid"), F.col("cell").alias("cell_b")),
                 "bid",
             ),
             F.col("cell") == F.col("cell_b"),

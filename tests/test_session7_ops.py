@@ -6,6 +6,7 @@ hand fixtures where the right answer is known by construction.)"""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from sbm_communitydetection_spark.operators import anf as ANF
@@ -503,20 +504,51 @@ def test_semantic_decontamination_zero_norm_is_guarded(spark):
 
 def test_semantic_decontamination_ivf_fallback_matches_on_separable_data(spark):
     # Force the guarded broadcast to reject (max_broadcast_rows=0) so the
-    # IVF-cell-restricted path runs.  With two well-separated label
-    # clusters and per-label centroids, the 1-probe restriction loses
-    # nothing: every corpus row must still appear (left-join back) and
-    # the near-copy must be flagged.
+    # IVF-cell-restricted path runs (nprobe=1 pins the single-probe
+    # semantics this test was written for).  With two well-separated
+    # label clusters and per-label centroids, the 1-probe restriction
+    # loses nothing: every corpus row must still appear (left-join back)
+    # and the near-copy must be flagged.
     rows = [(7, [1.0] * 8, 0), (1, [1.0] * 7 + [0.9], 0), (2, [1.0, -1.0] * 4, 1)]
     embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
     cents = TS.label_centroids(embs, dim=8)
-    out = {r["vec_id"]: (r["max_cos"], r["flagged"])
-           for r in TS.semantic_decontamination(
-               embs, bench_mod=20, bench_rem=7, threshold=0.9,
-               max_broadcast_rows=0, centroids=cents).collect()}
+    with pytest.warns(UserWarning, match="recall-bounded"):
+        out = {r["vec_id"]: (r["max_cos"], r["flagged"])
+               for r in TS.semantic_decontamination(
+                   embs, bench_mod=20, bench_rem=7, threshold=0.9,
+                   max_broadcast_rows=0, centroids=cents, nprobe=1).collect()}
     assert set(out) == {1, 2}            # vec 2's cell has no bench -> 0.0 row kept
     assert out[1][1] is True and out[1][0] > 0.99
     assert out[2] == (0.0, False)
+
+
+def test_semantic_decontamination_multiprobe_recovers_boundary_pair(spark):
+    """VERDICT r4 #3: the fallback's documented failure mode — a
+    paraphrase pair split across a cell boundary — is recovered by
+    nprobe=2 (the default).  Bench vec 7 lives in cell B; the corpus
+    paraphrase's NEAREST centroid is A, second-nearest B, so 1-probe
+    scores it against nothing while 2-probe flags it."""
+    cents = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 0.0), (1, 0, 0.8), (1, 1, 0.6)],
+        "label long, d int, c double",
+    )
+    rows = [(7, [0.8, 0.6]), (1, [0.95, 0.31])]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(bench_mod=20, bench_rem=7, threshold=0.9,
+              max_broadcast_rows=0, centroids=cents)
+    with pytest.warns(UserWarning, match="recall-bounded"):
+        one = {r["vec_id"]: (r["max_cos"], r["flagged"])
+               for r in TS.semantic_decontamination(embs, nprobe=1, **kw).collect()}
+    with pytest.warns(UserWarning, match="recall-bounded"):
+        two = {r["vec_id"]: (r["max_cos"], r["flagged"])
+               for r in TS.semantic_decontamination(embs, nprobe=2, **kw).collect()}
+    assert one[1] == (0.0, False)            # single-probe misses the pair
+    assert two[1][1] is True and two[1][0] > 0.94
+    # multi-probe equals the exact broadcast path on this data
+    exact = {r["vec_id"]: (r["max_cos"], r["flagged"])
+             for r in TS.semantic_decontamination(
+                 embs, bench_mod=20, bench_rem=7, threshold=0.9).collect()}
+    assert two == exact
 
 
 def test_tool_latency_attribution_buckets(spark):

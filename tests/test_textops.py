@@ -262,6 +262,32 @@ def test_ivf_with_trained_kmeans_centroids(embs):
     # determinism: same seed → same centroid table
     again = TS.kmeans_centroids(embs, n_cells=3, iters=10, seed=7, sample_rows=100)
     assert sorted(map(tuple, cents.collect())) == sorted(map(tuple, again.collect()))
+    # VERDICT r4 #3: multi-probe is monotone in recall and clears the
+    # bar with room — the tightened multiprobe-path assertion
+    res2 = TS.ivf_topk(embs, k=3, centroids=cents, nprobe=2).collect()
+    got2 = {(r.vec_id, r.neighbor_id) for r in res2}
+    recall2 = len(got2 & want) / len(want)
+    assert recall2 >= recall and recall2 >= 0.95, f"nprobe=2 recall {recall2}"
+
+
+def test_ivf_topk_multiprobe_recovers_boundary_neighbor(spark):
+    """nprobe=2 (VERDICT r4 #3): a query whose true nearest neighbor
+    sits across its cell boundary misses it at 1 probe and recovers it
+    at 2.  Centroids A=(1,0), B=(0,1); q=(0.8,0.6) homes in A but its
+    best neighbor (0.6,0.8) homes in B."""
+    cents = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 0.0), (1, 0, 0.0), (1, 1, 1.0)],
+        "label long, d int, c double",
+    )
+    embs = spark.createDataFrame(
+        [(1, [0.8, 0.6]), (2, [0.6, 0.8]), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    top1 = lambda res: {r.vec_id: r.neighbor_id for r in res if r.rank == 1}
+    one = top1(TS.ivf_topk(embs, k=1, centroids=cents, nprobe=1).collect())
+    two = top1(TS.ivf_topk(embs, k=1, centroids=cents, nprobe=2).collect())
+    assert one[1] == 3      # 1-probe only sees its home cell's vectors
+    assert two[1] == 2      # 2-probe recovers the true (cross-cell) top-1
 
 
 def test_tfidf_topk_hand_corpus(spark):
