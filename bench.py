@@ -405,6 +405,14 @@ def main() -> None:
     rss, cpu = _rss_cpu()
     result = {
         "metric": "headline_queries_total_time",
+        # semantics version of this JSON line (ADVICE r4): bumped whenever
+        # `value`'s meaning changes so round-over-round tooling can detect
+        # incomparability instead of comparing raw numbers.
+        #   v1 (r1-r3): single sweep, smaller default query set
+        #   v2 (r4+):  Σ per-query BEST across interleaved sweeps; default
+        #              set includes bucketed variants whose one-time
+        #              table-build cost is excluded from the timed region
+        "bench_schema": 2,
         "value": total,
         "unit": "sec",
         "queries": timings,  # per-query BEST of the interleaved sweeps

@@ -27,15 +27,46 @@ def _drop_stale(spark: SparkSession, table: str) -> None:
     previous session: saveAsTable(mode=overwrite) refuses a location
     that exists on disk but is not in the current catalog
     (LOCATION_ALREADY_EXISTS), which is exactly the state a fresh JVM
-    sees after an earlier bench/test run wrote the same managed table."""
+    sees after an earlier bench/test run wrote the same managed table.
+
+    When the table IS still cataloged, its real location is resolved
+    from the catalog before the drop (ADVICE r4 — the name-derived
+    fallback is wrong for db-qualified names or a non-default current
+    database); the fallback reconstructs the managed-table convention
+    (``<warehouse>/<db>.db/<tbl>``, default db at ``<warehouse>/<tbl>``)
+    for the orphan case where no catalog entry exists.  Deleting by
+    convention is still deletion by convention: keep table names
+    namespaced (graft_*) so this can never race a concurrent writer."""
     import os
     import shutil
 
+    def _local(p: str) -> str:
+        return re.sub(r"^file:/*", "/", p)
+
+    paths = []
+    try:
+        if spark.catalog.tableExists(table):
+            row = (
+                spark.sql(f"DESCRIBE TABLE EXTENDED {table}")
+                .filter("col_name = 'Location'")
+                .collect()
+            )
+            if row:
+                paths.append(_local(row[0]["data_type"]))
+    except Exception:
+        pass  # catalog probe is best-effort; the fallback below still runs
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    path = os.path.join(re.sub(r"^file:/*", "/", wh), table.lower())
-    if os.path.isdir(path):
-        shutil.rmtree(path, ignore_errors=True)
+    wh = _local(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    parts = table.lower().split(".")
+    if len(parts) == 2:
+        db, tbl = parts
+    else:
+        db, tbl = (spark.catalog.currentDatabase() or "default").lower(), parts[0]
+    rel = tbl if db == "default" else os.path.join(f"{db}.db", tbl)
+    paths.append(os.path.join(wh, rel))
+    for path in paths:
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
 
 
 def write_bucketed_adjacency(

@@ -79,9 +79,9 @@ class StreamCheckpointer:
             return None
         best = None
         for name in os.listdir(self.dir):
-            if not name.startswith("batch="):
+            b = _batch_index(name)  # ignores foreign batch=* dirs (ADVICE r4)
+            if b is None:
                 continue
-            b = int(name.split("=", 1)[1])
             if all(
                 os.path.exists(os.path.join(self.dir, name, t, "_SUCCESS"))
                 for t in ("edges", "labels")
@@ -101,14 +101,50 @@ class StreamCheckpointer:
         )
 
 
+def _batch_index(name: str) -> int | None:
+    """``batch=<int>`` directory name → int, else None.  A stray
+    non-numeric directory (``batch=tmp`` from a copy or an editor) must
+    be IGNORED, not crash every resume attempt (ADVICE r4)."""
+    if not name.startswith("batch="):
+        return None
+    try:
+        return int(name.split("=", 1)[1])
+    except ValueError:
+        return None
+
+
 class FoldCheckpointer:
     """Durable per-batch snapshots of a fold's NAMED state tables under
     ``<checkpoint_dir>/<run_id>/batch=<b>/<table>`` — the generic form
     of StreamCheckpointer for the other streaming folds (PR / CC /
-    dedup, VERDICT r3 #9).  A batch is complete when EVERY table
-    carries a _SUCCESS marker; resume loads the highest complete batch.
-    Same Iceberg-snapshot-per-batch stand-in layout as
-    StreamCheckpointer."""
+    dedup / novelty, VERDICT r3 #9).  A batch is complete when EVERY
+    table carries a _SUCCESS marker; resume loads the highest complete
+    batch.  Same Iceberg-snapshot-per-batch stand-in layout as
+    StreamCheckpointer.
+
+    Two persistence modes per table (VERDICT r4 #2):
+
+    * FULL snapshot (default): the table is rewritten per batch — right
+      for state that changes in place (PageRank ranks, CC labels).
+    * ``delta_tables``: the caller passes only the batch's APPENDED
+      rows; the durable value is the union of the batch dirs ≤ b, read
+      back by a multi-path parquet scan.  Right for append-only stores
+      and cumulative emission sets (emitted dup pairs, the novelty
+      owner store), where a per-batch full rewrite costs
+      O(n_batches × cumulative size) I/O against the O(total size) an
+      Iceberg snapshot-APPEND (which this layout stands in for) pays.
+      Delta reconstruction resumes from the highest batch b with an
+      UNBROKEN complete prefix below it — an interior hole would
+      silently drop rows, while trailing incomplete batches are simply
+      replayed.
+
+    ``manifest`` (ADVICE r4): a small JSON-serializable dict of run
+    parameters (n_batches, boundaries, thresholds, input fingerprint).
+    The first persist writes ``<run>/manifest.json``; any later persist
+    or resume whose manifest differs raises ValueError instead of
+    silently folding a DIFFERENT stream onto the old run's state (e.g.
+    resuming with changed batch boundaries would return the old run's
+    final state for every "already done" batch)."""
 
     def __init__(
         self,
@@ -116,46 +152,110 @@ class FoldCheckpointer:
         checkpoint_dir: str,
         run_id: str,
         tables: tuple[str, ...],
+        delta_tables: tuple[str, ...] = (),
+        manifest: dict | None = None,
     ):
         self.spark = spark
         self.dir = os.path.join(checkpoint_dir, run_id)
         self.tables = tables
+        self.delta_tables = tuple(delta_tables)
+        assert set(self.delta_tables) <= set(tables), (delta_tables, tables)
+        self.manifest = manifest
 
     def _path(self, b: int, table: str) -> str:
         return os.path.join(self.dir, f"batch={b}", table)
 
+    def _check_or_write_manifest(self, write: bool) -> None:
+        if self.manifest is None:
+            return
+        # JSON round-trip so tuples/ints compare equal to what disk holds
+        mine = json.loads(json.dumps(self.manifest, sort_keys=True))
+        path = os.path.join(self.dir, "manifest.json")
+        if os.path.exists(path):
+            with open(path) as fh:
+                on_disk = json.load(fh)
+            if on_disk != mine:
+                raise ValueError(
+                    f"FoldCheckpointer manifest mismatch under {self.dir}: "
+                    f"on disk {on_disk!r} vs this run {mine!r} — refusing to "
+                    "resume/extend a checkpoint written by a run with "
+                    "different parameters or inputs"
+                )
+        elif write:
+            os.makedirs(self.dir, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(mine, fh, sort_keys=True)
+            os.replace(tmp, path)
+
+    def _existing_batches(self) -> list[int]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(
+            {i for name in os.listdir(self.dir) if (i := _batch_index(name)) is not None}
+        )
+
+    def _is_complete(self, b: int) -> bool:
+        return all(
+            os.path.exists(os.path.join(self._path(b, t), "_SUCCESS"))
+            for t in self.tables
+        )
+
+    def _read_table(self, t: str, b: int) -> DataFrame:
+        if t in self.delta_tables:
+            paths = [
+                self._path(i, t)
+                for i in self._existing_batches()
+                if i <= b
+                and os.path.exists(os.path.join(self._path(i, t), "_SUCCESS"))
+            ]
+            return self.spark.read.parquet(*paths)
+        return self.spark.read.parquet(self._path(b, t))
+
+    def _write(self, df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").parquet(path)
+        # an EMPTY delta (zero partitions) writes only _SUCCESS; rewrite
+        # with one empty partition so the schema survives on disk and the
+        # multi-path read-back can always infer it
+        if not any(n.endswith(".parquet") for n in os.listdir(path)):
+            df.repartition(1).write.mode("overwrite").parquet(path)
+
     def persist(self, b: int, **dfs: DataFrame) -> dict[str, DataFrame]:
+        """Write batch ``b``'s tables (full state, or the batch DELTA for
+        ``delta_tables``) and return durable read-back handles — for a
+        delta table the handle is the reconstructed CUMULATIVE union."""
         assert set(dfs) == set(self.tables), (sorted(dfs), self.tables)
+        self._check_or_write_manifest(write=True)
         out = {}
         for t, df in dfs.items():
-            df.write.mode("overwrite").parquet(self._path(b, t))
-            out[t] = self.spark.read.parquet(self._path(b, t))
+            self._write(df, self._path(b, t))
+            out[t] = self._read_table(t, b)
         return out
 
     def latest_complete_batch(self) -> int | None:
-        if not os.path.isdir(self.dir):
+        existing = self._existing_batches()
+        complete = [b for b in existing if self._is_complete(b)]
+        if not complete:
             return None
+        if not self.delta_tables:
+            return max(complete)
+        # delta reconstruction needs an unbroken prefix: stop before the
+        # first existing-but-incomplete batch
+        cset = set(complete)
         best = None
-        for name in os.listdir(self.dir):
-            if not name.startswith("batch="):
-                continue
-            b = int(name.split("=", 1)[1])
-            if all(
-                os.path.exists(os.path.join(self._path(b, t), "_SUCCESS"))
-                for t in self.tables
-            ):
-                best = b if best is None else max(best, b)
+        for b in existing:
+            if b not in cset:
+                break
+            best = b
         return best
 
     def resume_state(self) -> tuple[dict[str, DataFrame], int] | None:
         """({table: df}, next_batch) from the latest durable snapshot."""
+        self._check_or_write_manifest(write=False)
         b = self.latest_complete_batch()
         if b is None:
             return None
-        return (
-            {t: self.spark.read.parquet(self._path(b, t)) for t in self.tables},
-            b + 1,
-        )
+        return ({t: self._read_table(t, b) for t in self.tables}, b + 1)
 
 
 @dataclass

@@ -39,10 +39,17 @@ def stream_conv_novelty(
     conversation-start-ordered micro-batches through the owner store.
 
     ``checkpoint_dir`` + ``resume=True`` (VERDICT r3 #9 family): the
-    owner store and the cumulative emissions are snapshotted durably
-    per batch (FoldCheckpointer); a killed run resumes from the latest
-    complete batch — batching is deterministic (ntile over start order)
-    — and ends bit-identical to an uninterrupted run."""
+    owner store and the emissions are snapshotted durably per batch
+    (FoldCheckpointer); a killed run resumes from the latest complete
+    batch — batching is deterministic (ntile over start order) — and
+    ends bit-identical to an uninterrupted run.  Both tables are
+    append-only (ownership is decided forever; a conversation's row is
+    emitted once, at its arrival batch), so each batch persists only
+    its DELTA — new owners and this batch's emissions — and resume
+    reconstructs the cumulative value as the union of the batch dirs
+    (VERDICT r4 #2: snapshot-append I/O, not per-batch full rewrite).
+    The manifest (ADVICE r4) refuses resume under a changed
+    n_batches."""
     from ..plans.iterate import unpersist_checkpoint
     from .stream_driver import FoldCheckpointer
 
@@ -63,7 +70,14 @@ def stream_conv_novelty(
     ).localCheckpoint(eager=True)
 
     ckpt = (
-        FoldCheckpointer(spark, checkpoint_dir, run_id, ("store", "out"))
+        FoldCheckpointer(
+            spark,
+            checkpoint_dir,
+            run_id,
+            ("store", "out"),
+            delta_tables=("store", "out"),
+            manifest={"op": "stream_conv_novelty", "n_batches": n_batches},
+        )
         if checkpoint_dir
         else None
     )
@@ -90,6 +104,8 @@ def stream_conv_novelty(
                 F.col("first.conv_id").alias("owner_conv"),
             )
         )
+        new_owner = new_owner.localCheckpoint(eager=True)
+        owned.append(new_owner)
         store = store.unionByName(new_owner).localCheckpoint(eager=True)
         owned.append(store)
         emit = (
@@ -109,10 +125,13 @@ def stream_conv_novelty(
             .localCheckpoint(eager=True)
         )
         owned.append(emit)
-        out_cum = emit if out_cum is None else out_cum.unionByName(emit)
         if ckpt is not None:
-            snap = ckpt.persist(b, store=store, out=out_cum)
+            # deltas only (new owners, this batch's emissions); handles
+            # come back as the reconstructed cumulative unions
+            snap = ckpt.persist(b, store=new_owner, out=emit)
             store, out_cum = snap["store"], snap["out"]
+        else:
+            out_cum = emit if out_cum is None else out_cum.unionByName(emit)
 
     result = out_cum.localCheckpoint(eager=True)
     for df in owned:

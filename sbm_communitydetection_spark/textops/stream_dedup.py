@@ -80,8 +80,12 @@ def process_batch(
     num_hashes: int = MINHASH_NUM,
     rows_per_band: int = MINHASH_ROWS_PER_BAND,
     n: int = NGRAM_N,
-) -> tuple[DedupState, DataFrame]:
-    """(next_state, dup_pairs(a, b, jaccard)) for one arriving batch.
+) -> tuple[DedupState, DataFrame, DedupState]:
+    """(next_state, dup_pairs(a, b, jaccard), state_delta) for one
+    arriving batch — ``state_delta`` holds only the rows this batch
+    APPENDED to each store (the LSH store is append-only), which is
+    what a durable checkpoint needs to write per batch (VERDICT r4 #2:
+    snapshot-append, not full rewrite).
 
     Emitted pairs have ≥1 side in `new_docs`; a < b canonical order."""
     if state is None:
@@ -140,7 +144,8 @@ def process_batch(
         shingles=all_sh.localCheckpoint(eager=True),
         sizes=all_sizes.localCheckpoint(eager=True),
     )
-    return next_state, pairs
+    delta = DedupState(bands=new_bands, shingles=new_sh, sizes=new_sizes)
+    return next_state, pairs, delta
 
 
 def stream_minhash_dedup(
@@ -158,17 +163,37 @@ def stream_minhash_dedup(
     `minhash_lsh_dup_pairs` over the concatenated corpus.
 
     ``checkpoint_dir`` + ``resume=True`` (VERDICT r3 #9): the LSH store
-    (bands / shingles / sizes) AND the cumulative emitted pairs are
-    snapshotted durably per batch via the streaming FoldCheckpointer; a
-    killed run restarts from the latest complete batch and its final
-    emission set is identical to an uninterrupted run's (each pair is
-    emitted exactly once, in its later doc's batch — replaying only the
-    missing batches regenerates exactly the missing pairs)."""
+    (bands / shingles / sizes) AND the emitted pairs are snapshotted
+    durably per batch via the streaming FoldCheckpointer; a killed run
+    restarts from the latest complete batch and its final emission set
+    is identical to an uninterrupted run's (each pair is emitted
+    exactly once, in its later doc's batch — replaying only the missing
+    batches regenerates exactly the missing pairs).  All four tables
+    are append-only, so each batch persists only its DELTA (VERDICT r4
+    #2 — per-stream checkpoint I/O is O(total size), not
+    O(n_batches × cumulative size)); resume reconstructs the cumulative
+    value as the union of the batch dirs.  The manifest (ADVICE r4)
+    fingerprints n_batches and the match parameters so a resume against
+    a differently-batched or re-parameterized stream is refused."""
     from ..streaming.stream_driver import FoldCheckpointer
 
     tables = ("bands", "shingles", "sizes", "pairs_cum")
     ckpt = (
-        FoldCheckpointer(spark, checkpoint_dir, run_id, tables)
+        FoldCheckpointer(
+            spark,
+            checkpoint_dir,
+            run_id,
+            tables,
+            delta_tables=tables,
+            manifest={
+                "op": "stream_minhash_dedup",
+                "n_batches": len(batches),
+                "threshold": threshold,
+                "num_hashes": num_hashes,
+                "rows_per_band": rows_per_band,
+                "n": n,
+            },
+        )
         if checkpoint_dir
         else None
     )
@@ -187,23 +212,26 @@ def stream_minhash_dedup(
     for b, batch in enumerate(batches):
         if b < start_batch:
             continue
-        state, pairs = process_batch(
+        state, pairs, delta = process_batch(
             spark, state, batch, threshold, num_hashes, rows_per_band, n
         )
         pairs = pairs.localCheckpoint(eager=True)
-        out = pairs if out is None else out.unionByName(pairs)
         if ckpt is not None:
+            # deltas only — the durable handles come back as the
+            # reconstructed cumulative unions
             snap = ckpt.persist(
                 b,
-                bands=state.bands,
-                shingles=state.shingles,
-                sizes=state.sizes,
-                pairs_cum=out,
+                bands=delta.bands,
+                shingles=delta.shingles,
+                sizes=delta.sizes,
+                pairs_cum=pairs,
             )
             state = DedupState(
                 bands=snap["bands"], shingles=snap["shingles"], sizes=snap["sizes"]
             )
             out = snap["pairs_cum"]
+        else:
+            out = pairs if out is None else out.unionByName(pairs)
     if out is None:
         return spark.createDataFrame([], "a long, b long, jaccard double")
     return out

@@ -141,3 +141,44 @@ def test_triangle_count_over_oriented_bucketed_matches_inline(spark, edges):
         assert n_bucketed < n_plain, (n_bucketed, n_plain)
     finally:
         spark.sql("DROP TABLE IF EXISTS tri_oriented_test")
+
+
+def test_drop_stale_handles_db_qualified_and_current_database(spark):
+    """ADVICE r4: _drop_stale must clean the true warehouse location for
+    db-qualified names (db.tbl → <wh>/<db>.db/<tbl>) and under a
+    non-default current database — both the cataloged and the orphaned
+    (catalog-lost) states."""
+    import os
+    import re
+
+    from sbm_communitydetection_spark.sources.bucketed import _drop_stale
+
+    wh = re.sub(r"^file:/*", "/", spark.conf.get("spark.sql.warehouse.dir"))
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_tmpdb")
+    try:
+        # cataloged db-qualified table: location resolved via the catalog
+        spark.range(3).write.mode("overwrite").saveAsTable("graft_tmpdb.graft_ds1")
+        p1 = os.path.join(wh, "graft_tmpdb.db", "graft_ds1")
+        assert os.path.isdir(p1)
+        _drop_stale(spark, "graft_tmpdb.graft_ds1")
+        assert not os.path.isdir(p1)
+        assert not spark.catalog.tableExists("graft_tmpdb.graft_ds1")
+
+        # orphaned dir (catalog entry lost): fallback path reconstruction
+        os.makedirs(p1, exist_ok=True)
+        _drop_stale(spark, "graft_tmpdb.graft_ds1")
+        assert not os.path.isdir(p1)
+
+        # non-default CURRENT database with an unqualified name
+        spark.catalog.setCurrentDatabase("graft_tmpdb")
+        try:
+            spark.range(3).write.mode("overwrite").saveAsTable("graft_ds2")
+            p2 = os.path.join(wh, "graft_tmpdb.db", "graft_ds2")
+            assert os.path.isdir(p2)
+            _drop_stale(spark, "graft_ds2")
+            assert not os.path.isdir(p2)
+        finally:
+            spark.catalog.setCurrentDatabase("default")
+    finally:
+        spark.catalog.setCurrentDatabase("default")
+        spark.sql("DROP DATABASE IF EXISTS graft_tmpdb CASCADE")

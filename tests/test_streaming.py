@@ -485,3 +485,136 @@ def test_stream_novelty_kill_restart_parity(spark, tmp_path):
         checkpoint_dir=str(tmp_path), run_id="crash", resume=True).collect()))
     assert got == want
     assert got == sorted(map(tuple, conv_novelty(t).collect()))
+
+
+def _dedup_batches(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog every single day",
+        "the quick brown fox jumps over the lazy dog every single night",
+        "completely unrelated text about distributed systems and parquet",
+        "the quick brown fox jumps over the lazy dog every single day",  # dup of 0
+        "another completely unrelated passage mentioning spark and joins",
+        "completely unrelated text about distributed systems and parquet",  # dup of 2
+    ]
+    return [
+        spark.createDataFrame(
+            [(i + 2 * b, texts[i + 2 * b]) for i in range(2)], "doc_id long, text string"
+        )
+        for b in range(3)
+    ]
+
+
+def test_fold_snapshots_are_delta_proportional(spark, tmp_path):
+    """VERDICT r4 #2: batch b's snapshot dirs hold only batch b's DELTA
+    — summing the per-batch dir row counts reproduces the cumulative
+    total exactly once.  A per-batch full rewrite of the cumulative
+    table would make the sum Σ_b |cum_b| > total instead."""
+    from sbm_communitydetection_spark.textops.stream_dedup import stream_minhash_dedup
+
+    out = stream_minhash_dedup(
+        spark, _dedup_batches(spark), threshold=0.4,
+        checkpoint_dir=str(tmp_path), run_id="delta")
+    total = out.count()
+    assert total >= 3  # the planted dups were all found
+    per_batch = [
+        spark.read.parquet(str(tmp_path / "delta" / f"batch={b}" / "pairs_cum")).count()
+        for b in range(3)
+    ]
+    assert sum(per_batch) == total, (per_batch, total)
+    # the LSH stores are delta-persisted too: each batch dir holds only
+    # that batch's two docs' band rows
+    band_docs = [
+        spark.read.parquet(str(tmp_path / "delta" / f"batch={b}" / "bands"))
+        .select("doc_id").distinct().count()
+        for b in range(3)
+    ]
+    assert band_docs == [2, 2, 2], band_docs
+
+
+def test_novelty_snapshots_are_delta_proportional(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from sbm_communitydetection_spark.streaming.stream_novelty import stream_conv_novelty
+
+    rows = [
+        ("a", 0, "user", "red green blue", None, 1000),
+        ("c", 0, "user", "totally fresh words", None, 1500),
+        ("b", 0, "user", "red green blue", None, 2000),
+        ("d", 0, "user", "red green yellow", None, 3000),
+        ("e", 0, "user", "late but unique text", None, 4000),
+        ("f", 0, "user", "red green yellow", None, 5000),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ms long",
+    ).select(
+        "conv_id", "turn_idx", "role", "text", "tool", F.timestamp_millis("ms").alias("ts")
+    )
+    out = stream_conv_novelty(spark, t, n_batches=3,
+                              checkpoint_dir=str(tmp_path), run_id="delta")
+    total = out.count()
+    assert total == 6
+    per_batch = [
+        spark.read.parquet(str(tmp_path / "delta" / f"batch={b}" / "out")).count()
+        for b in (1, 2, 3)
+    ]
+    assert sum(per_batch) == total, (per_batch, total)
+    # owner-store deltas: each bigram owner row is written exactly once
+    store_rows = [
+        spark.read.parquet(str(tmp_path / "delta" / f"batch={b}" / "store")).count()
+        for b in (1, 2, 3)
+    ]
+    n_owners = (
+        spark.read.parquet(*[str(tmp_path / "delta" / f"batch={b}" / "store") for b in (1, 2, 3)])
+        .select("g").distinct().count()
+    )
+    assert sum(store_rows) == n_owners, (store_rows, n_owners)
+
+
+def test_fold_checkpointer_manifest_refuses_mismatched_resume(spark, tmp_path):
+    """ADVICE r4: resuming a checkpointed fold with different parameters
+    (here n_batches) must raise, not silently reuse stale state."""
+    import pytest
+
+    from sbm_communitydetection_spark.textops.stream_dedup import stream_minhash_dedup
+
+    batches = _dedup_batches(spark)
+    stream_minhash_dedup(spark, batches, threshold=0.4,
+                         checkpoint_dir=str(tmp_path), run_id="m")
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        stream_minhash_dedup(spark, batches[:2], threshold=0.4,
+                             checkpoint_dir=str(tmp_path), run_id="m", resume=True)
+    with pytest.raises(ValueError, match="manifest mismatch"):
+        stream_minhash_dedup(spark, batches, threshold=0.5,
+                             checkpoint_dir=str(tmp_path), run_id="m", resume=True)
+
+
+def test_fold_checkpointer_ignores_foreign_batch_dirs(spark, tmp_path):
+    """ADVICE r4: a stray non-numeric batch=* directory (editor copy)
+    must be skipped by resume discovery, not crash it."""
+    from sbm_communitydetection_spark.textops.stream_dedup import stream_minhash_dedup
+
+    batches = _dedup_batches(spark)
+    want = sorted(map(tuple, stream_minhash_dedup(
+        spark, batches, threshold=0.4,
+        checkpoint_dir=str(tmp_path), run_id="f").collect()))
+    (tmp_path / "f" / "batch=tmp").mkdir()
+    (tmp_path / "f" / "batch=1 (copy)").mkdir()
+    got = sorted(map(tuple, stream_minhash_dedup(
+        spark, batches, threshold=0.4,
+        checkpoint_dir=str(tmp_path), run_id="f", resume=True).collect()))
+    assert got == want
+
+
+def test_fold_checkpointer_empty_delta_preserves_schema(spark, tmp_path):
+    """A batch whose delta is EMPTY must still leave a schema-bearing
+    parquet dir so the multi-path union read-back can infer types."""
+    from sbm_communitydetection_spark.streaming.stream_driver import FoldCheckpointer
+
+    ck = FoldCheckpointer(spark, str(tmp_path), "e", ("t",), delta_tables=("t",))
+    empty = spark.createDataFrame([], "a long, b double")
+    out0 = ck.persist(0, t=empty)["t"]
+    assert out0.count() == 0 and set(out0.columns) == {"a", "b"}
+    out1 = ck.persist(1, t=spark.createDataFrame([(1, 2.0)], "a long, b double"))["t"]
+    assert sorted(map(tuple, out1.collect())) == [(1, 2.0)]
+    snap, nxt = ck.resume_state()
+    assert nxt == 2 and snap["t"].count() == 1
