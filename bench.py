@@ -325,6 +325,16 @@ def main() -> None:
 
         strongly_connected_components(spark, edges).count()
 
+    def run_scc_delta():
+        # round-5 A/B of the named r4 SCC lever (docs/SCALE.md): frontier-
+        # delta forward coloring — exact same labels (pytest equivalence
+        # test), per-superstep edge probe restricted to changed vertices
+        from sbm_communitydetection_spark.operators.components import (
+            strongly_connected_components,
+        )
+
+        strongly_connected_components(spark, edges, forward_delta=True).count()
+
     runners: list[tuple[str, object]] = [
         (n, f)
         for n, f in [
@@ -350,6 +360,7 @@ def main() -> None:
                 .collect(),
             ),
             ("scc", run_scc),
+            ("scc_delta", run_scc_delta),
         ]
         if n in which
     ]

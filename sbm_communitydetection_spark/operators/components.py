@@ -205,11 +205,23 @@ def _min_forward_labels(
     verts: DataFrame,
     run_id: str,
     max_iterations: int = 50,
+    delta: bool = False,
 ) -> DataFrame:
     """(id, lbl) fixpoint of lbl(v) = min(lbl(v), min_{u->v} lbl(u)),
     lbl0 = id — i.e. lbl(v) = min vertex that can REACH v. Each superstep
     is one keyed join + min-aggregate (CC-shaped); O(directed diameter)
-    rounds."""
+    rounds.
+
+    ``delta=True`` is the frontier-delta variant (the named remaining
+    SCC lever from the round-4 measurement, docs/SCALE.md): min-label
+    propagation is monotone, so only vertices whose label CHANGED last
+    superstep can lower a neighbor this superstep — the edge join probes
+    the changed-vertex frontier instead of the full remaining vertex
+    set, and per-round shuffled rows collapse with the frontier once
+    the min labels flood out (hub graphs: a few rounds).  Exact same
+    fixpoint, same round count, strictly less data moved per round;
+    the default stays the full-join variant the driver gate has a
+    CORRECTNESS row against (the bench runner A/Bs the two)."""
     driver = IterationDriver(spark, run_id=run_id)
     last = {"sum": None}
 
@@ -235,10 +247,38 @@ def _min_forward_labels(
 
         return new, changed
 
-    init = verts.select("id", F.col("id").alias("lbl"))
+    def step_delta(state: DataFrame, i: int):
+        # state carries (id, lbl, chg): chg = did lbl change last round
+        frontier = state.filter(F.col("chg") == 1).select(
+            F.col("id").alias("src"), "lbl"
+        )
+        incoming = (
+            dedges.join(frontier, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("lbl").alias("in_lbl"))
+        )
+        new = state.join(incoming, "id", "left").select(
+            "id",
+            F.least("lbl", F.coalesce("in_lbl", "lbl")).alias("lbl"),
+            (F.coalesce("in_lbl", "lbl") < F.col("lbl")).cast("int").alias("chg"),
+        )
+
+        def changed(persisted: DataFrame) -> float:
+            return float(
+                persisted.agg(F.coalesce(F.sum("chg"), F.lit(0)).alias("n"))
+                .collect()[0]
+                .n
+            )
+
+        return new, changed
+
+    if delta:
+        init = verts.select("id", F.col("id").alias("lbl"), F.lit(1).alias("chg"))
+    else:
+        init = verts.select("id", F.col("id").alias("lbl"))
     result = driver.run(
         init,
-        step,
+        step_delta if delta else step,
         max_iterations=max_iterations,
         tolerance=0.0,
         metric_name="label_set_changed",
@@ -251,7 +291,7 @@ def _min_forward_labels(
             f"{run_id}: forward min-label coloring still changing after "
             f"{max_iterations} supersteps (graph deeper than max_inner; raise it)"
         )
-    return result.state
+    return result.state.select("id", "lbl") if delta else result.state
 
 
 def strongly_connected_components(
@@ -259,6 +299,7 @@ def strongly_connected_components(
     edges: DataFrame,
     max_outer: int | None = None,
     max_inner: int = 50,
+    forward_delta: bool = False,
 ) -> DataFrame:
     """scc(id, scc) over a DIRECTED edge table, scc = min id in the SCC.
 
@@ -306,7 +347,12 @@ def strongly_connected_components(
         if remaining.limit(1).count() == 0:
             break
         colors = _min_forward_labels(
-            spark, dedges, remaining, run_id=f"scc_f{outer}", max_iterations=max_inner
+            spark,
+            dedges,
+            remaining,
+            run_id=f"scc_f{outer}",
+            max_iterations=max_inner,
+            delta=forward_delta,
         )
         # intra-color directed edges only (SCC paths never leave the color)
         ic = (

@@ -579,3 +579,37 @@ def test_community_representatives(spark):
         .collect()
     ]
     assert got == [(0, 3, 1), (0, 1, 2), (1, 4, 1), (1, 5, 2)]
+
+
+def test_scc_forward_delta_equivalent_on_all_fixtures(spark):
+    """forward_delta=True (frontier-delta min-label coloring, the named
+    round-4 SCC lever) is an exact optimization: identical labels on
+    every fixture shape — cycle+tail, bridged cycles, string keys, and
+    a deep condensation chain."""
+    from sbm_communitydetection_spark.operators.components import (
+        strongly_connected_components,
+    )
+
+    chain = []
+    for i in range(8):
+        a, b = 2 * i, 2 * i + 1
+        chain += [(a, b), (b, a)]
+        if i < 7:
+            chain.append((b, 2 * i + 2))
+    fixtures = [
+        _directed(spark, [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5)]),
+        _directed(spark, [(1, 2), (2, 1), (2, 3), (3, 4), (4, 3)]),
+        spark.createDataFrame(
+            [("b", "a"), ("a", "b"), ("b", "c")], "src string, dst string"
+        ),
+        _directed(spark, chain),
+    ]
+    for e in fixtures:
+        full = sorted(map(tuple, strongly_connected_components(spark, e).collect()))
+        delta = sorted(
+            map(
+                tuple,
+                strongly_connected_components(spark, e, forward_delta=True).collect(),
+            )
+        )
+        assert delta == full
